@@ -49,8 +49,15 @@ object Ast {
   case class MOr(cs: List[MetaExp]) extends MetaExp
   /** op ∈ < <= > >= == != ~ ~* !~ !~* (=/!== canonicalized) */
   case class Cmp(left: Scalar, op: String, right: Const, neg: Boolean = false) extends MetaExp
-  case class InRange(left: Scalar, lo: Const, hi: Const, neg: Boolean = false) extends MetaExp
-  case class InSet(left: Scalar, vals: List[Const], neg: Boolean = false) extends MetaExp
+  /** `elemInverted` (only with an ArrayAny left, produced by the `[all]`
+    * conversion): the per-ELEMENT predicate is complemented before the ∃,
+    * so `a[all] in S` ≡ ¬∃ elem ∉ S is representable — the reference's
+    * backends disagree here (`meta_dnf.py` not_in_set vs
+    * `meta_evaluator.py`); we implement the set-algebraic reading. */
+  case class InRange(left: Scalar, lo: Const, hi: Const, neg: Boolean = false,
+      elemInverted: Boolean = false) extends MetaExp
+  case class InSet(left: Scalar, vals: List[Const], neg: Boolean = false,
+      elemInverted: Boolean = false) extends MetaExp
   case class Present(name: String, neg: Boolean = false) extends MetaExp
 
   // ---- dataset specs (grammar `dataset_spec`) ----

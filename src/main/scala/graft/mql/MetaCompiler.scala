@@ -1,0 +1,245 @@
+package graft.mql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import Ast._
+
+/** Compiles an MQL meta-expression to a Spark `Column` over a
+  * `VariantType` metadata column.
+  *
+  * Truth table (the reference's in-memory evaluator,
+  * `metacat/mql/meta_evaluator.py:107-160`, cross-checked against the
+  * jsonpath SQL backend `metacat/common/meta_dnf.py:100-304` and the
+  * documented examples `docs/mql.rst:515-538`):
+  *
+  *  - every atom first evaluates RAW: missing key, type mismatch, bad
+  *    subscript, or non-array for `len()`/`[any]` ⇒ false — never an error;
+  *  - the `neg` flag (from `!`/`not in`/`[all]` conversion) applies AFTER:
+  *    `result = raw XOR neg`. So `a.b[any] != 1` on a missing key is false,
+  *    while `!(a.b[any] == 1)` (≡ `a.b[all] != 1`) is TRUE — vacuous ∀.
+  *    (The reference's two backends disagree on this corner: jsonpath
+  *    `not(null)` ⇒ unknown ⇒ false, the Python evaluator returns `neg`.
+  *    We follow the evaluator: it is the one the docs' identities
+  *    `array[all] != x ≡ !(array[any] == x)` require.)
+  *  - type strictness matches jsonb/Python: a JSON string `"1.5"` never
+  *    compares equal to the number `1.5` (docs/mql.rst:165-172); numeric
+  *    int/float compare with widening (`5 == 5.0` is true).
+  *  - `[any]`/`[all]` iterate array elements, or VALUES of a dict
+  *    (`meta_evaluator.py:81-85,131-135`); scalars are not iterated.
+  *  - regex `~` is an unanchored SEARCH (`re.search`), `*` adds
+  *    case-insensitivity; negated forms apply the negation inside the raw
+  *    evaluation (missing key still ⇒ false before XOR neg).
+  *
+  * Everything here stays inside Catalyst expressions (no UDFs), so
+  * whole-stage codegen and filter pushdown apply. On a 100 TB catalog the
+  * win comes from shredding hot keys into typed parquet columns; the
+  * compiler supports that via the `shredded` hook: keys with a materialized
+  * typed column skip Variant access entirely.
+  */
+object MetaCompiler {
+
+  /** Binding of object attributes (dot-less names) to typed columns.
+    * `created_timestamp` must be bound to epoch SECONDS (numeric) — MQL
+    * datetime()/date() constants fold to epoch floats. */
+  type Attrs = String => Option[Column]
+
+  def compile(e: MetaExp, meta: Column, attrs: Attrs,
+      shredded: String => Option[Column] = _ => None): Column = {
+    val c = new Ctx(meta, attrs, shredded)
+    c.exp(e)
+  }
+
+  private val NumericSchema = "^(BIGINT|DOUBLE|DECIMAL|FLOAT|SMALLINT|TINYINT|INT)"
+
+  private final class Ctx(meta: Column, attrs: Attrs, shredded: String => Option[Column]) {
+
+    def exp(e: MetaExp): Column = e match {
+      case MAnd(cs) => cs.map(exp).reduce(_ && _)
+      case MOr(cs) => cs.map(exp).reduce(_ || _)
+      case Cmp(l, op, r, neg) => xorNeg(rawCmp(l, op, r), neg)
+      case InRange(l, lo, hi, neg, inv) => xorNeg(rawRange(l, lo, hi, inv), neg)
+      case InSet(l, vs, neg, inv) => xorNeg(rawSet(l, vs, inv), neg)
+      case Present(n, neg) => xorNeg(tv(n).isNotNull, neg)
+    }
+
+    private def xorNeg(raw: Column, neg: Boolean): Column = {
+      val r = coalesce(raw, lit(false))
+      if (neg) !r else r
+    }
+
+    // ---- variant access ----
+    private def path(name: String): String = s"$$['$name']"
+
+    /** top-level key as variant (null when absent) */
+    private def tv(name: String): Column = try_variant_get(meta, path(name), "variant")
+
+    /** array elements, or dict values (meta_evaluator.py:81-85) */
+    private def elements(name: String): Column = {
+      val arr = try_variant_get(meta, path(name), "array<variant>")
+      val obj = try_variant_get(meta, path(name), "map<string,variant>")
+      coalesce(arr, map_values(obj))
+    }
+
+    private def subscriptV(s: Scalar): Column = s match {
+      case SubscriptInt(n, i) => try_variant_get(meta, s"$$['$n'][$i]", "variant")
+      case SubscriptKey(n, k) => try_variant_get(meta, s"$$['$n']['$k']", "variant")
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+
+    // ---- strict typed extraction from a variant value ----
+    private def schemaOf(v: Column): Column = schema_of_variant(v)
+    private def numOf(v: Column): Column =
+      when(schemaOf(v).rlike(NumericSchema), try_variant_get(v, "$", "double"))
+    private def strOf(v: Column): Column =
+      when(schemaOf(v) === "STRING", try_variant_get(v, "$", "string"))
+    private def boolOf(v: Column): Column =
+      when(schemaOf(v) === "BOOLEAN", try_variant_get(v, "$", "boolean"))
+
+    // ---- comparisons ----
+    private def cmpNum(x: Column, op: String, d: Double): Column = op match {
+      case "==" => x === d
+      case "<" => x < d
+      case "<=" => x <= d
+      case ">" => x > d
+      case ">=" => x >= d
+      case _ => lit(false) // regex on a number: type mismatch => false
+    }
+
+    private def cmpStr(x: Column, op: String, s: String): Column = op match {
+      case "==" => x === s
+      case "<" => x < s
+      case "<=" => x <= s
+      case ">" => x > s
+      case ">=" => x >= s
+      case "~" => x.rlike(s)
+      case "~*" => x.rlike("(?i)" + s)
+      case "!~" => !x.rlike(s)
+      case "!~*" => !x.rlike("(?i)" + s)
+      case _ => lit(false)
+    }
+
+    /** variant value vs constant; null/false when the value is
+      * absent/mistyped (callers coalesce to false).
+      *
+      * `!=` is defined as the exact complement of `==` among PRESENT values
+      * of any type (Python `x != y` semantics of the reference evaluator's
+      * do_cmp_op) — this is what makes the documented identity
+      * `a[all] != x ≡ !(a[any] == x)` hold after the operator-inversion
+      * rewrite. Ordering/regex ops stay strictly typed (mismatch ⇒ false). */
+    private def cmpVariant(v: Column, op: String, c: Const): Column =
+      if (op == "!=")
+        v.isNotNull && !coalesce(cmpVariant(v, "==", c), lit(false))
+      else c match {
+        case IntC(i) => cmpNum(numOf(v), op, i.toDouble)
+        case FloatC(d) => cmpNum(numOf(v), op, d)
+        case DateC(d) => cmpNum(numOf(v), op, d) // defensive; parser expands dates
+        case StringC(s) => cmpStr(strOf(v), op, s)
+        case BoolC(b) => op match {
+          case "==" => boolOf(v) === b
+          case _ => lit(false)
+        }
+      }
+
+    /** typed (non-variant) column vs constant — object attributes */
+    private def cmpTyped(x: Column, op: String, c: Const): Column =
+      if (op == "!=")
+        x.isNotNull && !coalesce(cmpTyped(x, "==", c), lit(false))
+      else c match {
+        case IntC(i) => cmpNum(x.cast("double"), op, i.toDouble)
+        case FloatC(d) => cmpNum(x.cast("double"), op, d)
+        case DateC(d) => cmpNum(x.cast("double"), op, d)
+        case StringC(s) => cmpStr(x.cast("string"), op, s)
+        case BoolC(b) => op match {
+          case "==" => x.cast("boolean") === b
+          case _ => lit(false)
+        }
+      }
+
+    private def attrCol(name: String): Column =
+      attrs(name).getOrElse(
+        throw Rewrites.MqlResolveError(s"Unrecognized attribute name $name"))
+
+    private def rawCmp(l: Scalar, op: String, c: Const): Column = l match {
+      case MetaAttr(n) =>
+        shredded(n) match {
+          case Some(col) => cmpTyped(col, op, c)
+          case None => cmpVariant(tv(n), op, c)
+        }
+      case ObjectAttr(n) => cmpTyped(attrCol(n), op, c)
+      case ArrayAny(n) => exists(elements(n), x => coalesce(cmpVariant(x, op, c), lit(false)))
+      case s @ (SubscriptInt(_, _) | SubscriptKey(_, _)) => cmpVariant(subscriptV(s), op, c)
+      case ArrayLen(n) => c match {
+        case IntC(i) => cmpNum(size(try_variant_get(meta, path(n), "array<variant>")).cast("double"), op, i.toDouble)
+        case FloatC(d) => cmpNum(size(try_variant_get(meta, path(n), "array<variant>")).cast("double"), op, d)
+        case _ => lit(false)
+      }
+      case ArrayAll(n) =>
+        throw new IllegalStateException(s"[all] on $n must be eliminated at parse time")
+    }
+
+    private def rangePred(v: Column, lo: Const, hi: Const): Column = (lo, hi) match {
+      case (IntC(a), IntC(b)) => numOf(v).between(a.toDouble, b.toDouble)
+      case (FloatC(a), FloatC(b)) => numOf(v).between(a, b)
+      case (StringC(a), StringC(b)) => strOf(v).between(a, b)
+      case _ => lit(false)
+    }
+
+    /** complement of the element predicate among present values, for the
+      * `[all]` conversion's elemInverted */
+    private def invElem(x: Column, pred: Column): Column =
+      x.isNotNull && !coalesce(pred, lit(false))
+
+    private def rawRange(l: Scalar, lo: Const, hi: Const, inv: Boolean = false): Column = l match {
+      case MetaAttr(n) =>
+        shredded(n) match {
+          case Some(col) => typedRange(col, lo, hi)
+          case None => rangePred(tv(n), lo, hi)
+        }
+      case ObjectAttr(n) => typedRange(attrCol(n), lo, hi)
+      // one element within the range (docs/mql.rst:559-574)
+      case ArrayAny(n) => exists(elements(n), x => {
+        val p = rangePred(x, lo, hi)
+        if (inv) invElem(x, p) else coalesce(p, lit(false))
+      })
+      case s @ (SubscriptInt(_, _) | SubscriptKey(_, _)) => rangePred(subscriptV(s), lo, hi)
+      case ArrayLen(n) => (lo, hi) match {
+        case (IntC(a), IntC(b)) =>
+          size(try_variant_get(meta, path(n), "array<variant>")).cast("double").between(a.toDouble, b.toDouble)
+        case _ => lit(false)
+      }
+      case ArrayAll(n) =>
+        throw new IllegalStateException(s"[all] on $n must be eliminated at parse time")
+    }
+
+    private def typedRange(x: Column, lo: Const, hi: Const): Column = (lo, hi) match {
+      case (IntC(a), IntC(b)) => x.cast("double").between(a.toDouble, b.toDouble)
+      case (FloatC(a), FloatC(b)) => x.cast("double").between(a, b)
+      case (StringC(a), StringC(b)) => x.cast("string").between(a, b)
+      case _ => lit(false)
+    }
+
+    private def setPred(v: Column, vs: List[Const]): Column =
+      vs.map(c => coalesce(cmpVariant(v, "==", c), lit(false))).reduce(_ || _)
+
+    private def rawSet(l: Scalar, vs: List[Const], inv: Boolean = false): Column = l match {
+      case MetaAttr(n) =>
+        shredded(n) match {
+          case Some(col) => vs.map(c => coalesce(cmpTyped(col, "==", c), lit(false))).reduce(_ || _)
+          case None => setPred(tv(n), vs)
+        }
+      case ObjectAttr(n) =>
+        vs.map(c => coalesce(cmpTyped(attrCol(n), "==", c), lit(false))).reduce(_ || _)
+      case ArrayAny(n) => exists(elements(n), x => {
+        val p = setPred(x, vs)
+        if (inv) invElem(x, p) else p
+      })
+      case s @ (SubscriptInt(_, _) | SubscriptKey(_, _)) => setPred(subscriptV(s), vs)
+      case ArrayLen(n) =>
+        val sz = size(try_variant_get(meta, path(n), "array<variant>")).cast("double")
+        vs.collect { case IntC(i) => sz === i.toDouble; case FloatC(d) => sz === d }
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case ArrayAll(n) =>
+        throw new IllegalStateException(s"[all] on $n must be eliminated at parse time")
+    }
+  }
+}

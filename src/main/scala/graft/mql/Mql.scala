@@ -1,0 +1,71 @@
+package graft.mql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.metacat.MetacatCatalog
+import Ast._
+
+/** Public entry point of the MQL engine: MQL text → DataFrame.
+  *
+  * Lifecycle (SURVEY.md §3): parse ([[MqlParser]]) → resolve/normalize
+  * ([[Rewrites]]) → plan to DataFrame ([[Planner]]) → Catalyst
+  * analyze/optimize/execute. The reference's steps 4-6 (its own optimizer,
+  * SQL generation, generator execution, `metacat/mql/mql10.py:127-183`,
+  * `sql_converter.py`, `query_executor.py`) collapse into Catalyst.
+  */
+object Mql {
+
+  def parse(text: String, catalog: MetacatCatalog,
+      defaultNamespace: Option[String] = None): TopQ =
+    Rewrites.resolve(MqlParser.parseTop(text),
+      (ns, n) => catalog.namedQuerySource(ns, n), defaultNamespace)
+
+  /** run an MQL query (file, dataset or named-query search) */
+  def query(spark: SparkSession, catalog: MetacatCatalog, text: String,
+      defaultNamespace: Option[String] = None,
+      includeRetired: Boolean = false): DataFrame =
+    new Planner(spark, catalog, includeRetired)
+      .plan(parse(text, catalog, defaultNamespace))
+
+  // ---- summary surface (SURVEY.md §2.6; dbobjects2.py:347-410) ----
+
+  /** `summary=count`: count(*), sum(size) */
+  def summaryCount(fileSet: DataFrame): DataFrame =
+    fileSet.agg(count(lit(1)).as("count"),
+      coalesce(sum(col("size")), lit(0L)).as("total_size"))
+
+  /** `summary=keys`: distinct top-level metadata keys, sorted
+    * (jsonb_object_keys, dbobjects2.py:367-388) */
+  def summaryKeys(fileSet: DataFrame): DataFrame =
+    fileSet
+      .select(explode(map_keys(
+        try_variant_get(col("metadata"), "$", "map<string,variant>"))).as("key"))
+      .distinct()
+      .orderBy("key")
+
+  /** `summary=key-values`: distinct (key, value-as-json) pairs
+    * (jsonb_each, dbobjects2.py:390-410) */
+  def summaryKeyValues(fileSet: DataFrame): DataFrame =
+    fileSet
+      .select(explode(try_variant_get(col("metadata"), "$", "map<string,variant>")))
+      .select(col("key"), to_json(col("value")).as("value"))
+      .distinct()
+      .orderBy("key", "value")
+
+  /** CLI `-x/--explain` parity (metacat_query.py:64-84): the three IRs —
+    * parsed AST, resolved AST, Spark physical plan. */
+  def explain(spark: SparkSession, catalog: MetacatCatalog, text: String,
+      defaultNamespace: Option[String] = None): String = {
+    val parsed = MqlParser.parseTop(text)
+    val resolved = Rewrites.resolve(parsed,
+      (ns, n) => catalog.namedQuerySource(ns, n), defaultNamespace)
+    val df = new Planner(spark, catalog).plan(resolved)
+    s"""-- parsed --
+       |$parsed
+       |-- resolved --
+       |$resolved
+       |-- spark plan --
+       |${df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)}
+       |""".stripMargin
+  }
+}

@@ -138,15 +138,18 @@ object MqlParser extends RegexParsers {
       (word ^^ ObjectAttr.apply)
 
   // ---------- meta expressions ----------
-  /** `_convert_array_all` (mql10.py:999-1027): `[all] P` ⇒ `[any] ¬P` with
-    * the neg flag toggled. */
+  /** `_convert_array_all` (mql10.py:999-1027): `[all] P` ⇒ ¬`[any]` ¬P.
+    * For cmp ops the element complement is the inverted operator (== and !=
+    * are exact complements among present values in [[MetaCompiler]]); for
+    * set/range membership it is the `elemInverted` flag — giving
+    * `a[all] in S` ≡ ¬∃ elem ∉ S and `a[all] not in S` ≡ ¬∃ elem ∈ S. */
   private def convertArrayAll(e: MetaExp): MetaExp = e match {
     case c @ Cmp(ArrayAll(n), op, right, neg) =>
       c.copy(left = ArrayAny(n), op = invertOp(op), neg = !neg)
-    case r @ InRange(ArrayAll(n), _, _, neg) =>
-      r.copy(left = ArrayAny(n), neg = !neg)
-    case s @ InSet(ArrayAll(n), _, neg) =>
-      s.copy(left = ArrayAny(n), neg = !neg)
+    case r @ InRange(ArrayAll(n), _, _, neg, _) =>
+      r.copy(left = ArrayAny(n), neg = true, elemInverted = !neg)
+    case s @ InSet(ArrayAll(n), _, neg, _) =>
+      s.copy(left = ArrayAny(n), neg = true, elemInverted = !neg)
     case other => other
   }
 
@@ -248,7 +251,10 @@ object MqlParser extends RegexParsers {
     val arrayIn = Cmp(ArrayAny(name), "==", c, neg = neg)
     c match {
       case StringC(s) =>
-        val re = Cmp(MetaAttr(name), if (neg) "!~" else "~", StringC(s".*$s.*"))
+        // neg carries the regex leg too (op stays "~", mql10.py:1114-1127):
+        // on an array/missing value the raw regex is false, so the negated
+        // leg is vacuously true and the array-containment leg decides.
+        val re = Cmp(MetaAttr(name), "~", StringC(s".*$s.*"), neg = neg)
         if (neg) MAnd(List(arrayIn, re)) else MOr(List(arrayIn, re))
       case _ => arrayIn
     }

@@ -82,9 +82,13 @@ class MqlParserSpec extends AnyFunSuite {
       Bfq(Nil, where = Some(Cmp(ArrayAny("core.runs"), ">=", IntC(2), neg = true))))
   }
 
-  test("[all] in set converts to negated not-in-set") {
+  test("[all] in set converts to neg-exists with inverted element predicate") {
     assert(r("files where core.runs[all] in (0, 1)") ==
-      Bfq(Nil, where = Some(InSet(ArrayAny("core.runs"), List(IntC(0), IntC(1)), neg = true))))
+      Bfq(Nil, where = Some(InSet(ArrayAny("core.runs"), List(IntC(0), IntC(1)),
+        neg = true, elemInverted = true))))
+    assert(r("files where core.runs[all] not in (0, 1)") ==
+      Bfq(Nil, where = Some(InSet(ArrayAny("core.runs"), List(IntC(0), IntC(1)),
+        neg = true, elemInverted = false))))
   }
 
   test("NOT pushes to leaves via De Morgan") {
@@ -105,6 +109,10 @@ class MqlParserSpec extends AnyFunSuite {
       Bfq(Nil, where = Some(MOr(List(
         Cmp(ArrayAny("data.tags"), "==", StringC("x")),
         Cmp(MetaAttr("data.tags"), "~", StringC(".*x.*")))))))
+    assert(r("""files where "x" not in data.tags""") ==
+      Bfq(Nil, where = Some(MAnd(List(
+        Cmp(ArrayAny("data.tags"), "==", StringC("x"), neg = true),
+        Cmp(MetaAttr("data.tags"), "~", StringC(".*x.*"), neg = true))))))
   }
 
   test("datetime folds to float epoch") {
