@@ -1,0 +1,197 @@
+package graft.mql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.metacat.DerivedCatalog
+
+/** End-to-end MQL over the derived catalog at sf0.001, validated against
+  * independently-computed expectations from the raw orders table (the same
+  * derivation rules, applied directly — not through the engine). */
+class MqlEngineSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val cat = new DerivedCatalog(spark, dir)
+  private lazy val orders = spark.read.parquet(s"$dir/orders.parquet").cache()
+
+  private def q(text: String): DataFrame = Mql.query(spark, cat, text)
+  private def liveOrders = orders.filter(col("o_orderkey") % 97 =!= 0)
+
+  test("bfq: files from one dataset excludes retired") {
+    val got = q("files from dsns:ds0").count()
+    val want = liveOrders.filter(col("o_orderkey") % 5 === 0).count()
+    assert(got == want && got > 0)
+  }
+
+  test("bfq: include_retired flag") {
+    val got = Mql.query(spark, cat, "files from dsns:ds0", includeRetired = true).count()
+    val want = orders.filter(col("o_orderkey") % 5 === 0).count()
+    assert(got == want)
+  }
+
+  test("bfq: multi-dataset scan dedups by fid") {
+    // every file is in ds(k%5) and in all => union of all+ds0 is just live files
+    val got = q("files from dsns:all, dsns:ds0").count()
+    assert(got == liveOrders.count())
+  }
+
+  test("where on variant metadata matches direct computation") {
+    val got = q("files from dsns:all where core.run > 500 and core.status == F").count()
+    val want = liveOrders.filter(col("o_orderkey") % 1000 > 500 &&
+      col("o_orderstatus") === "F").count()
+    assert(got == want && got > 0)
+  }
+
+  test("array any over derived runs") {
+    // core.runs = [run, run+1000, run+2000][:1+k%3]; element in 1500:1700
+    // means run in 500..700 with len>=2
+    val got = q("files from dsns:all where core.runs[any] in 1500:1700").count()
+    val run = col("o_orderkey") % 1000
+    val want = liveOrders.filter(
+      run.between(1500, 1700) ||
+        (col("o_orderkey") % 3 >= 1 && (run + 1000).between(1500, 1700)) ||
+        (col("o_orderkey") % 3 === 2 && (run + 2000).between(1500, 1700))).count()
+    assert(got == want && got > 0)
+  }
+
+  test("conditional key present") {
+    val got = q("files from dsns:all where opt.flag present").count()
+    val want = liveOrders.filter(col("o_orderkey") % 5 === 0).count()
+    assert(got == want && got > 0)
+  }
+
+  test("mixed-type key: number vs string strictness") {
+    val gotNum = q("files from dsns:all where data.weight == 42").count()
+    val wantNum = liveOrders.filter(col("o_orderkey") % 100 === 42 &&
+      col("o_orderkey") % 2 === 0).count()
+    assert(gotNum == wantNum)
+    val gotStr = q("""files from dsns:all where data.weight == "w43"""").count()
+    val wantStr = liveOrders.filter(col("o_orderkey") % 100 === 43 &&
+      col("o_orderkey") % 2 === 1).count()
+    assert(gotStr == wantStr && gotStr > 0)
+  }
+
+  test("union dedup, intersect, minus") {
+    val u = q("union(files from dsns:ds1, files from dsns:ds2)").count()
+    val wantU = liveOrders.filter(col("o_orderkey") % 5 === 1 || col("o_orderkey") % 5 === 2).count()
+    assert(u == wantU)
+
+    val j = q("{files from dsns:all, files from dsns:ds3}").count()
+    val wantJ = liveOrders.filter(col("o_orderkey") % 5 === 3).count()
+    assert(j == wantJ)
+
+    val m = q("files from dsns:all - files from dsns:ds3").count()
+    assert(m == liveOrders.count() - wantJ)
+  }
+
+  test("skip/limit pagination is id-ordered and exact") {
+    val fids = q("files from dsns:all ordered skip 5 limit 3")
+      .select("fid").collect().map(_.getString(0)).toList
+    val want = liveOrders.select(
+      concat(lit("F"), lpad(col("o_orderkey").cast("string"), 8, "0")).as("fid"))
+      .orderBy("fid").collect().map(_.getString(0)).slice(5, 8).toList
+    assert(fids == want)
+  }
+
+  test("file list by did and fid") {
+    val byFid = q("fids F00000005, F00000010").select("fid")
+      .collect().map(_.getString(0)).toList
+    assert(byFid == List("F00000005", "F00000010"))
+    val ns = orders.filter(col("o_orderkey") === 7)
+      .select(concat(lit("ns"), (col("o_custkey") % 4).cast("string")))
+      .collect().head.getString(0)
+    val byDid = q(s"files $ns:f_7.dat").select("fid").collect().map(_.getString(0)).toList
+    assert(byDid == List("F00000007"))
+  }
+
+  test("parents/children heap edges") {
+    // children of file k are 2k+1, 2k+2
+    val got = q("children(fids F00000003)").select("fid")
+      .orderBy("fid").collect().map(_.getString(0)).toList
+    assert(got == List("F00000007", "F00000008"))
+    val p = q("parents(fids F00000007, F00000008)").select("fid")
+      .collect().map(_.getString(0)).toList
+    assert(p == List("F00000003"))
+  }
+
+  test("datasets query with pattern and having") {
+    val all = Mql.query(spark, cat, "datasets matching dsns:ds*")
+      .select("name").orderBy("name").collect().map(_.getString(0)).toList
+    assert(all == List("ds0", "ds1", "ds2", "ds3", "ds4"))
+    val frozen = Mql.query(spark, cat, "datasets matching dsns:* having frozen == true")
+      .select("name").orderBy("name").collect().map(_.getString(0)).toList
+    assert(frozen == List("ds0", "ds2", "ds4"))
+  }
+
+  test("datasets with subsets recursively") {
+    val got = Mql.query(spark, cat, "datasets dsns:top with subsets recursively")
+      .select("name").orderBy("name").collect().map(_.getString(0)).toList
+    assert(got == List("all", "ds0", "ds1", "ds2", "ds3", "ds4", "top"))
+    val oneLevel = Mql.query(spark, cat, "datasets dsns:top with subsets")
+      .select("name").orderBy("name").collect().map(_.getString(0)).toList
+    assert(oneLevel == List("all", "top"))
+  }
+
+  test("bfq from dataset with subsets recursively") {
+    val got = q("files from dsns:top with subsets recursively").count()
+    assert(got == liveOrders.count())
+  }
+
+  test("named query search") {
+    val got = Mql.query(spark, cat, "queries matching q:run*")
+      .select("name").collect().map(_.getString(0)).toList
+    assert(got == List("runs_low"))
+  }
+
+  test("files selected by named query") {
+    val got = q("files selected by q:flagged").count()
+    val want = liveOrders.filter(col("o_orderkey") % 5 === 0).count()
+    assert(got == want)
+  }
+
+  test("filter hash: partitions are disjoint and complete") {
+    val parts = (0 until 3).map(r => q(s"filter hash(3, $r)(files from dsns:all)"))
+    val counts = parts.map(_.count())
+    assert(counts.sum == liveOrders.count())
+    assert(parts(0).join(parts(1), Seq("fid"), "inner").count() == 0)
+  }
+
+  test("filter stride: every m-th by id order") {
+    val got = q("filter stride(10, 0)(files from dsns:all ordered)")
+      .select("fid").orderBy("fid").collect().map(_.getString(0)).toList
+    val all = q("files from dsns:all ordered").select("fid")
+      .collect().map(_.getString(0)).toList
+    assert(got == all.zipWithIndex.filter(_._2 % 10 == 0).map(_._1))
+  }
+
+  test("filter sample: deterministic fraction") {
+    val n = q("filter sample(0.25)(files from dsns:all)").count()
+    val total = liveOrders.count()
+    assert(n == total / 4 + (if (total % 4 > 0) 1 else 0) ||
+      math.abs(n - total * 0.25) <= 1)
+  }
+
+  test("filter mix: weighted interleave with dedup, stops at exhaustion") {
+    val got = q("filter mix(1, 1)(files from dsns:ds1, files from dsns:ds2)")
+    val c1 = liveOrders.filter(col("o_orderkey") % 5 === 1).count()
+    val c2 = liveOrders.filter(col("o_orderkey") % 5 === 2).count()
+    val n = got.count()
+    // disjoint inputs, equal ratios: stops when the smaller is exhausted
+    assert(n >= 2 * math.min(c1, c2) && n <= math.min(c1, c2) * 2 + 1)
+    assert(got.select("fid").distinct().count() == n)
+  }
+
+  test("summary ops") {
+    val fs = q("files from dsns:ds2")
+    val row = Mql.summaryCount(fs).collect().head
+    assert(row.getLong(0) == liveOrders.filter(col("o_orderkey") % 5 === 2).count())
+    val keys = Mql.summaryKeys(fs).collect().map(_.getString(0)).toSet
+    assert(keys.contains("core.run") && keys.contains("data.tags"))
+    assert(Mql.summaryKeyValues(q("files from dsns:ds2 limit 50"))
+      .filter(col("key") === "core.status").count() <= 3)
+  }
+
+  test("explain produces three IRs") {
+    val s = Mql.explain(spark, cat, "files from dsns:ds0 where core.run < 10 limit 5")
+    assert(s.contains("-- parsed --") && s.contains("-- spark plan --"))
+  }
+}
