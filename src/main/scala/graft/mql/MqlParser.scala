@@ -68,9 +68,12 @@ object MqlParser extends RegexParsers {
   private val unquoted: Parser[String] = """[a-zA-Z0-9$@_.\-]+""".r
   /** PATTERN: SAFE_CHARACTER | [*?^%] */
   private val patternTok: Parser[String] = """[a-zA-Z0-9$@_.\-*?^%]+""".r
-  private val signedInt: Parser[Long] = """[+-]?\d+(?![\d.eE])""".r ^^ (_.toLong)
+  // numeric tokens must not be a prefix of a longer unquoted string
+  // (`1-URGENT` is a string constant, not IntC(1) + garbage)
+  private val signedInt: Parser[Long] =
+    """[+-]?\d+(?![a-zA-Z0-9$@_.\-])""".r ^^ (_.toLong)
   private val signedFloat: Parser[Double] =
-    """[+-]?(\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r ^^ (_.toDouble)
+    """[+-]?(\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)(?![a-zA-Z0-9$@_.\-])""".r ^^ (_.toDouble)
   private val cmpop: Parser[String] =
     ("<=" | ">=" | "<" | ">" | "!==" | "!=" | "==" | "=" | "!~*" | "!~" | "~*" | "~") ^^ {
       case "=" | "==" => "=="
@@ -320,7 +323,9 @@ object MqlParser extends RegexParsers {
   }
 
   private lazy val fileQueryTerm: Parser[FileQ] =
-    (kw("filter") ~> fname ~ ("(" ~> filterParams <~ ")") ~ ("(" ~> fileQueryList <~ ")") ^^ {
+    // filter names may collide with keywords (the reference ships a
+    // `limit` filter), so use the raw identifier token here
+    (kw("filter") ~> """[a-zA-Z][a-zA-Z0-9_\-./]*""".r ~ ("(" ~> filterParams <~ ")") ~ ("(" ~> fileQueryList <~ ")") ^^ {
       case name ~ params ~ qs => FilterQ(name, params._1, params._2, qs)
     }) |
       ((kw("files") | kw("file")) ~> kw("selected") ~> opt(kw("by")) ~> qualifiedName ^^ {

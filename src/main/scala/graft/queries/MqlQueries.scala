@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.metacat.{DerivedCatalog, OracleCatalog}
+import graft.mql.Mql
+
+/** The MQL operator suite (SURVEY.md §2), run end-to-end through
+  * parse → resolve → plan over the [[DerivedCatalog]], each with a DuckDB
+  * oracle that re-derives the catalog from `orders` via
+  * [[OracleCatalog.cte]] and expresses the query's semantics directly in
+  * SQL. Column names/types are aligned on both sides (driver hash-compares
+  * after sorting columns by name).
+  */
+object MqlQueries {
+
+  private def q(text: String)(s: SparkSession, dir: String): DataFrame =
+    fileOut(Mql.query(s, new DerivedCatalog(s, dir), text))
+
+  /** stable output projection: fixed attributes only (the Variant metadata
+    * column is engine-internal; DuckDB can't read variant parquet) */
+  private def fileOut(df: DataFrame): DataFrame =
+    df.select(col("fid"), col("namespace"), col("name"), col("size"),
+      col("creator"),
+      unix_timestamp(col("created_timestamp")).as("created_ts"),
+      col("retired"))
+
+  private val FileCols =
+    "fid, namespace, name, size, creator, CAST(epoch(created_timestamp) AS BIGINT) AS created_ts, retired"
+
+  private def o(select: String): String = OracleCatalog.sql(select)
+
+  /** DuckDB adler32 over the 9-char fid — value-identical to zlib/java
+    * (validated against java.util.zip.Adler32). */
+  private val DuckAdler32 =
+    "(((9 + list_sum(list_transform(range(1,10), i -> (10-i)*ascii(substr(fid,i,1))))) % 65521) * 65536" +
+      " + ((1 + list_sum(list_transform(range(1,10), i -> ascii(substr(fid,i,1))))) % 65521))"
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans + metadata predicates (SURVEY §2.1, §2.3) ---
+    "mql_bfq_where" -> q("files from dsns:all where core.run > 500 and core.status == F") _,
+    "mql_bfq_multi_ds" -> q("files from dsns:ds1, dsns:ds2 where data.weight == 42") _,
+    "mql_full_scan" -> q("files where core.priority == 1-URGENT and size > 500000") _,
+    "mql_in_set" -> q("files from dsns:all where core.status in (O, P)") _,
+    "mql_not_in_set" -> q("files from dsns:all where core.run not in 100:900") _,
+    "mql_present" -> q("files from dsns:all where opt.flag present and opt.flag == true") _,
+    "mql_not_present" -> q("files from dsns:ds1 where opt.note not present") _,
+    "mql_regex" -> q("""files from dsns:all where opt.note ~ "note-F" """) _,
+    "mql_regex_ci" -> q("""files from dsns:all where opt.note ~* "NOTE-O" and opt.note !~ "-1[01]$" """) _,
+    "mql_any_range" -> q("files from dsns:all where core.runs[any] in 1500:1700") _,
+    "mql_all_cmp" -> q("files from dsns:all where core.runs[all] < 1500") _,
+    "mql_len_subscript" -> q("""files from dsns:all where len(data.tags) == 3 and core.bits["muon"] == 1""") _,
+    "mql_const_in" -> q("""files from dsns:all where "tag3" in data.tags""") _,
+    "mql_mixed_type" -> q("""files from dsns:all where data.weight == "w43" or data.weight == 42""") _,
+    "mql_datetime" -> q("""files from dsns:all where core.ts >= datetime("1997-01-01") and core.ts < datetime("1998-01-01")""") _,
+    "mql_date_window" -> q("""files from dsns:all where core.ts == date("1997-03-15")""") _,
+    "mql_object_attrs" -> q("""files from dsns:all where creator == user3 and size > 500000 and name ~ "1.dat" """) _,
+
+    // --- set algebra (SURVEY §2.4, §2.5) ---
+    "mql_union" -> q("union(files from dsns:ds1 where core.run < 300, files from dsns:ds2 where core.run < 300, files from dsns:ds1 where core.run in 200:400)") _,
+    "mql_intersect" -> q("{files from dsns:all where core.run < 600, files from dsns:ds2}") _,
+    "mql_minus" -> q("files from dsns:ds0 - files where core.run >= 500") _,
+
+    // --- provenance (SURVEY §2.4) ---
+    "mql_parents" -> q("parents(files from dsns:ds2 where core.run < 100)") _,
+    "mql_children" -> q("children(files from dsns:ds1 where core.run < 100)") _,
+
+    // --- ordering / pagination (SURVEY §2.8) ---
+    "mql_skip_limit" -> q("files from dsns:all ordered skip 100 limit 20") _,
+    "mql_skip_limit_fold" -> q("files from dsns:all skip 40 limit 100 skip 10 limit 30") _,
+
+    // --- named queries (SURVEY §2.1) ---
+    "mql_named_query" -> q("files selected by q:runs_low") _,
+
+    // --- filters (SURVEY §2.7) ---
+    "mql_filter_stride" -> q("filter stride(7, 2)(files from dsns:all)") _,
+    "mql_filter_sample" -> q("filter sample(0.25)(files from dsns:all)") _,
+    "mql_filter_hash" -> q("filter hash(3, 1)(files from dsns:all)") _,
+    "mql_filter_limit" -> q("filter limit(25)(files from dsns:all ordered)") _,
+
+    // --- dataset & query queries (SURVEY §2.1) ---
+    "mql_datasets" -> ((s, dir) =>
+      Mql.query(s, new DerivedCatalog(s, dir), "datasets matching dsns:* having ds.index >= 0")
+        .select(col("namespace"), col("name"), col("frozen"), col("monotonic"))),
+    "mql_datasets_recursive" -> ((s, dir) =>
+      Mql.query(s, new DerivedCatalog(s, dir), "datasets dsns:top with subsets recursively")
+        .select(col("namespace"), col("name"))),
+    "mql_queries_search" -> ((s, dir) =>
+      Mql.query(s, new DerivedCatalog(s, dir), "queries matching q:* where q.owner == admin")
+        .select(col("namespace"), col("name"))),
+
+    // --- summary (SURVEY §2.6) ---
+    "mql_summary_count" -> ((s, dir) =>
+      Mql.summaryCount(Mql.query(s, new DerivedCatalog(s, dir),
+        "files from dsns:all where core.run < 250"))),
+    "mql_summary_keys" -> ((s, dir) =>
+      Mql.summaryKeys(Mql.query(s, new DerivedCatalog(s, dir), "files from dsns:ds2"))))
+
+  val oracles: Map[String, String] = Map(
+    "mql_bfq_where" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND m_run > 500 AND m_status = 'F'"),
+    "mql_bfq_multi_ds" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 IN (1, 2)" +
+        " AND weight_is_int AND m_weight_int = 42"),
+    "mql_full_scan" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND m_priority = '1-URGENT' AND size > 500000"),
+    "mql_in_set" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND m_status IN ('O', 'P')"),
+    "mql_not_in_set" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND NOT (m_run BETWEEN 100 AND 900)"),
+    "mql_present" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND has_flag AND m_flag"),
+    "mql_not_present" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 1 AND NOT has_note"),
+    "mql_regex" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND has_note AND regexp_matches(m_note, 'note-F')"),
+    "mql_regex_ci" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND has_note" +
+        " AND regexp_matches(m_note, '(?i)NOTE-O') AND NOT regexp_matches(m_note, '-1[01]$')"),
+    "mql_any_range" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired" +
+        " AND len(list_filter(m_runs, x -> x BETWEEN 1500 AND 1700)) > 0"),
+    "mql_all_cmp" -> o( // [all] < 1500 == no element >= 1500
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired" +
+        " AND len(list_filter(m_runs, x -> x >= 1500)) = 0"),
+    "mql_len_subscript" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND len(m_tags) = 3 AND m_bits_muon = 1"),
+    "mql_const_in" -> o( // array containment; scalar-regex leg is false on an array
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND list_contains(m_tags, 'tag3')"),
+    "mql_mixed_type" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND" +
+        " ((NOT weight_is_int AND m_weight_str = 'w43') OR (weight_is_int AND m_weight_int = 42))"),
+    "mql_datetime" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired" +
+        " AND m_ts >= 852076800 AND m_ts < 883612800"),
+    "mql_date_window" -> o( // 1997-03-15 = 858384000
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired" +
+        " AND m_ts >= 858384000 AND m_ts < 858470400"),
+    "mql_object_attrs" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND creator = 'user3'" +
+        " AND size > 500000 AND regexp_matches(name, '1.dat')"),
+    "mql_union" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND (" +
+        " (k % 5 = 1 AND m_run < 300) OR (k % 5 = 2 AND m_run < 300)" +
+        " OR (k % 5 = 1 AND m_run BETWEEN 200 AND 400))"),
+    "mql_intersect" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND m_run < 600 AND k % 5 = 2"),
+    "mql_minus" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 0 AND m_run < 500"),
+    // NOTE: the provenance hop does NOT exclude retired files on the hop
+    // result (sql_converter.py:165-221 has no retired condition on the
+    // outer table) — only the inner BFQ filters retired.
+    "mql_parents" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE fid IN (" +
+        "SELECT pc.parent_fid FROM mc_parent_child pc JOIN mc_files c ON pc.child_fid = c.fid" +
+        " WHERE NOT c.retired AND c.k % 5 = 2 AND c.m_run < 100)"),
+    "mql_children" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE fid IN (" +
+        "SELECT pc.child_fid FROM mc_parent_child pc JOIN mc_files p ON pc.parent_fid = p.fid" +
+        " WHERE NOT p.retired AND p.k % 5 = 1 AND p.m_run < 100)"),
+    "mql_skip_limit" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired ORDER BY fid LIMIT 20 OFFSET 100"),
+    // skip 40 limit 100 skip 10 limit 30  ==>  skip 50 limit 30
+    "mql_skip_limit_fold" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired ORDER BY fid LIMIT 30 OFFSET 50"),
+    "mql_named_query" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 1 AND m_run < 300"),
+    "mql_filter_stride" ->
+      (s"WITH ${OracleCatalog.cte}, numbered AS (" +
+        "SELECT *, row_number() OVER (ORDER BY fid) AS rn FROM mc_files WHERE NOT retired)" +
+        s" SELECT $FileCols FROM numbered WHERE (rn - 1) % 7 = 2"),
+    "mql_filter_sample" ->
+      (s"WITH ${OracleCatalog.cte}, numbered AS (" +
+        "SELECT *, row_number() OVER (ORDER BY fid) AS rn FROM mc_files WHERE NOT retired)" +
+        s" SELECT $FileCols FROM numbered WHERE floor(rn * 0.25) > floor((rn - 1) * 0.25)"),
+    "mql_filter_hash" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND $DuckAdler32 % 3 = 1"),
+    "mql_filter_limit" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired ORDER BY fid LIMIT 25"),
+    "mql_datasets" -> o(
+      "SELECT namespace, name, frozen, monotonic FROM mc_datasets WHERE ds_index >= 0"),
+    "mql_datasets_recursive" -> o(
+      "SELECT namespace, name FROM mc_datasets"),
+    "mql_queries_search" ->
+      "SELECT 'q' AS namespace, name FROM (VALUES ('flagged'), ('runs_low')) AS t(name)",
+    "mql_summary_count" -> o(
+      "SELECT count(*) AS \"count\", CAST(COALESCE(sum(size), 0) AS BIGINT) AS total_size" +
+        " FROM mc_files WHERE NOT retired AND m_run < 250"),
+    "mql_summary_keys" ->
+      (s"WITH ${OracleCatalog.cte} SELECT key FROM (" +
+        "SELECT unnest(['core.bits','core.priority','core.run','core.runs','core.status'," +
+        "'core.ts','data.price','data.tags','data.weight']) AS key" +
+        " UNION ALL SELECT 'opt.flag' AS key WHERE EXISTS" +
+        " (SELECT 1 FROM mc_files WHERE NOT retired AND k % 5 = 2 AND has_flag)" +
+        " UNION ALL SELECT 'opt.note' AS key WHERE EXISTS" +
+        " (SELECT 1 FROM mc_files WHERE NOT retired AND k % 5 = 2 AND has_note)" +
+        ") ORDER BY key"))
+}
