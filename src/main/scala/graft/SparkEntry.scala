@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{MqlQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{MqlQueries, PipelineQueries, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ MqlQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ MqlQueries.all ++ PipelineQueries.all ++ StreamingQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ MqlQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ MqlQueries.oracles ++ PipelineQueries.oracles ++ StreamingQueries.oracles
 }

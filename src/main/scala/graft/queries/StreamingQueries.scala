@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.streaming.EventsStream
+
+/** Structured Streaming entries for the correctness gate: each runs a real
+  * incremental query (AvailableNow trigger) over the events files and is
+  * compared against a batch DuckDB oracle. */
+object StreamingQueries {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_events_hourly" -> ((s, d) =>
+      EventsStream.runToBatch(s, s"$d/events.parquet", "v_stream_hourly")),
+    "stream_user_sessions" -> ((s, d) =>
+      EventsStream.runSessionsToBatch(s, s"$d/events.parquet", "v_stream_sessions")))
+
+  val oracles: Map[String, String] = Map(
+    "stream_events_hourly" ->
+      """SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_epoch, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // session = gap > 30 min between consecutive events of a user
+    "stream_user_sessions" ->
+      """WITH g AS (SELECT user_id, value,
+        |  epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  count(*) FILTER (gap IS NULL OR gap > 1800) AS n_sessions,
+        |  round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id""".stripMargin)
+}
