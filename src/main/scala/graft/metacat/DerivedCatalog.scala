@@ -74,7 +74,15 @@ final class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCata
 
   private def orders: DataFrame = spark.read.parquet(s"$dir/orders.parquet")
 
-  override lazy val files: DataFrame = {
+  /** The derived `files` table is cached per (session, dir): a catalog is a
+    * long-lived service and every query scans it. In a production layout
+    * this materialization IS the stored files table (parquet, partitioned
+    * by namespace, Variant metadata shredded for hot keys); here the cache
+    * plays that role so per-query cost is a columnar scan, not a re-parse
+    * of the JSON derivation. */
+  override lazy val files: DataFrame = cachedFiles(spark, dir, buildFiles)
+
+  private def buildFiles: DataFrame = {
     val k = col("o_orderkey")
     val ck = col("o_custkey")
     val run = k % 1000
@@ -185,6 +193,14 @@ final class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCata
 }
 
 object DerivedCatalog {
+  private val filesCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def cachedFiles(spark: SparkSession, dir: String,
+      build: => DataFrame): DataFrame =
+    filesCache.getOrElseUpdate((System.identityHashCode(spark).toString, dir),
+      build.persist())
+
   private def fid(k: Column): Column =
     concat(lit("F"), lpad(k.cast("string"), 8, "0"))
 

@@ -218,8 +218,22 @@ object MetaCompiler {
       case _ => lit(false)
     }
 
-    private def setPred(v: Column, vs: List[Const]): Column =
-      vs.map(c => coalesce(cmpVariant(v, "==", c), lit(false))).reduce(_ || _)
+    /** membership grouped by constant type so each typed extraction (and
+      * its schema guard) is evaluated once, not per value */
+    private def setPred(v: Column, vs: List[Const]): Column = {
+      val nums = vs.collect {
+        case IntC(i) => i.toDouble
+        case FloatC(d) => d
+        case DateC(d) => d
+      }
+      val strs = vs.collect { case StringC(s) => s }
+      val bools = vs.collect { case BoolC(b) => b }
+      val parts =
+        (if (nums.nonEmpty) List(numOf(v).isin(nums: _*)) else Nil) ++
+          (if (strs.nonEmpty) List(strOf(v).isin(strs: _*)) else Nil) ++
+          (if (bools.nonEmpty) List(boolOf(v).isin(bools: _*)) else Nil)
+      parts.map(p => coalesce(p, lit(false))).reduce(_ || _)
+    }
 
     private def rawSet(l: Scalar, vs: List[Const], inv: Boolean = false): Column = l match {
       case MetaAttr(n) =>

@@ -94,21 +94,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
   }
 
-  /** exact n-gram (3-shingle) Jaccard pairs via an inverted index on
-    * shingles: a pair is produced iff it shares >= 1 shingle, which is
-    * implied by jaccard >= threshold > 0 — no false negatives. */
+  /** exact n-gram (3-shingle) Jaccard pairs with PREFIX FILTERING
+    * (ppjoin-style): index only each document's (n - ceil(t·n) + 1) rarest
+    * shingles under a global (document-frequency, shingle) total order —
+    * any pair with jaccard >= t must share an indexed shingle, so
+    * candidates collapse from "share any shingle" (quadratic under hot
+    * shingles) to "share a rare shingle", with a length-ratio filter on
+    * top. Exact: candidate generation has no false negatives, and every
+    * candidate is verified with the true jaccard. The DF table is
+    * dimension-sized (distinct shingles) and broadcast. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = withShingles(docs)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
-    val inv = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
-    val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("n_b"))
-    a.join(b, Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jac", col("common").cast("double") /
-        (col("n_a") + col("n_b") - col("common")))
+    val freq = sh.select(explode(col("shingles")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val exploded = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+      .join(broadcast(freq), Seq("s"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = exploded
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("s"), col("doc_id"), col("n"))
+    val cand = prefix.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(prefix.select(col("s"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_b") >= ceil(col("n_a") * threshold) &&
+        col("n_b") <= floor(col("n_a") / threshold))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
   }
