@@ -1,0 +1,271 @@
+package graft.metacat
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Writable metacat catalog backed by parquet directories — the
+  * "production" storage layout the query engine runs over, plus the
+  * catalog-maintenance write path (SURVEY.md §2.1 connectors:
+  * `webserver/data_handler.py:631-1263`, `metacat/db/dbobjects2.py:502-757`).
+  *
+  * Layout under `root/`:
+  * {{{
+  *   files/               partitioned by namespace; metadata as JSON text
+  *   files_datasets/      (fid, dataset_namespace, dataset_name)
+  *   datasets/ queries/ parent_child/ datasets_parent_child/
+  * }}}
+  *
+  * Scale notes: `files` is partitioned by namespace so DID lookups and
+  * namespace-scoped queries prune; at 100 TB you would additionally
+  * bucket by `fid` (co-locates every id-join in the engine: set ops,
+  * provenance hops, membership semi-joins) and shred hot metadata keys
+  * into typed columns. Metadata is STORED as JSON text (portable,
+  * appendable) and exposed to the engine as Variant via `parse_json` at
+  * read time; a production deployment on Spark 4 parquet would store
+  * VariantType physically (with shredding) — same engine code either way.
+  *
+  * Writes are append-only parquet followed by compacting rewrites for
+  * updates — mirroring how a lakehouse table (Delta/Iceberg) would do it,
+  * without requiring those libraries in this environment.
+  */
+final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCatalog {
+
+  import ParquetCatalog._
+
+  private def path(t: String) = s"$root/$t"
+
+  private def readOr(t: String, schema: StructType): DataFrame = {
+    val p = new java.io.File(path(t))
+    val nonEmpty = p.isDirectory && Option(p.listFiles()).exists(_.nonEmpty)
+    if (nonEmpty) spark.read.schema(schema).parquet(path(t))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  // ---- MetacatCatalog (read side) ----
+
+  override def files: DataFrame =
+    readOr("files", FilesSchema)
+      .withColumn("metadata", parse_json(col("metadata_json")))
+      .drop("metadata_json")
+
+  override def filesDatasets: DataFrame = readOr("files_datasets", FilesDatasetsSchema)
+
+  override def datasets: DataFrame =
+    readOr("datasets", DatasetsSchema)
+      .withColumn("metadata", parse_json(col("metadata_json")))
+      .drop("metadata_json")
+
+  override def parentChild: DataFrame = readOr("parent_child", ParentChildSchema)
+
+  override def datasetsParentChild: DataFrame =
+    readOr("datasets_parent_child", DsParentChildSchema)
+
+  override def queries: DataFrame =
+    readOr("queries", QueriesSchema)
+      .withColumn("metadata", parse_json(col("metadata_json")))
+      .drop("metadata_json")
+
+  override def namedQuerySource(namespace: String, name: String): Option[String] =
+    readOr("queries", QueriesSchema)
+      .filter(col("namespace") === namespace && col("name") === name)
+      .select("source").collect().headOption.map(_.getString(0))
+
+  // ---- write path (catalog maintenance) ----
+
+  /** declare new files (data_handler.py:631-780): rows must carry
+    * fid/namespace/name/metadata_json/creator/created_timestamp/size;
+    * metadata is validated against `constraints` before commit. */
+  def declareFiles(rows: DataFrame,
+      constraints: Seq[Validation.Constraint] = Nil): Unit = {
+    val violations = Validation.validate(rows, constraints)
+    val bad = violations.limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"metadata validation failed: ${bad.head.mkString(", ")}")
+    align(rows, FilesSchema)
+      .write.mode(SaveMode.Append).partitionBy("namespace").parquet(path("files"))
+  }
+
+  def createDataset(namespace: String, name: String, frozen: Boolean = false,
+      monotonic: Boolean = false, creator: String = "graft",
+      metadataJson: String = "{}"): Unit = {
+    import spark.implicits._
+    val row = Seq((namespace, name, frozen, monotonic, creator, metadataJson))
+      .toDF("namespace", "name", "frozen", "monotonic", "creator", "metadata_json")
+      .withColumn("created_timestamp", current_timestamp())
+      .withColumn("description", lit(s"dataset $name"))
+      .withColumn("file_count", lit(null).cast("long"))
+    align(row, DatasetsSchema)
+      .write.mode(SaveMode.Append).parquet(path("datasets"))
+  }
+
+  /** `save_as`: materialize a query result as a NEW dataset
+    * (data_handler.py:1306-1337,1368-1370) */
+  def saveAs(fileSet: DataFrame, namespace: String, name: String): Unit = {
+    createDataset(namespace, name)
+    addTo(fileSet, namespace, name, checkFlags = false)
+  }
+
+  /** `add_to`: add a query result's files to an existing dataset; frozen
+    * datasets reject changes (docs/concepts.rst:56-88). */
+  def addTo(fileSet: DataFrame, namespace: String, name: String,
+      checkFlags: Boolean = true): Unit = {
+    if (checkFlags) {
+      val ds = datasets.filter(col("namespace") === namespace && col("name") === name)
+        .select("frozen").collect()
+      if (ds.isEmpty)
+        throw new IllegalArgumentException(s"dataset $namespace:$name does not exist")
+      if (ds.head.getBoolean(0))
+        throw new IllegalArgumentException(s"dataset $namespace:$name is frozen")
+    }
+    val existing = filesDatasets
+      .filter(col("dataset_namespace") === namespace && col("dataset_name") === name)
+      .select("fid")
+    fileSet.select(col("fid"))
+      .join(existing, Seq("fid"), "left_anti") // membership is a set
+      .withColumn("dataset_namespace", lit(namespace))
+      .withColumn("dataset_name", lit(name))
+      .write.mode(SaveMode.Append).parquet(path("files_datasets"))
+  }
+
+  /** retire files by id (data_handler.py retire path; schema.sql:63-65) —
+    * compacting rewrite of the affected rows. */
+  def retireFiles(fids: Seq[String], by: String = "graft"): Unit = {
+    val raw = readOr("files", FilesSchema)
+    val updated = raw
+      .withColumn("__hit", col("fid").isin(fids: _*))
+      .withColumn("retired", when(col("__hit"), lit(true)).otherwise(col("retired")))
+      .withColumn("retired_timestamp",
+        when(col("__hit"), current_timestamp()).otherwise(col("retired_timestamp")))
+      .withColumn("retired_by", when(col("__hit"), lit(by)).otherwise(col("retired_by")))
+      .drop("__hit")
+    rewrite(updated, "files", partitionCols = Seq("namespace"))
+  }
+
+  /** bulk metadata update, modes per `update_file_meta`
+    * (data_handler.py:940-1040): "update" merges top-level keys,
+    * "replace" swaps the whole dict. */
+  def updateFileMeta(fids: Seq[String], patchJson: String, mode: String = "update",
+      by: String = "graft"): Unit = {
+    require(mode == "update" || mode == "replace", s"bad mode $mode")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    val raw = readOr("files", FilesSchema)
+    val merged = mode match {
+      case "replace" => lit(patchJson)
+      case "update" =>
+        // JSON-level merge of top-level keys; patch wins on conflict
+        to_json(map_concat(
+          coalesce(try_variant_get(parse_json(col("metadata_json")), "$", "map<string,variant>"),
+            map().cast("map<string,variant>")),
+          try_variant_get(parse_json(lit(patchJson)), "$", "map<string,variant>")))
+    }
+    val updated = raw
+      .withColumn("__hit", col("fid").isin(fids: _*))
+      .withColumn("metadata_json", when(col("__hit"), merged).otherwise(col("metadata_json")))
+      .withColumn("updated_by", when(col("__hit"), lit(by)).otherwise(col("updated_by")))
+      .withColumn("updated_timestamp",
+        when(col("__hit"), current_timestamp()).otherwise(col("updated_timestamp")))
+      .drop("__hit")
+    rewrite(updated, "files", partitionCols = Seq("namespace"))
+  }
+
+  def saveNamedQuery(namespace: String, name: String, source: String,
+      creator: String = "graft"): Unit = {
+    import spark.implicits._
+    val row = Seq((namespace, name, source, creator))
+      .toDF("namespace", "name", "source", "creator")
+      .withColumn("created_timestamp", current_timestamp())
+      .withColumn("metadata_json", lit("{}"))
+    align(row, QueriesSchema).write.mode(SaveMode.Append).parquet(path("queries"))
+  }
+
+  def addProvenance(edges: DataFrame): Unit =
+    align(edges, ParentChildSchema)
+      .write.mode(SaveMode.Append).parquet(path("parent_child"))
+
+  def addDatasetEdge(pNs: String, pName: String, cNs: String, cName: String): Unit = {
+    import spark.implicits._
+    align(Seq((pNs, pName, cNs, cName))
+      .toDF("parent_namespace", "parent_name", "child_namespace", "child_name"),
+      DsParentChildSchema)
+      .write.mode(SaveMode.Append).parquet(path("datasets_parent_child"))
+  }
+
+  // ---- helpers ----
+
+  private def align(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+
+  /** full-table compacting rewrite (write new, swap) — stands in for a
+    * lakehouse MERGE at this environment's scale */
+  private def rewrite(df: DataFrame, table: String, partitionCols: Seq[String]): Unit = {
+    val tmp = path(table + "__tmp")
+    val w = align(df, FilesSchema).write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
+    val dst = new java.io.File(path(table))
+    val bak = new java.io.File(path(table + "__old"))
+    if (bak.exists()) delete(bak)
+    if (dst.exists() && !dst.renameTo(bak))
+      throw new java.io.IOException(s"cannot stage $dst")
+    if (!new java.io.File(tmp).renameTo(dst))
+      throw new java.io.IOException(s"cannot swap $tmp")
+    delete(bak)
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete(): Unit
+  }
+}
+
+object ParquetCatalog {
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("fid", StringType, nullable = false),
+    StructField("namespace", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("metadata_json", StringType),
+    StructField("creator", StringType),
+    StructField("created_timestamp", TimestampType),
+    StructField("size", LongType),
+    StructField("checksums", MapType(StringType, StringType)),
+    StructField("updated_by", StringType),
+    StructField("updated_timestamp", TimestampType),
+    StructField("retired", BooleanType),
+    StructField("retired_timestamp", TimestampType),
+    StructField("retired_by", StringType)))
+
+  val FilesDatasetsSchema: StructType = StructType(Seq(
+    StructField("fid", StringType, nullable = false),
+    StructField("dataset_namespace", StringType, nullable = false),
+    StructField("dataset_name", StringType, nullable = false)))
+
+  val DatasetsSchema: StructType = StructType(Seq(
+    StructField("namespace", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("frozen", BooleanType),
+    StructField("monotonic", BooleanType),
+    StructField("creator", StringType),
+    StructField("created_timestamp", TimestampType),
+    StructField("description", StringType),
+    StructField("metadata_json", StringType),
+    StructField("file_count", LongType)))
+
+  val ParentChildSchema: StructType = StructType(Seq(
+    StructField("parent_fid", StringType, nullable = false),
+    StructField("child_fid", StringType, nullable = false)))
+
+  val DsParentChildSchema: StructType = StructType(Seq(
+    StructField("parent_namespace", StringType, nullable = false),
+    StructField("parent_name", StringType, nullable = false),
+    StructField("child_namespace", StringType, nullable = false),
+    StructField("child_name", StringType, nullable = false)))
+
+  val QueriesSchema: StructType = StructType(Seq(
+    StructField("namespace", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("source", StringType),
+    StructField("creator", StringType),
+    StructField("created_timestamp", TimestampType),
+    StructField("metadata_json", StringType)))
+}

@@ -40,13 +40,10 @@ object Filters {
   }
 
   /** adler32(fid) — must be exactly adler32 to reproduce the reference's
-    * partition assignment (filters.py:105-123). */
-  val adler32: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (s: String) =>
-      val a = new java.util.zip.Adler32()
-      a.update(s.getBytes("UTF-8"))
-      a.getValue
-    }
+    * partition assignment (filters.py:105-123). Native codegen'd Catalyst
+    * expression: stays inside the whole-stage codegen span. */
+  def adler32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.Adler32Expr.adler32(c)
 
   private def num(c: Const): Double = c match {
     case IntC(v) => v.toDouble

@@ -1,0 +1,110 @@
+package graft.metacat
+
+import graft.mql.{Mql, SparkTestBase}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Catalog write path: declare → query → save_as/add_to → retire →
+  * update metadata → named queries, over a parquet-backed catalog. */
+class WritePathSpec extends SparkTestBase {
+
+  private lazy val root = Files.createTempDirectory("graft-cat-").toString
+  private lazy val cat = new ParquetCatalog(spark, root)
+
+  private def declared(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (f"X$i%08d", s"ns${i % 2}", s"d_$i.dat",
+        s"""{"core.run":$i,"core.tag":"t${i % 3}"}""",
+        "tester", 1000L + i)
+    }.toDF("fid", "namespace", "name", "metadata_json", "creator", "size")
+      .withColumn("created_timestamp", to_timestamp(lit("2026-02-01 00:00:00")))
+      .withColumn("checksums", map(lit("md5"), md5(col("fid"))))
+      .withColumn("updated_by", col("creator"))
+      .withColumn("updated_timestamp", col("created_timestamp"))
+      .withColumn("retired", lit(false))
+      .withColumn("retired_timestamp", lit(null).cast("timestamp"))
+      .withColumn("retired_by", lit(null).cast("string"))
+  }
+
+  test("declare, dataset membership, MQL round trip") {
+    cat.declareFiles(declared(20))
+    cat.createDataset("w", "base")
+    cat.addTo(cat.files, "w", "base")
+    assert(Mql.query(spark, cat, "files from w:base").count() == 20)
+    assert(Mql.query(spark, cat, "files from w:base where core.run < 10").count() == 10)
+  }
+
+  test("save_as materializes a query result as a new dataset") {
+    val result = Mql.query(spark, cat, "files from w:base where core.tag == t0")
+    cat.saveAs(result, "w", "t0_files")
+    val n = result.count()
+    assert(Mql.query(spark, cat, "files from w:t0_files").count() == n)
+    // add_to is idempotent on membership (set semantics)
+    cat.addTo(result, "w", "t0_files")
+    assert(Mql.query(spark, cat, "files from w:t0_files").count() == n)
+  }
+
+  test("frozen dataset rejects add_to") {
+    cat.createDataset("w", "ice", frozen = true)
+    assertThrows[IllegalArgumentException](
+      cat.addTo(cat.files.limit(1), "w", "ice"))
+  }
+
+  test("retire removes files from default query results") {
+    cat.retireFiles(Seq("X00000000", "X00000001"))
+    assert(Mql.query(spark, cat, "files from w:base").count() == 18)
+    assert(Mql.query(spark, cat, "files from w:base", includeRetired = true).count() == 20)
+  }
+
+  test("metadata update merge vs replace") {
+    cat.updateFileMeta(Seq("X00000005"), """{"core.extra":42,"core.tag":"zz"}""", "update")
+    val m = Mql.query(spark, cat, "files ns1:d_5.dat")
+      .select(to_json(col("metadata"))).collect().head.getString(0)
+    assert(m.contains("\"core.run\":5") && m.contains("\"core.extra\":42")
+      && m.contains("\"core.tag\":\"zz\""))
+    cat.updateFileMeta(Seq("X00000006"), """{"only.key":1}""", "replace")
+    val r = Mql.query(spark, cat, "files ns0:d_6.dat")
+      .select(to_json(col("metadata"))).collect().head.getString(0)
+    assert(r == """{"only.key":1}""")
+  }
+
+  test("validation rejects bad declarations") {
+    val cs = Seq(
+      Validation.Constraint("core.run", typ = Some("int"), min = Some(0), max = Some(1000)),
+      Validation.Constraint("core.tag", typ = Some("text"), pattern = Some("t[0-9]")))
+    // valid rows pass
+    cat.declareFiles(declared(3).withColumn("fid", concat(lit("V"), col("fid"))), cs)
+    // type violation
+    import spark.implicits._
+    val bad = declared(1).withColumn("metadata_json", lit("""{"core.run":"not-an-int"}"""))
+    assertThrows[IllegalArgumentException](cat.declareFiles(bad, cs))
+    // range violation
+    val bad2 = declared(1).withColumn("metadata_json", lit("""{"core.run":5000}"""))
+    assertThrows[IllegalArgumentException](cat.declareFiles(bad2, cs))
+    // pattern violation
+    val bad3 = declared(1).withColumn("metadata_json", lit("""{"core.tag":"nope"}"""))
+    assertThrows[IllegalArgumentException](cat.declareFiles(bad3, cs))
+  }
+
+  test("named queries persist and splice") {
+    cat.saveNamedQuery("w", "low", "files from w:base where core.run < 5")
+    assert(Mql.query(spark, cat, "files selected by w:low").count() > 0)
+  }
+
+  test("provenance edges") {
+    import spark.implicits._
+    cat.addProvenance(Seq(("X00000002", "X00000003"), ("X00000002", "X00000004"))
+      .toDF("parent_fid", "child_fid"))
+    assert(Mql.query(spark, cat, "children(fids X00000002)").count() == 2)
+    assert(Mql.query(spark, cat, "parents(fids X00000003)")
+      .select("fid").collect().head.getString(0) == "X00000002")
+  }
+
+  test("json-seq emitter") {
+    val out = new java.io.StringWriter
+    JsonSeq.write(Mql.query(spark, cat, "files from w:base limit 3"), out)
+    val recs = out.toString.split(JsonSeq.RS).filter(_.nonEmpty)
+    assert(recs.length == 3 && recs.forall(r => r.trim.startsWith("{") && r.contains("\"fid\"")))
+  }
+}
