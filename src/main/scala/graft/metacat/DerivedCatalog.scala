@@ -37,6 +37,13 @@ trait MetacatCatalog {
   /** MQL source of a named query, for `files selected by ns:name`
     * parse-time splicing (mql10.py:907-923). */
   def namedQuerySource(namespace: String, name: String): Option[String]
+
+  /** Variant shredding: metadata keys materialized as typed columns of
+    * `files` (key → (column name, value class)). Predicates on these keys
+    * compile to plain typed comparisons — at scale they reach parquet
+    * min/max stats instead of decoding Variant per row. Only shred keys
+    * that are always present with a uniform type. */
+  def shredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = Map.empty
 }
 
 /** Deterministic metacat catalog derived from the driver's `orders` table
@@ -128,7 +135,21 @@ final class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCata
       col("o_orderdate").as("updated_timestamp"),
       (k % 97 === 0).as("retired"),
       lit(null).cast("timestamp").as("retired_timestamp"),
-      lit(null).cast("string").as("retired_by"))
+      lit(null).cast("string").as("retired_by"),
+      // shredded copies of hot always-present metadata keys (see shredding)
+      run.as("_s_core_run"),
+      col("o_orderstatus").as("_s_core_status"),
+      unix_timestamp(col("o_orderdate")).as("_s_core_ts"),
+      col("o_totalprice").as("_s_data_price"))
+  }
+
+  override val shredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = {
+    import graft.mql.MetaCompiler._
+    Map(
+      "core.run" -> (("_s_core_run", ShredNum)),
+      "core.status" -> (("_s_core_status", ShredStr)),
+      "core.ts" -> (("_s_core_ts", ShredNum)),
+      "data.price" -> (("_s_data_price", ShredNum)))
   }
 
   override lazy val filesDatasets: DataFrame = {

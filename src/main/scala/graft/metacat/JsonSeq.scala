@@ -15,10 +15,12 @@ object JsonSeq {
     * JSON); pull-based via toLocalIterator like the reference's
     * server-side cursor. */
   def stream(fileSet: DataFrame): Iterator[String] = {
-    val cols = fileSet.columns.map {
-      case "metadata" => to_json(col("metadata")).as("metadata")
-      case c => col(c)
-    }
+    val cols = fileSet.columns
+      .filterNot(_.startsWith("_s_")) // internal shredded copies
+      .map {
+        case "metadata" => to_json(col("metadata")).as("metadata")
+        case c => col(c)
+      }
     val jsons = fileSet.select(cols.toIndexedSeq: _*).toJSON
     val it = jsons.toLocalIterator()
     new Iterator[String] {

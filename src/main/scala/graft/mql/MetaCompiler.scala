@@ -43,15 +43,30 @@ object MetaCompiler {
     * datetime()/date() constants fold to epoch floats. */
   type Attrs = String => Option[Column]
 
+  /** class of a shredded column's values; predicates against a constant of
+    * a different class are raw-false (same as the Variant type guard) */
+  sealed trait ShredType
+  case object ShredNum extends ShredType
+  case object ShredStr extends ShredType
+  case object ShredBool extends ShredType
+
+  /** metadata keys materialized as typed columns (Variant shredding): the
+    * compiler skips Variant access for them, so the predicate is an
+    * ordinary typed comparison that reaches parquet min/max stats. Only
+    * keys with a uniform declared type may be shredded. */
+  type Shredding = String => Option[(Column, ShredType)]
+
+  val NoShredding: Shredding = _ => None
+
   def compile(e: MetaExp, meta: Column, attrs: Attrs,
-      shredded: String => Option[Column] = _ => None): Column = {
+      shredded: Shredding = NoShredding): Column = {
     val c = new Ctx(meta, attrs, shredded)
     c.exp(e)
   }
 
   private val NumericSchema = "^(BIGINT|DOUBLE|DECIMAL|FLOAT|SMALLINT|TINYINT|INT)"
 
-  private final class Ctx(meta: Column, attrs: Attrs, shredded: String => Option[Column]) {
+  private final class Ctx(meta: Column, attrs: Attrs, shredded: Shredding) {
 
     def exp(e: MetaExp): Column = e match {
       case MAnd(cs) => cs.map(exp).reduce(_ && _)
@@ -159,10 +174,24 @@ object MetaCompiler {
       attrs(name).getOrElse(
         throw Rewrites.MqlResolveError(s"Unrecognized attribute name $name"))
 
+    /** shredded column vs constant: class mismatch is raw-false, `!=` is
+      * complement among present values — identical to the Variant path */
+    private def cmpShredded(x: Column, t: ShredType, op: String, c: Const): Column =
+      if (op == "!=")
+        x.isNotNull && !coalesce(cmpShredded(x, t, "==", c), lit(false))
+      else (c, t) match {
+        case (IntC(i), ShredNum) => cmpNum(x.cast("double"), op, i.toDouble)
+        case (FloatC(d), ShredNum) => cmpNum(x.cast("double"), op, d)
+        case (DateC(d), ShredNum) => cmpNum(x.cast("double"), op, d)
+        case (StringC(s), ShredStr) => cmpStr(x.cast("string"), op, s)
+        case (BoolC(b), ShredBool) => if (op == "==") x === b else lit(false)
+        case _ => lit(false) // type-class mismatch
+      }
+
     private def rawCmp(l: Scalar, op: String, c: Const): Column = l match {
       case MetaAttr(n) =>
         shredded(n) match {
-          case Some(col) => cmpTyped(col, op, c)
+          case Some((col, t)) => cmpShredded(col, t, op, c)
           case None => cmpVariant(tv(n), op, c)
         }
       case ObjectAttr(n) => cmpTyped(attrCol(n), op, c)
@@ -192,7 +221,11 @@ object MetaCompiler {
     private def rawRange(l: Scalar, lo: Const, hi: Const, inv: Boolean = false): Column = l match {
       case MetaAttr(n) =>
         shredded(n) match {
-          case Some(col) => typedRange(col, lo, hi)
+          case Some((col, t)) => ((lo, t): @unchecked) match {
+            case (IntC(_) | FloatC(_), ShredNum) | (StringC(_), ShredStr) =>
+              typedRange(col, lo, hi)
+            case _ => lit(false)
+          }
           case None => rangePred(tv(n), lo, hi)
         }
       case ObjectAttr(n) => typedRange(attrCol(n), lo, hi)
@@ -238,7 +271,8 @@ object MetaCompiler {
     private def rawSet(l: Scalar, vs: List[Const], inv: Boolean = false): Column = l match {
       case MetaAttr(n) =>
         shredded(n) match {
-          case Some(col) => vs.map(c => coalesce(cmpTyped(col, "==", c), lit(false))).reduce(_ || _)
+          case Some((col, t)) =>
+            vs.map(c => coalesce(cmpShredded(col, t, "==", c), lit(false))).reduce(_ || _)
           case None => setPred(tv(n), vs)
         }
       case ObjectAttr(n) =>

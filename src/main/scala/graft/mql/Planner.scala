@@ -124,7 +124,8 @@ final class Planner(spark: SparkSession, catalog: MetacatCatalog,
   }
 
   def filePred(df: DataFrame, e: MetaExp): Column =
-    MetaCompiler.compile(e, df("metadata"), fileAttrs(df))
+    MetaCompiler.compile(e, df("metadata"), fileAttrs(df),
+      shredded = n => catalog.shredding.get(n).map { case (c, t) => (df(c), t) })
 
   // ---------- dataset selectors & queries ----------
 

@@ -114,12 +114,19 @@ object Dedup {
     val prefix = exploded
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("s"), col("doc_id"), col("n"))
-    val cand = prefix.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      .join(prefix.select(col("s"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("s"))
+      .select(col("s"), col("doc_id"), col("n"), col("rn"))
+    val cand = prefix.select(col("s"), col("doc_id").as("doc_a"),
+        col("n").as("n_a"), col("rn").as("rn_a"))
+      .join(prefix.select(col("s"), col("doc_id").as("doc_b"),
+        col("n").as("n_b"), col("rn").as("rn_b")), Seq("s"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_b") >= ceil(col("n_a") * threshold) &&
-        col("n_b") <= floor(col("n_a") / threshold))
+        col("n_b") <= floor(col("n_a") / threshold) &&
+        // ppjoin positional filter: overlap from this match position on is
+        // at most 1 + min(remaining a, remaining b); jac >= t needs
+        // overlap >= t/(1+t) * (n_a + n_b)
+        (lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b"))) >=
+          ceil((col("n_a") + col("n_b")) * (threshold / (1 + threshold)) - 1e-9))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
