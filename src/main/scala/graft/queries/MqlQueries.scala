@@ -77,6 +77,10 @@ object MqlQueries {
     "mql_filter_sample" -> q("filter sample(0.25)(files from dsns:all)") _,
     "mql_filter_hash" -> q("filter hash(3, 1)(files from dsns:all)") _,
     "mql_filter_limit" -> q("filter limit(25)(files from dsns:all ordered)") _,
+    // no DuckDB oracle (sequential interleave / reorder semantics) —
+    // driver records rows-only checks for these two
+    "mql_filter_mix" -> q("filter mix(2, 1)(files from dsns:ds1, files from dsns:ds2)") _,
+    "mql_filter_randomize" -> q("filter randomize(7)(files from dsns:ds0)") _,
 
     // --- dataset & query queries (SURVEY §2.1) ---
     "mql_datasets" -> ((s, dir) =>

@@ -23,6 +23,9 @@ object PipelineQueries {
     "pipe_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
     "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d))),
+    // embedding-cosine near-duplicate detection = LSH pairs at a high
+    // threshold (same plan, dedup use-case)
+    "pipe_dedup_embedding" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), threshold = 0.45)),
     "pipe_text_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     "pipe_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "pipe_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
@@ -83,6 +86,13 @@ object PipelineQueries {
         "r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rk FROM j) " +
         "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM r WHERE rk <= 5"),
+
+    "pipe_dedup_embedding" ->
+      (s"WITH $EmbNorm, bk AS (SELECT vec_id, embedding, norm, " +
+        "CAST(list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END)) AS INT) AS bucket FROM n), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dot("a", "b")} / (a.norm * b.norm) AS sim " +
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE round(sim, 6) >= 0.45"),
 
     "pipe_sim_lsh" ->
       (s"WITH $EmbNorm, bk AS (SELECT vec_id, embedding, norm, " +
