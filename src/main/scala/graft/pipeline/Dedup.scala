@@ -66,27 +66,34 @@ object Dedup {
   def minhashPairs(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val r = numHashes / bands
-    val sigs = withShingles(docs).select(
-      col("doc_id"), col("shingles"),
+    // the shingle sets feed signature generation AND candidate verification
+    // — persist so the extraction runs once (LRU-evicted later)
+    val sh = withShingles(docs)
+      .select(col("doc_id"), col("shingles")).persist()
+    val sigs = sh.select(
+      col("doc_id"),
       expr(
         s"""transform(sequence(0, ${numHashes - 1}), h ->
            |  array_min(transform(shingles, x ->
            |    cast(conv(substr(md5(concat(cast(h as string), ':', x)), 1, 15), 16, 10) as bigint)
            |  )))""".stripMargin).as("sig"))
+    // bands carry only (doc_id, band, bkey): never shuffle the shingle
+    // arrays through the bucket join
     val banded = sigs.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> " +
           s"concat_ws(',', transform(sequence(${r} * b, ${r} * b + ${r - 1}), i -> cast(sig[i] as string))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bkey"))
+    val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -104,8 +111,11 @@ object Dedup {
     * candidate is verified with the true jaccard. The DF table is
     * dimension-sized (distinct shingles) and broadcast. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // reused by the frequency pass, the prefix index and both verify
+    // joins — persist so extraction runs once
     val sh = withShingles(docs)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .persist()
     val freq = sh.select(explode(col("shingles")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val exploded = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
