@@ -39,6 +39,42 @@ object Filters {
     custom(name) = f
   }
 
+  /** External-data join filter — the reference's runsdb/rucio custom
+    * filters (`DUNE_specials/custom_filters/runsdb.py:44-60`,
+    * `rucio_rses.py:21-40`): look up rows in an external source keyed by a
+    * metadata value and merge the fetched columns into each file's
+    * metadata. The external source is modeled as a DataFrame (JDBC, REST
+    * snapshot, …); the reference's chunked 1000-file lookups become a
+    * broadcast left join + top-level JSON merge — distributed, one pass.
+    *
+    * `lookup` must have a `key` column; every other column `c` lands in
+    * metadata as `<prefix>.<c>`. Files without a match pass through
+    * unchanged (left join, like the reference's generators).
+    */
+  final class LookupJoinFilter(lookup: DataFrame, metaKey: String,
+      prefix: String) extends GraftFilter {
+    import org.apache.spark.sql.DataFrame
+
+    override def apply(spark: SparkSession, inputs: Seq[DataFrame],
+        params: Seq[Const], kw: Map[String, Const]): DataFrame = {
+      val df = inputs.head
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      val extCols = lookup.columns.filter(_ != "key")
+      val extStruct = struct(extCols.map(c => lookup(c).as(s"$prefix.$c")).toIndexedSeq: _*)
+      val keyed = lookup.select(col("key").cast("double").as("__lk"),
+        extStruct.as("__ext"))
+      val joined = df.withColumn("__lk",
+        try_variant_get(col("metadata"), s"$$['$metaKey']", "double"))
+        .join(broadcast(keyed), Seq("__lk"), "left")
+      val mergedMeta = when(col("__ext").isNotNull,
+        parse_json(to_json(map_concat(
+          try_variant_get(col("metadata"), "$", "map<string,variant>"),
+          try_variant_get(parse_json(to_json(col("__ext"))), "$", "map<string,variant>")))))
+        .otherwise(col("metadata"))
+      joined.withColumn("metadata", mergedMeta).drop("__lk", "__ext")
+    }
+  }
+
   /** adler32(fid) — must be exactly adler32 to reproduce the reference's
     * partition assignment (filters.py:105-123). Native codegen'd Catalyst
     * expression: stays inside the whole-stage codegen span. */

@@ -52,6 +52,20 @@ object Mql {
       .distinct()
       .orderBy("key", "value")
 
+  /** per-dataset file counts + total size — the reference maintains these
+    * as daemon-refreshed denormalized columns (`daemon/daemon.py:44-58`,
+    * `schema.sql:48,114`); at our scale one aggregation computes them on
+    * demand (or as a periodic refresh job writing back to the catalog). */
+  def datasetCounts(catalog: graft.metacat.MetacatCatalog,
+      includeRetired: Boolean = false): DataFrame = {
+    val f0 = catalog.files
+    val f = if (includeRetired) f0 else f0.filter(!col("retired"))
+    catalog.filesDatasets
+      .join(f.select(col("fid"), col("size")), Seq("fid"))
+      .groupBy(col("dataset_namespace"), col("dataset_name"))
+      .agg(count(lit(1)).as("file_count"), sum(col("size")).as("total_size"))
+  }
+
   /** CLI `-x/--explain` parity (metacat_query.py:64-84): the three IRs —
     * parsed AST, resolved AST, Spark physical plan. */
   def explain(spark: SparkSession, catalog: MetacatCatalog, text: String,

@@ -98,7 +98,9 @@ object MqlQueries {
       Mql.summaryCount(Mql.query(s, new DerivedCatalog(s, dir),
         "files from dsns:all where core.run < 250"))),
     "mql_summary_keys" -> ((s, dir) =>
-      Mql.summaryKeys(Mql.query(s, new DerivedCatalog(s, dir), "files from dsns:ds2"))))
+      Mql.summaryKeys(Mql.query(s, new DerivedCatalog(s, dir), "files from dsns:ds2"))),
+    "mql_dataset_counts" -> ((s, dir) =>
+      Mql.datasetCounts(new DerivedCatalog(s, dir))))
 
   val oracles: Map[String, String] = Map(
     "mql_bfq_where" -> o(
@@ -190,6 +192,11 @@ object MqlQueries {
     "mql_summary_count" -> o(
       "SELECT count(*) AS \"count\", CAST(COALESCE(sum(size), 0) AS BIGINT) AS total_size" +
         " FROM mc_files WHERE NOT retired AND m_run < 250"),
+    "mql_dataset_counts" -> o(
+      "SELECT fd.dataset_namespace, fd.dataset_name, count(*) AS file_count," +
+        " CAST(sum(f.size) AS BIGINT) AS total_size" +
+        " FROM mc_files_datasets fd JOIN mc_files f ON fd.fid = f.fid" +
+        " WHERE NOT f.retired GROUP BY 1, 2"),
     "mql_summary_keys" ->
       (s"WITH ${OracleCatalog.cte} SELECT key FROM (" +
         "SELECT unnest(['core.bits','core.priority','core.run','core.runs','core.status'," +

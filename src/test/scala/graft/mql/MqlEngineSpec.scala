@@ -190,6 +190,31 @@ class MqlEngineSpec extends SparkTestBase {
       .filter(col("key") === "core.status").count() <= 3)
   }
 
+  test("external lookup-join filter enriches metadata") {
+    import spark.implicits._
+    val runsDb = Seq((1L, "good", 41.5), (2L, "bad", 0.0), (3L, "good", 7.25))
+      .toDF("key", "quality", "lumi")
+    Filters.register("enrich_runs", new Filters.LookupJoinFilter(runsDb, "core.run", "runs"))
+    val out = q("filter enrich_runs()(files from dsns:all where core.run in (1, 2, 999)) where runs.quality == good")
+    // run 1 and 2 get external columns; only run 1's quality is "good";
+    // run 999 has no lookup row and fails the post-filter
+    val runs = out.select(expr("cast(try_variant_get(metadata, \"$['core.run']\", 'long') as long)"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(runs == Set(1L))
+    val lumi = out.limit(1)
+      .select(expr("try_variant_get(metadata, \"$['runs.lumi']\", 'double')"))
+      .collect().head.getDouble(0)
+    assert(lumi == 41.5)
+  }
+
+  test("dataset counts aggregation") {
+    val counts = Mql.datasetCounts(cat)
+      .filter(col("dataset_name") === "ds1")
+      .collect().head
+    val want = liveOrders.filter(col("o_orderkey") % 5 === 1).count()
+    assert(counts.getAs[Long]("file_count") == want)
+  }
+
   test("explain produces three IRs") {
     val s = Mql.explain(spark, cat, "files from dsns:ds0 where core.run < 10 limit 5")
     assert(s.contains("-- parsed --") && s.contains("-- spark plan --"))
