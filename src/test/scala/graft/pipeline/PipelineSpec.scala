@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.mql.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Cross-validation of the dedup/similarity operators against each other
+  * and against brute force, on sf0.001. */
+class PipelineSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("exact dedup flags nothing on distinct texts, everything on clones") {
+    assert(Dedup.exact(docs).filter(col("is_dup")).count() == 0)
+    val cloned = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000))
+    assert(Dedup.exact(cloned).filter(col("is_dup")).count() == docs.count())
+  }
+
+  test("minhash candidate pairs are a subset of exact jaccard pairs") {
+    val exact = Dedup.jaccardPairs(docs, 0.5).select("doc_a", "doc_b")
+    val mh = Dedup.minhashPairs(docs, threshold = 0.5).select("doc_a", "doc_b")
+    assert(mh.join(exact, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+    // and on this corpus banding keeps decent recall of the planted dups
+    val nExact = exact.count()
+    val nMh = mh.count()
+    assert(nExact > 0 && nMh >= nExact / 2, s"recall too low: $nMh of $nExact")
+  }
+
+  test("jaccard prefix filtering loses no pairs vs brute force") {
+    val smart = Dedup.jaccardPairs(docs, 0.5)
+    val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
+    val brute = sh.toDF("doc_a", "sh_a")
+      .crossJoin(sh.toDF("doc_b", "sh_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+    assert(smart.exceptAll(brute).isEmpty && brute.exceptAll(smart).isEmpty)
+  }
+
+  test("near-duplicate pairs have small simhash hamming distance") {
+    val sim = Dedup.simhash(docs)
+    val pairs = Dedup.jaccardPairs(docs, 0.7)
+      .join(sim.toDF("doc_a", "h_a"), Seq("doc_a"))
+      .join(sim.toDF("doc_b", "h_b"), Seq("doc_b"))
+      .withColumn("ham", bit_count(expr("h_a ^ h_b")))
+    val rows = pairs.select("ham").collect().map(_.getInt(0))
+    assert(rows.nonEmpty && rows.forall(_ <= 20),
+      s"hamming distances too large: ${rows.mkString(",")}")
+  }
+
+  test("LSH pairs are exact-cosine verified and agree with brute force within buckets") {
+    val lsh = Similarity.lshCosinePairs(emb, threshold = 0.3)
+    // every reported pair really has cosine >= 0.3 (verify independently)
+    val withSim = lsh.join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
+      .withColumn("dot", expr("aggregate(zip_with(e_a, e_b, (a,b) -> cast(a as double)*cast(b as double)), cast(0 as double), (s,x) -> s+x)"))
+      .withColumn("na", expr("sqrt(aggregate(transform(e_a, x -> cast(x as double)*cast(x as double)), cast(0 as double), (s,x) -> s+x))"))
+      .withColumn("nb", expr("sqrt(aggregate(transform(e_b, x -> cast(x as double)*cast(x as double)), cast(0 as double), (s,x) -> s+x))"))
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+    assert(withSim.filter(col("cos") < 0.3 - 1e-6).count() == 0)
+  }
+
+  test("brute-force top-k: neighbors are correct for one query") {
+    val topk = Similarity.bruteCosineTopK(emb, nQueries = 3, k = 5)
+    assert(topk.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    // rank 1 neighbor must have the max similarity among all candidates
+    val q0best = topk.filter(col("query_id") === 0 && col("rk") === 1)
+      .select("sim").collect().head.getDouble(0)
+    val q0max = topk.filter(col("query_id") === 0)
+      .agg(max("sim")).collect().head.getDouble(0)
+    assert(q0best == q0max)
+  }
+
+  test("multimodal payload/decode plumbing") {
+    val d = Multimodal.decoded(spark, docs)
+    assert(d.count() == docs.count())
+    val row = d.filter(col("doc_id") === 0).collect().head
+    val text = docs.filter(col("doc_id") === 0).select("text").collect().head.getString(0)
+    assert(row.getAs[Long]("byte_len") == text.getBytes("UTF-8").length)
+    assert(row.getAs[String]("head_codes") ==
+      text.getBytes("UTF-8").take(4).map(b => (b & 0xff).toString).mkString(","))
+  }
+
+  test("text analysis langid/quality/fingerprint are deterministic and complete") {
+    assert(TextAnalysis.langId(docs).count() == docs.count())
+    assert(TextAnalysis.quality(docs).filter(col("quality_score") < 0).count() == 0)
+    val fp = TextAnalysis.fingerprint(docs)
+    assert(fp.select("fp").distinct().count() == docs.count()) // distinct texts
+  }
+}
