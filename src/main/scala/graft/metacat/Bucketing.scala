@@ -1,0 +1,58 @@
+package graft.metacat
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** fid-bucketed storage for the big catalog tables.
+  *
+  * Every multi-table operator in the engine joins on `fid` (BFQ
+  * membership semi-join, union dedup, intersect/minus, provenance hops).
+  * Bucketing `files`, `files_datasets` and `parent_child` by fid makes all
+  * of them co-located: Spark plans a sort-merge join over matching buckets
+  * with NO shuffle exchange on either side — at 100 TB that removes the
+  * dominant network cost of the catalog workload. This is the managed-
+  * table analog of the reference's btree-on-id + PK layout
+  * (`schema.sql:53,77-84`).
+  *
+  * Tables are registered in the session catalog (`db`.files etc.);
+  * [[catalog]] returns a MetacatCatalog reading them.
+  */
+object Bucketing {
+
+  def writeBucketed(spark: SparkSession, source: MetacatCatalog, db: String,
+      buckets: Int = 16): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def save(df: DataFrame, name: String, bucketCol: String): Unit =
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(s"$db.$name")
+    // Variant is engine-internal; store metadata as JSON text
+    import org.apache.spark.sql.functions._
+    save(source.files.withColumn("metadata", to_json(col("metadata"))), "files", "fid")
+    save(source.filesDatasets, "files_datasets", "fid")
+    save(source.parentChild.withColumn("fid", col("child_fid")), "parent_child", "fid")
+    source.datasets.withColumn("metadata", to_json(col("metadata")))
+      .write.mode(SaveMode.Overwrite).saveAsTable(s"$db.datasets")
+    source.datasetsParentChild.write.mode(SaveMode.Overwrite)
+      .saveAsTable(s"$db.datasets_parent_child")
+    source.queries.withColumn("metadata", to_json(col("metadata")))
+      .write.mode(SaveMode.Overwrite).saveAsTable(s"$db.queries")
+  }
+
+  /** catalog over the bucketed tables */
+  def catalog(spark: SparkSession, db: String): MetacatCatalog = new MetacatCatalog {
+    import org.apache.spark.sql.functions._
+    private def t(n: String) = spark.table(s"$db.$n")
+    override def files: DataFrame =
+      t("files").withColumn("metadata", parse_json(col("metadata")))
+    override def filesDatasets: DataFrame = t("files_datasets")
+    override def datasets: DataFrame =
+      t("datasets").withColumn("metadata", parse_json(col("metadata")))
+    override def parentChild: DataFrame = t("parent_child").drop("fid")
+    override def datasetsParentChild: DataFrame = t("datasets_parent_child")
+    override def queries: DataFrame =
+      t("queries").withColumn("metadata", parse_json(col("metadata")))
+    override def namedQuerySource(ns: String, n: String): Option[String] =
+      t("queries").filter(col("namespace") === ns && col("name") === n)
+        .select("source").collect().headOption.map(_.getString(0))
+  }
+}
