@@ -21,21 +21,37 @@ object Bucketing {
   def writeBucketed(spark: SparkSession, source: MetacatCatalog, db: String,
       buckets: Int = 16): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    def save(df: DataFrame, name: String, bucketCol: String): Unit =
+    // idempotent: drop the table AND any orphaned location from a previous
+    // JVM (the default metastore is per-session, the warehouse dir is not)
+    def reset(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(s"$warehouse/$db.db/$name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+    }
+    def save(df: DataFrame, name: String, bucketCol: String): Unit = {
+      reset(name)
       df.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(s"$db.$name")
+    }
     // Variant is engine-internal; store metadata as JSON text
     import org.apache.spark.sql.functions._
+    def saveDim(df: DataFrame, name: String): Unit = {
+      reset(name)
+      df.write.mode(SaveMode.Overwrite).saveAsTable(s"$db.$name")
+    }
     save(source.files.withColumn("metadata", to_json(col("metadata"))), "files", "fid")
     save(source.filesDatasets, "files_datasets", "fid")
     save(source.parentChild.withColumn("fid", col("child_fid")), "parent_child", "fid")
-    source.datasets.withColumn("metadata", to_json(col("metadata")))
-      .write.mode(SaveMode.Overwrite).saveAsTable(s"$db.datasets")
-    source.datasetsParentChild.write.mode(SaveMode.Overwrite)
-      .saveAsTable(s"$db.datasets_parent_child")
-    source.queries.withColumn("metadata", to_json(col("metadata")))
-      .write.mode(SaveMode.Overwrite).saveAsTable(s"$db.queries")
+    saveDim(source.datasets.withColumn("metadata", to_json(col("metadata"))), "datasets")
+    saveDim(source.datasetsParentChild, "datasets_parent_child")
+    saveDim(source.queries.withColumn("metadata", to_json(col("metadata"))), "queries")
   }
 
   /** catalog over the bucketed tables */

@@ -33,11 +33,15 @@ object Dedup {
     "array_distinct(transform(sequence(0, size(__t) - 3), i -> " +
       "concat_ws(' ', __t[i], __t[i+1], __t[i+2])))"
 
-  def withShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("__t", toks)
+  def withShingles(docs: DataFrame): DataFrame = {
+    // the documents table arrives as a single parquet file = one input
+    // split; spread the (CPU-heavy) shingle extraction over the cluster
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    spread.withColumn("__t", toks)
       .filter(size(col("__t")) >= 3)
       .withColumn("shingles", expr(shingleExpr))
       .drop("__t")
+  }
 
   /** exact duplicate detection: md5 fingerprint of the raw text; the first
     * doc_id in each group is canonical, the rest are flagged. */
