@@ -100,7 +100,11 @@ object MqlQueries {
     "mql_summary_keys" -> ((s, dir) =>
       Mql.summaryKeys(Mql.query(s, new DerivedCatalog(s, dir), "files from dsns:ds2"))),
     "mql_dataset_counts" -> ((s, dir) =>
-      Mql.datasetCounts(new DerivedCatalog(s, dir))))
+      Mql.datasetCounts(new DerivedCatalog(s, dir))),
+    // rows-only (canonical JSON value rendering is engine-specific)
+    "mql_summary_kv" -> ((s, dir) =>
+      Mql.summaryKeyValues(Mql.query(s, new DerivedCatalog(s, dir),
+        "files from dsns:ds3 where core.run < 50"))))
 
   val oracles: Map[String, String] = Map(
     "mql_bfq_where" -> o(

@@ -119,6 +119,21 @@ class MetaSemanticsSpec extends SparkTestBase {
     expectNoMatch("""data.e ~ "1.5"""")
   }
 
+  test("regex dialect conformance (docs/regexp.rst)") {
+    // unanchored substring search by default; ^ $ anchor; classes; escaped dot
+    expectMatch("""data.run_type ~ "^calib"""")
+    expectNoMatch("""data.run_type ~ "^alib"""")
+    expectMatch("""data.run_type ~ "tion$"""")
+    expectNoMatch("""data.run_type ~ "^calibration.$"""")
+    expectMatch("""data.run_type ~ "^calibration$"""")
+    expectMatch("""data.run_type ~ "cali.ration"""")
+    expectMatch("""data.run_type ~ "[abc]alibration"""")
+    expectNoMatch("""data.run_type ~ "[^abc]alibration"""")
+    expectMatch("""data.run_type ~ "c(ali)+bration"""")
+    expectMatch("""name ~ "f1\.dat"""")
+    expectNoMatch("""name ~ "f2\.dat"""")
+  }
+
   test("subscript out of range / wrong kind => false") {
     expectNoMatch("data.trigger_mask[99] == 0")
     expectNoMatch("""data.run_type["k"] == 1""")
