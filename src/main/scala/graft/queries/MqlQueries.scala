@@ -40,6 +40,7 @@ object MqlQueries {
     // --- scans + metadata predicates (SURVEY §2.1, §2.3) ---
     "mql_bfq_where" -> q("files from dsns:all where core.run > 500 and core.status == F") _,
     "mql_bfq_multi_ds" -> q("files from dsns:ds1, dsns:ds2 where data.weight == 42") _,
+    "mql_bfq_matching_having" -> q("files from datasets matching dsns:ds* having ds.index <= 2 where core.run < 400") _,
     "mql_full_scan" -> q("files where core.priority == 1-URGENT and size > 500000") _,
     "mql_in_set" -> q("files from dsns:all where core.status in (O, P)") _,
     "mql_not_in_set" -> q("files from dsns:all where core.run not in 100:900") _,
@@ -112,6 +113,8 @@ object MqlQueries {
     "mql_bfq_multi_ds" -> o(
       s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 IN (1, 2)" +
         " AND weight_is_int AND m_weight_int = 42"),
+    "mql_bfq_matching_having" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 IN (0, 1, 2) AND m_run < 400"),
     "mql_full_scan" -> o(
       s"SELECT $FileCols FROM mc_files WHERE NOT retired AND m_priority = '1-URGENT' AND size > 500000"),
     "mql_in_set" -> o(
