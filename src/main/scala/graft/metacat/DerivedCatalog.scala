@@ -81,6 +81,12 @@ final class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCata
 
   private def orders: DataFrame = spark.read.parquet(s"$dir/orders.parquet")
 
+  /** the driver ships one parquet file per table = one input split; the
+    * JSON→Variant derivation is CPU-bound per row, so spread it before
+    * materializing the cache */
+  private def ordersSpread: DataFrame =
+    orders.repartition(spark.sparkContext.defaultParallelism)
+
   /** The derived `files` table is cached per (session, dir): a catalog is a
     * long-lived service and every query scans it. In a production layout
     * this materialization IS the stored files table (parquet, partitioned
@@ -122,7 +128,7 @@ final class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCata
         concat(lit(",\"opt.note\":\"note-"), col("o_orderstatus"), lit("-"), s(k % 13), lit("\"")))
         .otherwise(lit("")),
       lit("}"))
-    orders.select(
+    ordersSpread.select(
       fid(k).as("fid"),
       concat(lit("ns"), s(ck % 4)).as("namespace"),
       concat(lit("f_"), s(k), lit(".dat")).as("name"),
