@@ -20,6 +20,7 @@ import graft.mql.Mql
 object Cli {
   def main(args: Array[String]): Unit = {
     var explain = false
+    var includeRetired = false
     var catalogRoot: Option[String] = None
     var defaultNs: Option[String] = None
     val mql = new StringBuilder
@@ -27,6 +28,7 @@ object Cli {
     while (i < args.length) {
       args(i) match {
         case "-x" | "--explain" => explain = true
+        case "-r" | "--include-retired" => includeRetired = true
         case "-c" => catalogRoot = Some(args(i + 1)); i += 1
         case "-n" => defaultNs = Some(args(i + 1)); i += 1
         case other => mql.append(other).append(' ')
@@ -49,7 +51,7 @@ object Cli {
     if (explain)
       println(Mql.explain(spark, cat, text, defaultNs))
     else
-      JsonSeq.stream(Mql.query(spark, cat, text, defaultNs)).foreach(print)
+      JsonSeq.stream(Mql.query(spark, cat, text, defaultNs, includeRetired)).foreach(print)
     spark.stop()
   }
 }

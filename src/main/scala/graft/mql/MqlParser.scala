@@ -349,7 +349,10 @@ object MqlParser extends RegexParsers {
       ("{" ~> fileQueryList <~ "}" ^^ (qs => JoinQ(qs))) |
       (kw("parents") ~> "(" ~> fileQuery <~ ")" ^^ ParentsOf.apply) |
       (kw("children") ~> "(" ~> fileQuery <~ ")" ^^ ChildrenOf.apply) |
-      (kw("with") ~> kw("namespace") ~> "=" ~> (quoted | fname) ~ fileQuery ^^ {
+      // binds ONE postfixed query only: `with namespace="s" files from A -
+      // files from B` leaves B unscoped, exactly as documented invalid
+      // (docs/mql.rst:425-441); parenthesize to widen the scope
+      (kw("with") ~> kw("namespace") ~> "=" ~> (quoted | fname) ~ postfixedQuery ^^ {
         case ns ~ q => WithNsQ(ns, q)
       }) |
       ("(" ~> fileQuery <~ ")") |

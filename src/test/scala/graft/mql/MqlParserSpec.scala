@@ -193,6 +193,17 @@ class MqlParserSpec extends AnyFunSuite {
     assert(u.qs(2) == Bfq(List(DatasetSel(DsExact(Some("x"), "D")))))
   }
 
+  test("with scope is limited to the attached query (docs/mql.rst:425-441)") {
+    // invalid per docs: the minus RHS gets no namespace
+    assertThrows[Rewrites.MqlResolveError](
+      r("""with namespace = "s" files from A - files from B"""))
+    // parenthesized form is the documented correction
+    val q = r("""with namespace = "s" (files from A - files from B)""")
+    assert(q == MinusQ(
+      Bfq(List(DatasetSel(DsExact(Some("s"), "A")))),
+      Bfq(List(DatasetSel(DsExact(Some("s"), "B"))))))
+  }
+
   test("explicit namespace overrides with") {
     val q = r("""with namespace = "x" union(files from A, files from y:B)""")
     val u = q.asInstanceOf[UnionQ]
