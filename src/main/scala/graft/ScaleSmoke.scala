@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.metacat.{DerivedCatalog, MetacatCatalog}
+import graft.mql.Mql
+
+/** Scale-headroom smoke: runs the engine against a catalog `MULT`× the
+  * sf0.1 derivation (in-memory multiplication of the orders table with
+  * disjoint key ranges — structurally identical, 10× rows) and reports
+  * per-query timings. Demonstrates the plans that pass the correctness
+  * gate keep working and scale ~linearly when the file count grows.
+  *
+  *   sbt "runMain graft.ScaleSmoke [mult]"
+  */
+object ScaleSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    val base = new DerivedCatalog(spark, dir)
+    val n = spark.read.parquet(s"$dir/orders.parquet").count()
+
+    // shift fids per shard so the multiplied catalog has mult*n distinct files
+    def shard(df: DataFrame, col0: String, i: Int): DataFrame =
+      df.withColumn(col0, concat(lit(s"S$i"), col(col0)))
+
+    val cat: MetacatCatalog = new MetacatCatalog {
+      private def mul(df: DataFrame, fidCols: Seq[String]): DataFrame =
+        (0 until mult).map(i => fidCols.foldLeft(df)((d, c) => shard(d, c, i)))
+          .reduce(_.unionByName(_))
+      override lazy val files: DataFrame = mul(base.files, Seq("fid")).persist()
+      override lazy val filesDatasets: DataFrame = mul(base.filesDatasets, Seq("fid"))
+      override lazy val datasets: DataFrame = base.datasets
+      override lazy val parentChild: DataFrame =
+        mul(base.parentChild, Seq("parent_fid", "child_fid"))
+      override lazy val datasetsParentChild: DataFrame = base.datasetsParentChild
+      override lazy val queries: DataFrame = base.queries
+      override def namedQuerySource(ns: String, nm: String): Option[String] =
+        base.namedQuerySource(ns, nm)
+      override val shredding = base.shredding
+    }
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%9d rows")
+    }
+
+    println(s"SCALE catalog: ${mult}x sf(${n} orders) = ${mult * n} files")
+    time("materialize")(cat.files.count())
+    time("bfq_where")(Mql.query(spark, cat,
+      "files from dsns:all where core.run > 500 and core.status == F").count())
+    time("union_dedup")(Mql.query(spark, cat,
+      "union(files from dsns:ds1 where core.run < 300, files from dsns:ds2 where core.run < 300)").count())
+    time("minus")(Mql.query(spark, cat,
+      "files from dsns:ds0 - files where core.run >= 500").count())
+    time("parents")(Mql.query(spark, cat,
+      "parents(files from dsns:ds2 where core.run < 100)").count())
+    time("hash_filter")(Mql.query(spark, cat,
+      "filter hash(3, 1)(files from dsns:all)").count())
+    time("skip_limit")(Mql.query(spark, cat,
+      "files from dsns:all ordered skip 100000 limit 50").count())
+    time("summary_count")(Mql.summaryCount(Mql.query(spark, cat,
+      "files from dsns:all where core.run < 250")).count())
+    spark.stop()
+  }
+}
