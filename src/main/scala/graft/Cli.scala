@@ -21,6 +21,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     var explain = false
     var includeRetired = false
+    var summary: Option[String] = None
     var catalogRoot: Option[String] = None
     var defaultNs: Option[String] = None
     val mql = new StringBuilder
@@ -29,6 +30,7 @@ object Cli {
       args(i) match {
         case "-x" | "--explain" => explain = true
         case "-r" | "--include-retired" => includeRetired = true
+        case "-s" | "--summary" => summary = Some(args(i + 1)); i += 1
         case "-c" => catalogRoot = Some(args(i + 1)); i += 1
         case "-n" => defaultNs = Some(args(i + 1)); i += 1
         case other => mql.append(other).append(' ')
@@ -50,8 +52,18 @@ object Cli {
     val text = mql.toString.trim
     if (explain)
       println(Mql.explain(spark, cat, text, defaultNs))
-    else
-      JsonSeq.stream(Mql.query(spark, cat, text, defaultNs, includeRetired)).foreach(print)
+    else {
+      val result = Mql.query(spark, cat, text, defaultNs, includeRetired)
+      // `--summary count|keys|key-values` parity (metacat_query.py -s)
+      val out = summary match {
+        case Some("count") => Mql.summaryCount(result)
+        case Some("keys") => Mql.summaryKeys(result)
+        case Some("key-values" | "kv") => Mql.summaryKeyValues(result)
+        case Some(other) => throw new IllegalArgumentException(s"bad summary: $other")
+        case None => result
+      }
+      JsonSeq.stream(out).foreach(print)
+    }
     spark.stop()
   }
 }

@@ -215,6 +215,15 @@ class MqlEngineSpec extends SparkTestBase {
     assert(counts.getAs[Long]("file_count") == want)
   }
 
+  test("nested filters compose") {
+    // hash then stride over the surviving stream
+    val inner = q("filter hash(3, 1)(files from dsns:all)")
+    val nested = q("filter stride(5, 0)(filter hash(3, 1)(files from dsns:all))")
+    val innerIds = inner.select("fid").orderBy("fid").collect().map(_.getString(0))
+    val want = innerIds.zipWithIndex.filter(_._2 % 5 == 0).map(_._1).toList
+    assert(nested.select("fid").orderBy("fid").collect().map(_.getString(0)).toList == want)
+  }
+
   test("explain produces three IRs") {
     val s = Mql.explain(spark, cat, "files from dsns:ds0 where core.run < 10 limit 5")
     assert(s.contains("-- parsed --") && s.contains("-- spark plan --"))
