@@ -50,8 +50,10 @@ object MqlParser extends RegexParsers {
   /** FNAME: LETTER ("_"|"-"|"."|LETTER|DIGIT|"/")* — minus reserved words */
   private val fname: Parser[String] =
     """[a-zA-Z][a-zA-Z0-9_\-./]*""".r.filter(!reserved(_)).withFailureMessage("name expected")
-  /** FID: ("_"|"-"|"."|LETTER|DIGIT|"/")+ */
-  private val fidTok: Parser[String] = """[a-zA-Z0-9_\-./]+""".r
+  /** FID: ("_"|"-"|"."|LETTER|DIGIT|"/")+ — keywords excluded so a
+    * following list element (`fids a, b, files x:y`) terminates the list */
+  private val fidTok: Parser[String] =
+    """[a-zA-Z0-9_\-./]+""".r.filter(!reserved(_))
   /** WORD ("." WORD)+ — dotted metadata key */
   private val metaName: Parser[String] =
     """[a-zA-Z][a-zA-Z0-9_]*(\.[a-zA-Z][a-zA-Z0-9_]*)+""".r
