@@ -76,7 +76,7 @@ trait MetacatCatalog {
   * Dataset DAG: dsns:top -> dsns:all -> dsns:ds0..ds4.
   * File provenance: heap edges parent(c) = (c-1)/2 for c >= 1.
   */
-final class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCatalog {
+class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCatalog {
   import DerivedCatalog._
 
   private def orders: DataFrame = spark.read.parquet(s"$dir/orders.parquet")

@@ -197,11 +197,19 @@ object MetaCompiler {
       case ObjectAttr(n) => cmpTyped(attrCol(n), op, c)
       case ArrayAny(n) => exists(elements(n), x => coalesce(cmpVariant(x, op, c), lit(false)))
       case s @ (SubscriptInt(_, _) | SubscriptKey(_, _)) => cmpVariant(subscriptV(s), op, c)
-      case ArrayLen(n) => c match {
-        case IntC(i) => cmpNum(size(try_variant_get(meta, path(n), "array<variant>")).cast("double"), op, i.toDouble)
-        case FloatC(d) => cmpNum(size(try_variant_get(meta, path(n), "array<variant>")).cast("double"), op, d)
-        case _ => lit(false)
-      }
+      case ArrayLen(n) =>
+        val sz = size(try_variant_get(meta, path(n), "array<variant>")).cast("double")
+        def eqC: Column = c match {
+          case IntC(i) => sz === i.toDouble
+          case FloatC(d) => sz === d
+          case _ => lit(false) // a length never equals a string/bool
+        }
+        if (op == "!=") sz.isNotNull && !coalesce(eqC, lit(false))
+        else c match {
+          case IntC(i) => cmpNum(sz, op, i.toDouble)
+          case FloatC(d) => cmpNum(sz, op, d)
+          case _ => lit(false)
+        }
       case ArrayAll(n) =>
         throw new IllegalStateException(s"[all] on $n must be eliminated at parse time")
     }
