@@ -170,6 +170,22 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     rewrite(updated, "files", partitionCols = Seq("namespace"))
   }
 
+  /** move files between namespaces (data_handler.py move-namespace
+    * connector): rewrites the affected rows; DIDs change, fids do not, so
+    * dataset memberships and provenance stay valid. */
+  def moveNamespace(fids: Seq[String], toNamespace: String, by: String = "graft"): Unit = {
+    val raw = readOr("files", FilesSchema)
+    val updated = raw
+      .withColumn("__hit", col("fid").isin(fids: _*))
+      .withColumn("namespace",
+        when(col("__hit"), lit(toNamespace)).otherwise(col("namespace")))
+      .withColumn("updated_by", when(col("__hit"), lit(by)).otherwise(col("updated_by")))
+      .withColumn("updated_timestamp",
+        when(col("__hit"), current_timestamp()).otherwise(col("updated_timestamp")))
+      .drop("__hit")
+    rewrite(updated, "files", partitionCols = Seq("namespace"))
+  }
+
   def saveNamedQuery(namespace: String, name: String, source: String,
       creator: String = "graft"): Unit = {
     import spark.implicits._

@@ -60,10 +60,24 @@ object Mql {
       includeRetired: Boolean = false): DataFrame = {
     val f0 = catalog.files
     val f = if (includeRetired) f0 else f0.filter(!col("retired"))
-    catalog.filesDatasets
+    val fileAgg = catalog.filesDatasets
       .join(f.select(col("fid"), col("size")), Seq("fid"))
       .groupBy(col("dataset_namespace"), col("dataset_name"))
       .agg(count(lit(1)).as("file_count"), sum(col("size")).as("total_size"))
+    // parent/child dataset counts (dbobjects2.py:1669-1677)
+    val edges = catalog.datasetsParentChild
+    val childCounts = edges.groupBy(
+      col("parent_namespace").as("dataset_namespace"),
+      col("parent_name").as("dataset_name"))
+      .agg(count(lit(1)).as("child_count"))
+    val parentCounts = edges.groupBy(
+      col("child_namespace").as("dataset_namespace"),
+      col("child_name").as("dataset_name"))
+      .agg(count(lit(1)).as("parent_count"))
+    fileAgg
+      .join(childCounts, Seq("dataset_namespace", "dataset_name"), "left")
+      .join(parentCounts, Seq("dataset_namespace", "dataset_name"), "left")
+      .na.fill(0L, Seq("child_count", "parent_count"))
   }
 
   /** CLI `-x/--explain` parity (metacat_query.py:64-84): the three IRs —

@@ -199,11 +199,17 @@ object MqlQueries {
     "mql_summary_count" -> o(
       "SELECT count(*) AS \"count\", CAST(COALESCE(sum(size), 0) AS BIGINT) AS total_size" +
         " FROM mc_files WHERE NOT retired AND m_run < 250"),
-    "mql_dataset_counts" -> o(
-      "SELECT fd.dataset_namespace, fd.dataset_name, count(*) AS file_count," +
+    "mql_dataset_counts" ->
+      (s"WITH ${OracleCatalog.cte}, fa AS (" +
+        "SELECT fd.dataset_namespace, fd.dataset_name, count(*) AS file_count," +
         " CAST(sum(f.size) AS BIGINT) AS total_size" +
         " FROM mc_files_datasets fd JOIN mc_files f ON fd.fid = f.fid" +
-        " WHERE NOT f.retired GROUP BY 1, 2"),
+        " WHERE NOT f.retired GROUP BY 1, 2)," +
+        " cc AS (SELECT parent_namespace AS ns, parent_name AS n, count(*) AS c FROM mc_ds_parent_child GROUP BY 1, 2)," +
+        " pc AS (SELECT child_namespace AS ns, child_name AS n, count(*) AS c FROM mc_ds_parent_child GROUP BY 1, 2)" +
+        " SELECT fa.*, COALESCE(cc.c, 0) AS child_count, COALESCE(pc.c, 0) AS parent_count" +
+        " FROM fa LEFT JOIN cc ON fa.dataset_namespace = cc.ns AND fa.dataset_name = cc.n" +
+        " LEFT JOIN pc ON fa.dataset_namespace = pc.ns AND fa.dataset_name = pc.n"),
     "mql_summary_keys" ->
       (s"WITH ${OracleCatalog.cte} SELECT key FROM (" +
         "SELECT unnest(['core.bits','core.priority','core.run','core.runs','core.status'," +

@@ -87,6 +87,14 @@ class WritePathSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](cat.declareFiles(bad3, cs))
   }
 
+  test("move namespace rewrites DID but keeps memberships") {
+    cat.moveNamespace(Seq("X00000007"), "moved")
+    assert(Mql.query(spark, cat, "files moved:d_7.dat").count() == 1)
+    // still a member of its dataset under the new namespace
+    assert(Mql.query(spark, cat, "files from w:base where name == d_7.dat")
+      .select("namespace").collect().head.getString(0) == "moved")
+  }
+
   test("named queries persist and splice") {
     cat.saveNamedQuery("w", "low", "files from w:base where core.run < 5")
     assert(Mql.query(spark, cat, "files selected by w:low").count() > 0)
