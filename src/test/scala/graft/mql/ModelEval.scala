@@ -78,7 +78,12 @@ object ModelEval {
     case MetaAttr(n) => m.get(n).exists(raw)
     case ObjectAttr(_) => false // callers bind object attrs separately
     case ArrayAny(n) => m.get(n).flatMap(elems).exists(_.exists(raw))
-    case SubscriptInt(n, i) => m.get(n).flatMap(elems).flatMap(_.lift(i)).exists(raw)
+    // int subscript applies to ARRAYS only — on a dict the reference's
+    // evaluator hits KeyError => false (meta_evaluator.py:143-150)
+    case SubscriptInt(n, i) => m.get(n) match {
+      case Some(s: Seq[_]) => s.lift(i).exists(raw)
+      case _ => false
+    }
     case SubscriptKey(n, k) => m.get(n) match {
       case Some(mm: Map[_, _]) => mm.asInstanceOf[Map[String, Any]].get(k).exists(raw)
       case _ => false
