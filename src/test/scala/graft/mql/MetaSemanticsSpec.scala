@@ -138,6 +138,11 @@ class MetaSemanticsSpec extends SparkTestBase {
     expectNoMatch("data.trigger_mask[99] == 0")
     expectNoMatch("""data.run_type["k"] == 1""")
     expectNoMatch("data.run_type[0] == \"c\"")
+    // int subscript on a DICT: KeyError in the reference evaluator
+    expectNoMatch("data.trigger_bits[0] == 1")
+    expectMatch("!(data.trigger_bits[0] == 1)")
+    // string subscript on an ARRAY
+    expectNoMatch("""data.trigger_mask["muon"] == 1""")
   }
 
   test("[any] on scalar => false; [all] on scalar => vacuous true") {
