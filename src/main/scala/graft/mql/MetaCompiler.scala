@@ -38,17 +38,19 @@ import Ast._
   */
 object MetaCompiler {
 
-  /** Binding of object attributes (dot-less names) to typed columns.
-    * `created_timestamp` must be bound to epoch SECONDS (numeric) — MQL
-    * datetime()/date() constants fold to epoch floats. */
-  type Attrs = String => Option[Column]
-
-  /** class of a shredded column's values; predicates against a constant of
-    * a different class are raw-false (same as the Variant type guard) */
+  /** class of a typed column's values; predicates against a constant of a
+    * different class are raw-false (same as the Variant type guard, and
+    * the same TypeError⇒false the reference's evaluator produces) */
   sealed trait ShredType
   case object ShredNum extends ShredType
   case object ShredStr extends ShredType
   case object ShredBool extends ShredType
+
+  /** Binding of object attributes (dot-less names) to typed columns with
+    * their value class. `created_timestamp` must be bound to epoch
+    * SECONDS (numeric) — MQL datetime()/date() constants fold to epoch
+    * floats. */
+  type Attrs = String => Option[(Column, ShredType)]
 
   /** metadata keys materialized as typed columns (Variant shredding): the
     * compiler skips Variant access for them, so the predicate is an
@@ -155,22 +157,7 @@ object MetaCompiler {
         }
       }
 
-    /** typed (non-variant) column vs constant — object attributes */
-    private def cmpTyped(x: Column, op: String, c: Const): Column =
-      if (op == "!=")
-        x.isNotNull && !coalesce(cmpTyped(x, "==", c), lit(false))
-      else c match {
-        case IntC(i) => cmpNum(x.cast("double"), op, i.toDouble)
-        case FloatC(d) => cmpNum(x.cast("double"), op, d)
-        case DateC(d) => cmpNum(x.cast("double"), op, d)
-        case StringC(s) => cmpStr(x.cast("string"), op, s)
-        case BoolC(b) => op match {
-          case "==" => x.cast("boolean") === b
-          case _ => lit(false)
-        }
-      }
-
-    private def attrCol(name: String): Column =
+    private def attrCol(name: String): (Column, ShredType) =
       attrs(name).getOrElse(
         throw Rewrites.MqlResolveError(s"Unrecognized attribute name $name"))
 
@@ -194,7 +181,9 @@ object MetaCompiler {
           case Some((col, t)) => cmpShredded(col, t, op, c)
           case None => cmpVariant(tv(n), op, c)
         }
-      case ObjectAttr(n) => cmpTyped(attrCol(n), op, c)
+      case ObjectAttr(n) =>
+        val (col, t) = attrCol(n)
+        cmpShredded(col, t, op, c)
       case ArrayAny(n) => exists(elements(n), x => coalesce(cmpVariant(x, op, c), lit(false)))
       case s @ (SubscriptInt(_, _) | SubscriptKey(_, _)) => cmpVariant(subscriptV(s), op, c)
       case ArrayLen(n) =>
@@ -236,7 +225,13 @@ object MetaCompiler {
           }
           case None => rangePred(tv(n), lo, hi)
         }
-      case ObjectAttr(n) => typedRange(attrCol(n), lo, hi)
+      case ObjectAttr(n) =>
+        val (col, t) = attrCol(n)
+        ((lo, t): @unchecked) match {
+          case (IntC(_) | FloatC(_), ShredNum) | (StringC(_), ShredStr) =>
+            typedRange(col, lo, hi)
+          case _ => lit(false)
+        }
       // one element within the range (docs/mql.rst:559-574)
       case ArrayAny(n) => exists(elements(n), x => {
         val p = rangePred(x, lo, hi)
@@ -284,7 +279,8 @@ object MetaCompiler {
           case None => setPred(tv(n), vs)
         }
       case ObjectAttr(n) =>
-        vs.map(c => coalesce(cmpTyped(attrCol(n), "==", c), lit(false))).reduce(_ || _)
+        val (col, t) = attrCol(n)
+        vs.map(c => coalesce(cmpShredded(col, t, "==", c), lit(false))).reduce(_ || _)
       case ArrayAny(n) => exists(elements(n), x => {
         val p = setPred(x, vs)
         if (inv) invElem(x, p) else p

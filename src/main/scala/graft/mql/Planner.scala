@@ -206,37 +206,43 @@ final class Planner(spark: SparkSession, catalog: MetacatCatalog,
 
 object Planner {
 
+  import MetaCompiler.{ShredBool, ShredNum, ShredStr}
+
   /** file object-attribute bindings; `created_timestamp` as epoch seconds
     * (MQL datetime constants are epoch floats) */
   def fileAttrs(df: DataFrame): MetaCompiler.Attrs = {
-    case "creator" => Some(df("creator"))
-    case "created_timestamp" => Some(unix_timestamp(df("created_timestamp")).cast("double"))
-    case "updated_timestamp" => Some(unix_timestamp(df("updated_timestamp")).cast("double"))
-    case "updated_by" => Some(df("updated_by"))
-    case "name" => Some(df("name"))
-    case "namespace" => Some(df("namespace"))
-    case "size" => Some(df("size"))
-    case "retired" => Some(df("retired"))
+    case "creator" => Some((df("creator"), ShredStr))
+    case "created_timestamp" =>
+      Some((unix_timestamp(df("created_timestamp")).cast("double"), ShredNum))
+    case "updated_timestamp" =>
+      Some((unix_timestamp(df("updated_timestamp")).cast("double"), ShredNum))
+    case "updated_by" => Some((df("updated_by"), ShredStr))
+    case "name" => Some((df("name"), ShredStr))
+    case "namespace" => Some((df("namespace"), ShredStr))
+    case "size" => Some((df("size"), ShredNum))
+    case "retired" => Some((df("retired"), ShredBool))
     case _ => None
   }
 
   def datasetAttrs(df: DataFrame): MetaCompiler.Attrs = {
-    case "creator" => Some(df("creator"))
-    case "created_timestamp" => Some(unix_timestamp(df("created_timestamp")).cast("double"))
-    case "name" => Some(df("name"))
-    case "namespace" => Some(df("namespace"))
-    case "description" => Some(df("description"))
-    case "frozen" => Some(df("frozen"))
-    case "monotonic" => Some(df("monotonic"))
+    case "creator" => Some((df("creator"), ShredStr))
+    case "created_timestamp" =>
+      Some((unix_timestamp(df("created_timestamp")).cast("double"), ShredNum))
+    case "name" => Some((df("name"), ShredStr))
+    case "namespace" => Some((df("namespace"), ShredStr))
+    case "description" => Some((df("description"), ShredStr))
+    case "frozen" => Some((df("frozen"), ShredBool))
+    case "monotonic" => Some((df("monotonic"), ShredBool))
     case _ => None
   }
 
   def queryAttrs(df: DataFrame): MetaCompiler.Attrs = {
-    case "creator" => Some(df("creator"))
-    case "created_timestamp" => Some(unix_timestamp(df("created_timestamp")).cast("double"))
-    case "name" => Some(df("name"))
-    case "namespace" => Some(df("namespace"))
-    case "source" => Some(df("source"))
+    case "creator" => Some((df("creator"), ShredStr))
+    case "created_timestamp" =>
+      Some((unix_timestamp(df("created_timestamp")).cast("double"), ShredNum))
+    case "name" => Some((df("name"), ShredStr))
+    case "namespace" => Some((df("namespace"), ShredStr))
+    case "source" => Some((df("source"), ShredStr))
     case _ => None
   }
 }

@@ -76,7 +76,9 @@ object ModelEval {
 
   def evalScalarPred(m: Map[String, Any], l: Scalar, raw: Any => Boolean): Boolean = l match {
     case MetaAttr(n) => m.get(n).exists(raw)
-    case ObjectAttr(_) => false // callers bind object attrs separately
+    // object attributes live under "@"-prefixed model keys (no metadata
+    // key can start with '@' — META_NAME requires a letter)
+    case ObjectAttr(n) => m.get("@" + n).exists(raw)
     case ArrayAny(n) => m.get(n).flatMap(elems).exists(_.exists(raw))
     // int subscript applies to ARRAYS only — on a dict the reference's
     // evaluator hits KeyError => false (meta_evaluator.py:143-150)

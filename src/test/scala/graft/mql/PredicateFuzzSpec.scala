@@ -27,10 +27,17 @@ class PredicateFuzzSpec extends SparkTestBase {
       .filter(r => r.getLong(0) % 97 != 0) // not retired
       .map { r =>
         val k = r.getLong(0)
+        val ck = r.getLong(1)
         val run = k % 1000
         val runs = Seq(run, run + 1000, run + 2000).take(1 + (k % 3).toInt)
         val tags = (0 to 3).map(i => s"tag${(k + i) % 7}").take(1 + (k % 4).toInt)
-        val base = Map[String, Any](
+        val attrs = Map[String, Any](
+          "@size" -> (k * 100 + ck % 100),
+          "@creator" -> s"user${ck % 10}",
+          "@namespace" -> s"ns${ck % 4}",
+          "@name" -> s"f_$k.dat",
+          "@created_timestamp" -> r.getLong(6))
+        val base = attrs ++ Map[String, Any](
           "core.run" -> run,
           "core.status" -> r.getString(2),
           "core.priority" -> r.getString(3),
@@ -45,99 +52,8 @@ class PredicateFuzzSpec extends SparkTestBase {
       }
   }
 
-  // ---- clean-room evaluator ----
-  private def num(v: Any): Option[Double] = v match {
-    case i: Long => Some(i.toDouble)
-    case i: Int => Some(i.toDouble)
-    case d: Double => Some(d)
-    case _ => None
-  }
-  private def str(v: Any): Option[String] = v match {
-    case s: String => Some(s); case _ => None
-  }
-
-  private def cmpRaw(v: Any, op: String, c: Const): Boolean = (op, c) match {
-    case ("!=", _) => !cmpRaw(v, "==", c) // complement among present values
-    case (_, IntC(i)) => cmpNum(v, op, i.toDouble)
-    case (_, FloatC(d)) => cmpNum(v, op, d)
-    case (_, StringC(s)) => cmpStr(v, op, s)
-    case (_, BoolC(b)) => op == "==" && (v match { case x: Boolean => x == b; case _ => false })
-    case _ => false
-  }
-  private def cmpNum(v: Any, op: String, d: Double): Boolean = num(v) match {
-    case Some(x) => op match {
-      case "==" => x == d
-      case "<" => x < d
-      case "<=" => x <= d
-      case ">" => x > d
-      case ">=" => x >= d
-      case _ => false
-    }
-    case None => false
-  }
-  private def cmpStr(v: Any, op: String, s: String): Boolean = str(v) match {
-    case Some(x) => op match {
-      case "==" => x == s
-      case "<" => x < s
-      case "<=" => x <= s
-      case ">" => x > s
-      case ">=" => x >= s
-      case "~" => java.util.regex.Pattern.compile(s).matcher(x).find()
-      case "~*" => java.util.regex.Pattern.compile(s, java.util.regex.Pattern.CASE_INSENSITIVE).matcher(x).find()
-      case "!~" => !java.util.regex.Pattern.compile(s).matcher(x).find()
-      case "!~*" => !java.util.regex.Pattern.compile(s, java.util.regex.Pattern.CASE_INSENSITIVE).matcher(x).find()
-      case _ => false
-    }
-    case None => false
-  }
-
-  private def elems(v: Any): Option[Seq[Any]] = v match {
-    case s: Seq[_] => Some(s)
-    case m: Map[_, _] => Some(m.values.toSeq)
-    case _ => None
-  }
-
-  private def inSetRaw(v: Any, vs: List[Const]): Boolean =
-    vs.exists(c => cmpRaw(v, "==", c))
-  private def inRangeRaw(v: Any, lo: Const, hi: Const): Boolean = (lo, hi) match {
-    case (IntC(a), IntC(b)) => num(v).exists(x => x >= a && x <= b)
-    case (FloatC(a), FloatC(b)) => num(v).exists(x => x >= a && x <= b)
-    case (StringC(a), StringC(b)) => str(v).exists(x => x >= a && x <= b)
-    case _ => false
-  }
-
-  private def evalScalarPred(m: Map[String, Any], l: Scalar,
-      raw: Any => Boolean): Boolean = l match {
-    case MetaAttr(n) => m.get(n).exists(raw)
-    case ObjectAttr(_) => false // generator never emits these here
-    case ArrayAny(n) => m.get(n).flatMap(elems).exists(_.exists(raw))
-    case SubscriptInt(n, i) =>
-      m.get(n).flatMap(elems).flatMap(s => s.lift(i)).exists(raw)
-    case SubscriptKey(n, k) => m.get(n) match {
-      case Some(mm: Map[_, _]) => mm.asInstanceOf[Map[String, Any]].get(k).exists(raw)
-      case _ => false
-    }
-    case ArrayLen(n) => m.get(n) match {
-      case Some(s: Seq[_]) => raw(s.length.toLong)
-      case _ => false
-    }
-    case ArrayAll(_) => throw new IllegalStateException("normalized away")
-  }
-
-  private def eval(m: Map[String, Any], e: MetaExp): Boolean = e match {
-    case MAnd(cs) => cs.forall(eval(m, _))
-    case MOr(cs) => cs.exists(eval(m, _))
-    case Present(n, neg) => m.contains(n) ^ neg
-    case Cmp(l, op, c, neg) => evalScalarPred(m, l, v => cmpRaw(v, op, c)) ^ neg
-    case InRange(l, lo, hi, neg, inv) =>
-      val raw: Any => Boolean =
-        if (inv) v => !inRangeRaw(v, lo, hi) else v => inRangeRaw(v, lo, hi)
-      evalScalarPred(m, l, raw) ^ neg
-    case InSet(l, vs, neg, inv) =>
-      val raw: Any => Boolean =
-        if (inv) v => !inSetRaw(v, vs) else v => inSetRaw(v, vs)
-      evalScalarPred(m, l, raw) ^ neg
-  }
+  private def eval(m: Map[String, Any], e: MetaExp): Boolean =
+    ModelEval.evalMeta(m, e)
 
   // ---- predicate generator over the real key population ----
   private val keysScalar = Seq("core.run", "core.status", "core.priority",
@@ -147,11 +63,16 @@ class PredicateFuzzSpec extends SparkTestBase {
   private val constG: Gen[Const] = Gen.oneOf(
     Gen.choose(0L, 1100L).map(IntC.apply),
     Gen.choose(0.0, 3100.0).map(d => FloatC(math.rint(d * 10) / 10)),
-    Gen.oneOf("O", "F", "P", "w41", "tag3", "note-F-5", "1-URGENT", "zzz").map(StringC.apply),
+    Gen.oneOf("O", "F", "P", "w41", "tag3", "note-F-5", "1-URGENT", "zzz",
+      "user3", "ns2", "f_7.dat", "f_1").map(StringC.apply),
+    Gen.choose(800000000L, 950000000L).map(t => FloatC(t.toDouble)), // epoch range
+    Gen.choose(0L, 160000L).map(v => IntC(v * 100)), // size range
     Gen.oneOf(true, false).map(BoolC.apply))
 
   private val scalarG: Gen[Scalar] = Gen.frequency(
     4 -> Gen.oneOf(keysScalar).map(MetaAttr.apply),
+    2 -> Gen.oneOf("size", "creator", "namespace", "name", "created_timestamp")
+      .map(ObjectAttr.apply),
     2 -> Gen.oneOf(keysArray).map(ArrayAny.apply),
     1 -> Gen.zip(Gen.oneOf(keysArray), Gen.choose(0, 3)).map { case (n, i) => SubscriptInt(n, i) },
     1 -> Gen.oneOf("muon", "electron", "nope").map(k => SubscriptKey("core.bits", k)),
