@@ -47,9 +47,15 @@ object MqlParser extends RegexParsers {
   private def kw(s: String): Parser[String] =
     (s + "(?![a-zA-Z0-9_])").r
 
-  /** FNAME: LETTER ("_"|"-"|"."|LETTER|DIGIT|"/")* — minus reserved words */
+  /** FNAME: LETTER ("_"|"-"|"."|LETTER|DIGIT|"/")* — minus reserved words
+    * (in positions where a keyword could also start, e.g. a dataset list
+    * element vs a following `limit`) */
   private val fname: Parser[String] =
     """[a-zA-Z][a-zA-Z0-9_\-./]*""".r.filter(!reserved(_)).withFailureMessage("name expected")
+  /** after a `:` no keyword can appear, so reserved words are legal names
+    * there (a dataset named `join` is fine — the reference's contextual
+    * lexer accepts it too) */
+  private val fnameRelaxed: Parser[String] = """[a-zA-Z][a-zA-Z0-9_\-./]*""".r
   /** FID: ("_"|"-"|"."|LETTER|DIGIT|"/")+ — keywords excluded so a
     * following list element (`fids a, b, files x:y`) terminates the list */
   private val fidTok: Parser[String] =
@@ -284,7 +290,7 @@ object MqlParser extends RegexParsers {
 
   // ---------- dataset selectors ----------
   private val qualifiedName: Parser[(Option[String], String)] =
-    (fname ~ (":" ~> fname) ^^ { case ns ~ n => (Some(ns), n) }) |
+    (fname ~ (":" ~> fnameRelaxed) ^^ { case ns ~ n => (Some(ns), n) }) |
       (fname ^^ (n => (None, n)))
 
   private def globToLike(p: String): String =

@@ -16,9 +16,13 @@ class MqlRoundTripSpec extends AnyFunSuite {
     catch { case e: Exception => Left(s"${e.getMessage} for: ${MqlPrinter.print(t)}") }
 
   // ---- generators (normalized forms only) ----
-  private val nameG: Gen[String] = for {
+  // namespace-position names must not collide with keywords (same
+  // restriction as the reference's contextual lexer); name-after-colon
+  // positions accept keywords — covered by the explicit test below
+  private val someReserved = Set("join", "fids", "skip", "file", "from")
+  private val nameG: Gen[String] = (for {
     a <- Gen.choose('a', 'z'); b <- Gen.listOfN(3, Gen.alphaLowerChar)
-  } yield (a :: b).mkString
+  } yield (a :: b).mkString).filterNot(someReserved)
 
   private val metaNameG: Gen[String] =
     for (a <- nameG; b <- nameG) yield s"$a.$b"
@@ -126,6 +130,13 @@ class MqlRoundTripSpec extends AnyFunSuite {
     6 -> fileG(2).map(TopFileQ.apply),
     1 -> Gen.listOfN(2, selG).map(s => TopDatasetQ(s.distinct)),
     1 -> Gen.option(atomG).map(w => TopQueryQ(None, w)))
+
+  test("keywords are legal names after a colon") {
+    val t = TopFileQ(Bfq(List(Ast.DatasetSel(DsExact(Some("bmtk"), "join")))))
+    assert(roundTrip(t) == Right(t))
+    val f = TopFileQ(FileListQ(List((Some("ns1"), "limit")), Nil))
+    assert(roundTrip(f) == Right(f))
+  }
 
   test("print -> parse -> resolve is identity on normalized ASTs") {
     val prop = Prop.forAll(topG) { t =>
