@@ -21,6 +21,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     var explain = false
     var includeRetired = false
+    var withProvenance = false
     var summary: Option[String] = None
     var catalogRoot: Option[String] = None
     var defaultNs: Option[String] = None
@@ -30,6 +31,8 @@ object Cli {
       args(i) match {
         case "-x" | "--explain" => explain = true
         case "-r" | "--include-retired" => includeRetired = true
+        // metacat_query.py:49 `-P/--with-provenance`
+        case "-P" | "--with-provenance" => withProvenance = true
         case "-s" | "--summary" => summary = Some(args(i + 1)); i += 1
         case "-c" => catalogRoot = Some(args(i + 1)); i += 1
         case "-n" => defaultNs = Some(args(i + 1)); i += 1
@@ -53,7 +56,9 @@ object Cli {
     if (explain)
       println(Mql.explain(spark, cat, text, defaultNs))
     else {
-      val result = Mql.query(spark, cat, text, defaultNs, includeRetired)
+      val result0 = Mql.query(spark, cat, text, defaultNs, includeRetired)
+      val result =
+        if (withProvenance) Mql.withProvenance(cat, result0) else result0
       // `--summary count|keys|key-values` parity (metacat_query.py -s)
       val out = summary match {
         case Some("count") => Mql.summaryCount(result)

@@ -47,6 +47,9 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
   override def files: DataFrame =
     readOr("files", FilesSchema)
       .withColumn("metadata", parse_json(col("metadata_json")))
+      // a row ingested with null retired must not vanish from default
+      // queries (Planner filters on !retired, which is null-out for null)
+      .withColumn("retired", coalesce(col("retired"), lit(false)))
       .drop("metadata_json")
 
   override def filesDatasets: DataFrame = readOr("files_datasets", FilesDatasetsSchema)
@@ -73,26 +76,61 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
 
   // ---- write path (catalog maintenance) ----
 
-  /** declare new files (data_handler.py:631-780): rows must carry
-    * fid/namespace/name/metadata_json/creator/created_timestamp/size;
-    * metadata is validated against `constraints` before commit. */
+  /** Declare new files (data_handler.py:631-780).
+    *
+    * Required row columns: `fid, namespace, name, metadata_json, creator,
+    * created_timestamp, size`. Optional (defaulted when absent):
+    * `checksums` (null), `updated_by`/`updated_timestamp` (null),
+    * `retired` (false — also coalesced to false when passed as null),
+    * `retired_timestamp`/`retired_by` (null).
+    *
+    * When `dataset` is given the files are also added to it, reproducing
+    * the reference's declare-into-dataset flow: the dataset must exist and
+    * not be frozen (monotonic datasets DO accept newly declared files —
+    * monotonic forbids attaching or removing pre-existing files, not
+    * appends; data_handler.py:388-396 vs :748-762), every metadata key
+    * must carry a category prefix (`a.b`, data_handler.py:748-754), and
+    * metadata is validated against the dataset's stored
+    * `file_metadata_requirements` (dbobjects2.py:1577-1597) plus any
+    * caller-supplied `constraints`.
+    */
   def declareFiles(rows: DataFrame,
-      constraints: Seq[Validation.Constraint] = Nil): Unit = {
-    val violations = Validation.validate(rows, constraints)
-    val bad = violations.limit(1).collect()
-    if (bad.nonEmpty)
-      throw new IllegalArgumentException(
-        s"metadata validation failed: ${bad.head.mkString(", ")}")
-    align(rows, FilesSchema)
+      constraints: Seq[Validation.Constraint] = Nil,
+      dataset: Option[(String, String)] = None): Unit = {
+    val missing = RequiredDeclareCols.filterNot(rows.columns.contains)
+    require(missing.isEmpty,
+      s"declareFiles rows missing required columns: ${missing.mkString(", ")}")
+
+    val dsConstraints = dataset match {
+      case Some((ns, n)) =>
+        val ds = datasetRow(ns, n)
+        if (ds.frozen)
+          throw new IllegalArgumentException(s"dataset $ns:$n is frozen")
+        checkCategories(rows)
+        ds.requirements
+      case None => Nil
+    }
+    failOnViolations(rows, dsConstraints ++ constraints)
+
+    withDeclareDefaults(rows, FilesSchema)
       .write.mode(SaveMode.Append).partitionBy("namespace").parquet(path("files"))
+    dataset.foreach { case (ns, n) =>
+      rows.select(col("fid"))
+        .withColumn("dataset_namespace", lit(ns))
+        .withColumn("dataset_name", lit(n))
+        .write.mode(SaveMode.Append).parquet(path("files_datasets"))
+    }
   }
 
   def createDataset(namespace: String, name: String, frozen: Boolean = false,
       monotonic: Boolean = false, creator: String = "graft",
-      metadataJson: String = "{}"): Unit = {
+      metadataJson: String = "{}",
+      fileMetaRequirementsJson: String = null): Unit = {
     import spark.implicits._
-    val row = Seq((namespace, name, frozen, monotonic, creator, metadataJson))
-      .toDF("namespace", "name", "frozen", "monotonic", "creator", "metadata_json")
+    val row = Seq((namespace, name, frozen, monotonic, creator, metadataJson,
+      Option(fileMetaRequirementsJson)))
+      .toDF("namespace", "name", "frozen", "monotonic", "creator", "metadata_json",
+        "file_metadata_requirements")
       .withColumn("created_timestamp", current_timestamp())
       .withColumn("description", lit(s"dataset $name"))
       .withColumn("file_count", lit(null).cast("long"))
@@ -107,17 +145,21 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     addTo(fileSet, namespace, name, checkFlags = false)
   }
 
-  /** `add_to`: add a query result's files to an existing dataset; frozen
-    * datasets reject changes (docs/concepts.rst:56-88). */
+  /** `add_to`: add a query result's (pre-existing) files to a dataset.
+    * Frozen datasets reject all changes; monotonic datasets reject
+    * attaching existing files — they only grow by declaring new ones
+    * (data_handler.py:388-396, docs/concepts.rst:56-88). */
   def addTo(fileSet: DataFrame, namespace: String, name: String,
       checkFlags: Boolean = true): Unit = {
     if (checkFlags) {
-      val ds = datasets.filter(col("namespace") === namespace && col("name") === name)
-        .select("frozen").collect()
-      if (ds.isEmpty)
-        throw new IllegalArgumentException(s"dataset $namespace:$name does not exist")
-      if (ds.head.getBoolean(0))
+      val ds = datasetRow(namespace, name)
+      if (ds.frozen)
         throw new IllegalArgumentException(s"dataset $namespace:$name is frozen")
+      if (ds.monotonic)
+        throw new IllegalArgumentException(s"dataset $namespace:$name is monotonic")
+      // a dataset's metadata requirements bind at add time too
+      // (data_handler.py:959 re-validates when files join a dataset)
+      if (ds.requirements.nonEmpty) failOnViolations(fileSet, ds.requirements)
     }
     val existing = filesDatasets
       .filter(col("dataset_namespace") === namespace && col("dataset_name") === name)
@@ -127,6 +169,22 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       .withColumn("dataset_namespace", lit(namespace))
       .withColumn("dataset_name", lit(name))
       .write.mode(SaveMode.Append).parquet(path("files_datasets"))
+  }
+
+  /** remove files from a dataset (data_handler.py remove endpoint:
+    * frozen and monotonic datasets both reject removal, :512-524). */
+  def removeFrom(fileSet: DataFrame, namespace: String, name: String): Unit = {
+    val ds = datasetRow(namespace, name)
+    if (ds.frozen)
+      throw new IllegalArgumentException(s"dataset $namespace:$name is frozen")
+    if (ds.monotonic)
+      throw new IllegalArgumentException(s"dataset $namespace:$name is monotonic")
+    val all = readOr("files_datasets", FilesDatasetsSchema)
+    val inDs = col("dataset_namespace") === namespace && col("dataset_name") === name
+    val kept = all.filter(!inDs).unionByName(
+      all.filter(inDs).join(fileSet.select("fid"), Seq("fid"), "left_anti")
+        .select("fid", "dataset_namespace", "dataset_name"))
+    rewrite(kept, "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
   }
 
   /** retire files by id (data_handler.py retire path; schema.sql:63-65) —
@@ -140,7 +198,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
         when(col("__hit"), current_timestamp()).otherwise(col("retired_timestamp")))
       .withColumn("retired_by", when(col("__hit"), lit(by)).otherwise(col("retired_by")))
       .drop("__hit")
-    rewrite(updated, "files", partitionCols = Seq("namespace"))
+    rewrite(updated, "files", FilesSchema, partitionCols = Seq("namespace"))
   }
 
   /** bulk metadata update, modes per `update_file_meta`
@@ -149,16 +207,19 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
   def updateFileMeta(fids: Seq[String], patchJson: String, mode: String = "update",
       by: String = "graft"): Unit = {
     require(mode == "update" || mode == "replace", s"bad mode $mode")
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val raw = readOr("files", FilesSchema)
     val merged = mode match {
       case "replace" => lit(patchJson)
       case "update" =>
-        // JSON-level merge of top-level keys; patch wins on conflict
+        // JSON-level merge of top-level keys; patch wins on conflict.
+        // Colliding original keys are dropped before the concat so no
+        // session-wide mapKeyDedupPolicy setting is needed.
+        val orig = coalesce(
+          try_variant_get(parse_json(col("metadata_json")), "$", "map<string,variant>"),
+          map().cast("map<string,variant>"))
+        val patch = try_variant_get(parse_json(lit(patchJson)), "$", "map<string,variant>")
         to_json(map_concat(
-          coalesce(try_variant_get(parse_json(col("metadata_json")), "$", "map<string,variant>"),
-            map().cast("map<string,variant>")),
-          try_variant_get(parse_json(lit(patchJson)), "$", "map<string,variant>")))
+          map_filter(orig, (k, _) => !map_contains_key(patch, k)), patch))
     }
     val updated = raw
       .withColumn("__hit", col("fid").isin(fids: _*))
@@ -167,7 +228,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       .withColumn("updated_timestamp",
         when(col("__hit"), current_timestamp()).otherwise(col("updated_timestamp")))
       .drop("__hit")
-    rewrite(updated, "files", partitionCols = Seq("namespace"))
+    rewrite(updated, "files", FilesSchema, partitionCols = Seq("namespace"))
   }
 
   /** move files between namespaces (data_handler.py move-namespace
@@ -183,7 +244,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       .withColumn("updated_timestamp",
         when(col("__hit"), current_timestamp()).otherwise(col("updated_timestamp")))
       .drop("__hit")
-    rewrite(updated, "files", partitionCols = Seq("namespace"))
+    rewrite(updated, "files", FilesSchema, partitionCols = Seq("namespace"))
   }
 
   def saveNamedQuery(namespace: String, name: String, source: String,
@@ -210,14 +271,62 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
 
   // ---- helpers ----
 
+  private case class DsRow(frozen: Boolean, monotonic: Boolean,
+      requirements: Seq[Validation.Constraint])
+
+  private def datasetRow(namespace: String, name: String): DsRow = {
+    val rows = readOr("datasets", DatasetsSchema)
+      .filter(col("namespace") === namespace && col("name") === name)
+      .select("frozen", "monotonic", "file_metadata_requirements")
+      .collect()
+    if (rows.isEmpty)
+      throw new IllegalArgumentException(s"dataset $namespace:$name does not exist")
+    val r = rows.head
+    DsRow(r.getBoolean(0), r.getBoolean(1),
+      Option(r.getString(2)).map(Validation.parseRequirements).getOrElse(Nil))
+  }
+
+  private def failOnViolations(rows: DataFrame,
+      constraints: Seq[Validation.Constraint]): Unit = {
+    if (constraints.isEmpty) return
+    val bad = Validation.validate(rows, constraints).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"metadata validation failed: ${bad.head.mkString(", ")}")
+  }
+
+  /** every metadata key needs a category prefix (data_handler.py:748-754) */
+  private def checkCategories(rows: DataFrame): Unit = {
+    val meta =
+      if (rows.columns.contains("metadata")) col("metadata")
+      else parse_json(col("metadata_json"))
+    val keys = map_keys(try_variant_get(meta, "$", "map<string,variant>"))
+    val bad = rows
+      .select(col("fid"), explode(filter(keys, k => !k.contains("."))).as("key"))
+      .limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"metadata parameter without a category: ${bad.head.getString(1)} (file ${bad.head.getString(0)})")
+  }
+
   private def align(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
 
+  /** align + default the optional declare columns (null, retired=false) */
+  private def withDeclareDefaults(df: DataFrame, schema: StructType): DataFrame = {
+    var out = df
+    for (f <- schema.fields if !out.columns.contains(f.name))
+      out = out.withColumn(f.name, lit(null).cast(f.dataType))
+    align(out.withColumn("retired", coalesce(col("retired").cast("boolean"), lit(false))),
+      schema)
+  }
+
   /** full-table compacting rewrite (write new, swap) — stands in for a
     * lakehouse MERGE at this environment's scale */
-  private def rewrite(df: DataFrame, table: String, partitionCols: Seq[String]): Unit = {
+  private def rewrite(df: DataFrame, table: String, schema: StructType,
+      partitionCols: Seq[String]): Unit = {
     val tmp = path(table + "__tmp")
-    val w = align(df, FilesSchema).write.mode(SaveMode.Overwrite)
+    val w = align(df, schema).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
     val dst = new java.io.File(path(table))
     val bak = new java.io.File(path(table + "__old"))
@@ -236,6 +345,11 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
 }
 
 object ParquetCatalog {
+  /** columns declareFiles callers must supply; the rest are defaulted */
+  val RequiredDeclareCols: Seq[String] =
+    Seq("fid", "namespace", "name", "metadata_json", "creator",
+      "created_timestamp", "size")
+
   val FilesSchema: StructType = StructType(Seq(
     StructField("fid", StringType, nullable = false),
     StructField("namespace", StringType, nullable = false),
@@ -265,6 +379,10 @@ object ParquetCatalog {
     StructField("created_timestamp", TimestampType),
     StructField("description", StringType),
     StructField("metadata_json", StringType),
+    // the reference's per-dataset metadata contract, as a JSON object
+    // {key: {required, values, min, max, pattern}} (schema.sql:109,
+    // dbobjects2.py:961-964)
+    StructField("file_metadata_requirements", StringType),
     StructField("file_count", LongType)))
 
   val ParentChildSchema: StructType = StructType(Seq(

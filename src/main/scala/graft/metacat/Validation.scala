@@ -76,6 +76,35 @@ object Validation {
   private def cast_to_string(c: Column): Column =
     when(c.isNotNull, c.cast("string"))
 
+  /** Parse a dataset's stored `file_metadata_requirements` JSON —
+    * `{key: {required, type, values, min, max, pattern}}`, the shape of
+    * `DBDataset.FileMetaRequirements` (dbobjects2.py:1577-1597) — into
+    * [[Constraint]]s. Uses Jackson (already on Spark's classpath). */
+  def parseRequirements(json: String): Seq[Constraint] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val node = new ObjectMapper().readTree(json)
+    require(node != null && node.isObject, s"requirements must be a JSON object: $json")
+    node.properties().asScala.toSeq.map { e =>
+      val key = e.getKey
+      val c = e.getValue
+      def numOpt(f: String) = Option(c.get(f)).filter(_.isNumber).map(_.asDouble())
+      def strOpt(f: String) = Option(c.get(f)).filter(_.isTextual).map(_.asText())
+      val values = Option(c.get("values")).filter(_.isArray)
+        .map(_.elements().asScala.map(v =>
+          if (v.isTextual) v.asText() else v.asText()).toSeq)
+        .getOrElse(Nil)
+      Constraint(
+        key = key,
+        typ = strOpt("type"),
+        min = numOpt("min"),
+        max = numOpt("max"),
+        values = values,
+        pattern = strOpt("pattern"),
+        required = Option(c.get("required")).exists(_.asBoolean(false)))
+    }
+  }
+
   /** validate rows carrying a `metadata_json` (or Variant `metadata`)
     * column; returns (fid, error) rows — empty means all valid */
   def validate(rows: DataFrame, constraints: Seq[Constraint]): DataFrame = {

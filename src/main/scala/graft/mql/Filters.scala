@@ -1,8 +1,8 @@
 package graft.mql
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 import scala.collection.mutable
 import Ast._
 
@@ -16,14 +16,17 @@ import Ast._
   * file id, which makes the order-sensitive filters deterministic and
   * oracle-testable.
   *
-  * Scale notes: `sample`/`stride` need a global row index — a full sort.
-  * That is inherent to their semantics (the reference streams through one
-  * generator, i.e. is single-threaded anyway). The scale path the reference
-  * itself recommends (docs/mql.rst:314-322) is `hash`, which is
-  * order-independent, partition-disjoint and runs embarrassingly parallel
-  * here (one codegen'd predicate, no shuffle). `mix` is inherently
-  * sequential (weighted round-robin with global dedup) and runs driver-side
-  * over `toLocalIterator` streams, exactly like the reference's generator.
+  * Scale notes: `sample`/`stride` need a global row index over the
+  * id-ordered stream. That index is computed distributedly (see
+  * [[Filters.selectByGlobalIndex]]) — a range-partitioned sort of the
+  * narrow fid column plus per-partition offsets, never a single-partition
+  * window. The scale path the reference itself recommends
+  * (docs/mql.rst:314-322) is `hash`, which is order-independent,
+  * partition-disjoint and runs embarrassingly parallel here (one codegen'd
+  * predicate, no shuffle). `mix` is inherently sequential (weighted
+  * round-robin with global dedup) and must stream through one consumer,
+  * exactly like the reference's generator — but only the narrow
+  * (fid, rank) pair crosses the driver, in bounded chunks.
   */
 object Filters {
 
@@ -49,27 +52,39 @@ object Filters {
     *
     * `lookup` must have a `key` column; every other column `c` lands in
     * metadata as `<prefix>.<c>`. Files without a match pass through
-    * unchanged (left join, like the reference's generators).
+    * unchanged (left join, like the reference's generators). The join key
+    * is typed from the lookup's `key` column: numeric keys match numeric
+    * metadata values, string keys match string values — a Python dict
+    * lookup's strictness (`"42"` never matches `42`).
     */
   final class LookupJoinFilter(lookup: DataFrame, metaKey: String,
       prefix: String) extends GraftFilter {
-    import org.apache.spark.sql.DataFrame
 
     override def apply(spark: SparkSession, inputs: Seq[DataFrame],
         params: Seq[Const], kw: Map[String, Const]): DataFrame = {
       val df = inputs.head
-      spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      val keyIsNum = lookup.schema("key").dataType.isInstanceOf[NumericType]
       val extCols = lookup.columns.filter(_ != "key")
       val extStruct = struct(extCols.map(c => lookup(c).as(s"$prefix.$c")).toIndexedSeq: _*)
-      val keyed = lookup.select(col("key").cast("double").as("__lk"),
+      val keyed = lookup.select(
+        col("key").cast(if (keyIsNum) "double" else "string").as("__lk"),
         extStruct.as("__ext"))
-      val joined = df.withColumn("__lk",
-        try_variant_get(col("metadata"), s"$$['$metaKey']", "double"))
+      val mv = try_variant_get(col("metadata"), s"$$['$metaKey']", "variant")
+      val fileKey =
+        if (keyIsNum)
+          when(schema_of_variant(mv).rlike("^(BIGINT|DOUBLE|DECIMAL|FLOAT|SMALLINT|TINYINT|INT)"),
+            try_variant_get(mv, "$", "double"))
+        else
+          when(schema_of_variant(mv) === "STRING", try_variant_get(mv, "$", "string"))
+      val joined = df.withColumn("__lk", fileKey)
         .join(broadcast(keyed), Seq("__lk"), "left")
+      // top-level merge, patch wins: drop colliding original keys instead of
+      // relying on the session-wide spark.sql.mapKeyDedupPolicy
+      val orig = try_variant_get(col("metadata"), "$", "map<string,variant>")
+      val ext = try_variant_get(parse_json(to_json(col("__ext"))), "$", "map<string,variant>")
       val mergedMeta = when(col("__ext").isNotNull,
         parse_json(to_json(map_concat(
-          try_variant_get(col("metadata"), "$", "map<string,variant>"),
-          try_variant_get(parse_json(to_json(col("__ext"))), "$", "map<string,variant>")))))
+          map_filter(orig, (k, _) => !map_contains_key(ext, k)), ext))))
         .otherwise(col("metadata"))
       joined.withColumn("metadata", mergedMeta).drop("__lk", "__ext")
     }
@@ -96,17 +111,17 @@ object Filters {
       case List(df) => df
       case _ => throw new IllegalArgumentException(s"filter $name takes one file set")
     }
-    val byFid = Window.orderBy("fid")
 
     name match {
       case "sample" =>
         // accumulator x+=f; if x>=1 {x-=1; yield} over the id-ordered
-        // stream (filters.py:52-69) == keep i-th (0-based) iff
-        // floor((i+1)f) > floor(i f)
+        // stream (filters.py:52-69) == keep 0-based row i iff
+        // floor((i+1)f) > floor(i f). The closed form is an intentional
+        // deviation from the reference's float accumulation (which drifts:
+        // ten 0.1-adds sum to 0.9999…); both our engine and the oracle use
+        // the exact form, so they agree on every row.
         val f = num(params.head)
-        one.withColumn("__rn", row_number().over(byFid).cast("double"))
-          .filter(floor(col("__rn") * f) > floor((col("__rn") - 1) * f))
-          .drop("__rn")
+        selectByGlobalIndex(one, i => math.floor((i + 1) * f) > math.floor(i * f))
 
       case "limit" =>
         one.limit(num(params.head).toInt)
@@ -116,9 +131,7 @@ object Filters {
         // (filters.py:85-103)
         val m = num(params.head).toLong
         val r = params.drop(1).headOption.map(num(_).toLong).getOrElse(0L)
-        one.withColumn("__rn", row_number().over(byFid))
-          .filter((col("__rn") - 1) % m === r)
-          .drop("__rn")
+        selectByGlobalIndex(one, i => i % m == r)
 
       case "hash" =>
         // adler32(fid) % m == r — order-independent, partition-disjoint for
@@ -128,14 +141,16 @@ object Filters {
         one.filter(adler32(col("fid")) % m === r)
 
       case "randomize" =>
-        // pseudo-random but deterministic reorder: sort by a seeded hash of
-        // the id. The reference shuffles within a bounded window
+        // pseudo-random but deterministic reorder: sort by a seeded keyed
+        // hash of the id. The reference shuffles within a bounded window
         // (filters.py:125-149) and documents the output order only as
-        // "pseudo random"; a keyed-hash sort meets that contract and stays
-        // distributed.
+        // "pseudo random"; a keyed-hash sort meets that contract, stays
+        // distributed, and — using md5 rather than an engine-specific
+        // hash — is reproducible by any engine (the DuckDB oracle derives
+        // the identical key). fid tiebreak guards md5 collisions.
         val seed = params.headOption.map(num(_).toLong)
           .orElse(kw.get("seed").map(num(_).toLong)).getOrElse(0L)
-        one.orderBy(xxhash64(col("fid"), lit(seed)))
+        one.orderBy(randomizeKey(col("fid"), seed), col("fid"))
 
       case "mix" =>
         mix(spark, params.map(num), inputs)
@@ -148,50 +163,123 @@ object Filters {
     }
   }
 
-  /** weighted round-robin interleave of k id-ordered streams with global
+  /** `randomize` sort key: md5("<seed>:<fid>") — portable across engines */
+  def randomizeKey(fid: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    md5(concat(lit(s"$seed:"), fid))
+
+  /** Select rows of `df` whose 0-based position in the fid-ordered stream
+    * satisfies `keep`, with the global index computed DISTRIBUTEDLY:
+    *
+    *  1. sort the narrow fid column (range-partitioned exchange — every
+    *     partition holds a contiguous fid range, sorted);
+    *  2. `RDD.zipWithIndex` — one light count job, then every partition
+    *     numbers itself in parallel from its offset;
+    *  3. semi-join the selected ids back to the full rows (co-located when
+    *     `files` is bucketed by fid).
+    *
+    * Only the fid string crosses the DataFrame→RDD boundary, so the wide
+    * row (Variant metadata and all) stays in columnar land. This replaces
+    * the round-1 `Window.orderBy("fid")` with no partitionBy, which
+    * funneled the entire set through a single task.
+    */
+  private def selectByGlobalIndex(df: DataFrame, keep: Long => Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val picked = df.select("fid").sort("fid").as[String].rdd
+      .zipWithIndex()
+      .collect { case (fid, i) if keep(i) => fid }
+    df.join(spark.createDataset(picked).toDF("fid"), Seq("fid"), "left_semi")
+  }
+
+  /** (fid, rank) pairs the driver buffers per spill chunk during `mix`.
+    * Driver memory is O(MixChunk + distinct fids seen) — the fid dedup set
+    * is inherent to the algorithm (the reference's generator holds the
+    * same set, filters.py:160). */
+  private[mql] val MixChunk = 100000
+
+  /** Weighted round-robin interleave of k id-ordered streams with global
     * dedup by fid; stops at first exhaustion — faithful port of the score
-    * algorithm in filters.py:151-191. Driver-side by nature. */
+    * algorithm in filters.py:151-191, driver-sequenced by nature.
+    *
+    * Unlike round 1 (which buffered every full Row in an ArrayBuffer), the
+    * driver now pulls only the narrow fid column from each input, assigns
+    * mix ranks lazily, spills (fid, rank) in [[MixChunk]]-sized chunks to a
+    * scratch parquet, and re-attaches the full rows with a distributed
+    * join; the result is ordered by mix rank.
+    */
   private def mix(spark: SparkSession, ratios: List[Double],
       inputs: List[DataFrame]): DataFrame = {
+    require(inputs.nonEmpty, "mix: no inputs")
     require(ratios.length == inputs.length,
       s"mix: ${ratios.length} ratios for ${inputs.length} inputs")
-    val schema = inputs.head.schema
-    val iters: Array[Iterator[Row]] = inputs.map { df =>
-      val it = df.orderBy("fid").toLocalIterator()
-      new Iterator[Row] {
-        def hasNext: Boolean = it.hasNext
-        def next(): Row = it.next()
-      }
+    import scala.jdk.CollectionConverters._
+    // narrow driver streams: only fid is pulled through toLocalIterator
+    val fidIters: Array[Iterator[String]] = inputs.map { df =>
+      df.select("fid").sort("fid").toLocalIterator().asScala.map(_.getString(0))
     }.toArray
 
-    val out = mutable.ArrayBuffer.empty[Row]
-    val sent = mutable.HashSet.empty[String]
-    val fidIdx = schema.fieldIndex("fid")
-    // scores: (score, inputIndex)
-    var scores = inputs.indices.map(i => (0.0, i)).toList
-    var stop = false
-    while (scores.nonEmpty && !stop) {
-      scores = scores.map { case (s, i) => (s + ratios(i), i) }
-      scores = scores.sortBy { case (s, i) => (-s, -i) }
-      val (s0, i0) = scores.head
-      scores = scores.map { case (s, i) => (s - s0, i) }
-      var sentOne = false
-      val it = iters(i0)
-      while (!sentOne && !stop) {
-        if (!it.hasNext) stop = true
-        else {
-          val row = it.next()
-          val fid = row.getString(fidIdx)
-          if (!sent(fid)) {
-            out += row
-            sent += fid
-            scores = (scores.head._1 - 1.0, i0) :: scores.tail
-            sentOne = true
+    val interleaved: Iterator[(String, Long)] = new Iterator[(String, Long)] {
+      private val sent = mutable.HashSet.empty[String]
+      private var scores = ratios.indices.map(i => (0.0, i)).toList
+      private var rank = 0L
+      private var nextFid: String = _
+      private var done = false
+      private var primed = false
+
+      private def advance(): Unit = {
+        primed = true
+        nextFid = null
+        while (nextFid == null && !done) {
+          scores = scores.map { case (s, i) => (s + ratios(i), i) }
+          scores = scores.sortBy { case (s, i) => (-s, -i) }
+          val (s0, i0) = scores.head
+          scores = scores.map { case (s, i) => (s - s0, i) }
+          val it = fidIters(i0)
+          var sentOne = false
+          while (!sentOne && !done) {
+            if (!it.hasNext) done = true
+            else {
+              val fid = it.next()
+              if (!sent(fid)) {
+                sent += fid
+                scores = (scores.head._1 - 1.0, i0) :: scores.tail
+                nextFid = fid
+                sentOne = true
+              }
+            }
           }
         }
       }
+
+      def hasNext: Boolean = { if (!primed) advance(); nextFid != null }
+      def next(): (String, Long) = {
+        if (!hasNext) throw new NoSuchElementException("mix exhausted")
+        val out = (nextFid, rank); rank += 1; primed = false
+        out
+      }
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(out.toSeq.asJava, schema)
+
+    import spark.implicits._
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-mix-")
+    deleteOnExit(tmpDir.toFile)
+    var any = false
+    interleaved.grouped(MixChunk).foreach { chunk =>
+      spark.createDataset(chunk).toDF("fid", "__mix_rank")
+        .write.mode("append").parquet(tmpDir.toString)
+      any = true
+    }
+    val base = inputs.reduce(_.unionByName(_)).dropDuplicates("fid")
+    if (!any) base.limit(0)
+    else base.join(spark.read.parquet(tmpDir.toString), Seq("fid"))
+      .orderBy("__mix_rank").drop("__mix_rank")
   }
+
+  private def deleteOnExit(dir: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(dir)
+    }))
 }

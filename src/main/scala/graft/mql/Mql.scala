@@ -80,6 +80,63 @@ object Mql {
       .na.fill(0L, Seq("child_count", "parent_count"))
   }
 
+  /** `with_provenance` projection: attach per-row `parents`/`children`
+    * fid-array columns to a file result — the reference's
+    * `files_with_provenance` view (`metacat/db/schema.sql:86-97`, emitted
+    * by `dbobjects2.py:252-255`, CLI `-P` in `metacat/ui/metacat_query.py:49`).
+    *
+    * Scale shape: the edge table is first SEMI-joined to the result's fid
+    * set (broadcast when the result is selective — AQE decides), so only
+    * relevant edges reach the two aggregations; each aggregation is one
+    * shuffle on the hop key with map-side partial `collect_list`. Arrays
+    * are sorted for a canonical, engine-portable order (Postgres
+    * `array(subselect)` order is unspecified; we pin it). Files with no
+    * edges get empty arrays, like the view's `array(...)`. */
+  def withProvenance(catalog: MetacatCatalog, fileSet: DataFrame): DataFrame = {
+    val pc = catalog.parentChild
+    val fids = fileSet.select("fid")
+    val parents = pc
+      .join(fids.withColumnRenamed("fid", "child_fid"), Seq("child_fid"), "left_semi")
+      .groupBy(col("child_fid").as("fid"))
+      .agg(sort_array(collect_list("parent_fid")).as("parents"))
+    val children = pc
+      .join(fids.withColumnRenamed("fid", "parent_fid"), Seq("parent_fid"), "left_semi")
+      .groupBy(col("parent_fid").as("fid"))
+      .agg(sort_array(collect_list("child_fid")).as("children"))
+    fileSet
+      .join(parents, Seq("fid"), "left")
+      .join(children, Seq("fid"), "left")
+      .withColumn("parents", coalesce(col("parents"), array().cast("array<string>")))
+      .withColumn("children", coalesce(col("children"), array().cast("array<string>")))
+  }
+
+  /** Namespace-level rollup of file counts and sizes — the reference keeps
+    * a denormalized `file_count` on namespaces (`schema.sql:48`) and serves
+    * counts as estimates by default (`dbobjects2.py:1345-1359` reads the
+    * DB planner's row estimate; `webserver/data_handler.py:190-231` exposes
+    * `exact=yes|no`).
+    *
+    * `exact = true` filters live rows and aggregates count + total size
+    * (one shuffle, map-side partial). `exact = false` mirrors the
+    * reference's statistics estimate: a raw per-namespace row count with
+    * NO predicate (the DB estimate counts all tuples, retired included) —
+    * on a namespace-partitioned parquet layout this is answered from file
+    * footers alone, no data scan — and no size sum (the estimate endpoint
+    * returns counts only). */
+  def namespaceCounts(catalog: graft.metacat.MetacatCatalog,
+      includeRetired: Boolean = false, exact: Boolean = true): DataFrame = {
+    val f0 = catalog.files
+    if (exact) {
+      val f = if (includeRetired) f0 else f0.filter(!col("retired"))
+      f.groupBy(col("namespace"))
+        .agg(count(lit(1)).as("file_count"), sum(col("size")).as("total_size"),
+          lit(true).as("exact"))
+    } else
+      f0.groupBy(col("namespace"))
+        .agg(count(lit(1)).as("file_count"),
+          lit(null).cast("long").as("total_size"), lit(false).as("exact"))
+  }
+
   /** CLI `-x/--explain` parity (metacat_query.py:64-84): the three IRs —
     * parsed AST, resolved AST, Spark physical plan. */
   def explain(spark: SparkSession, catalog: MetacatCatalog, text: String,

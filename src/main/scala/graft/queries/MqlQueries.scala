@@ -50,7 +50,9 @@ object MqlQueries {
     "mql_regex_ci" -> q("""files from dsns:all where opt.note ~* "NOTE-O" and opt.note !~ "-1[01]$" """) _,
     "mql_any_range" -> q("files from dsns:all where core.runs[any] in 1500:1700") _,
     "mql_all_cmp" -> q("files from dsns:all where core.runs[all] < 1500") _,
-    "mql_len_subscript" -> q("""files from dsns:all where len(data.tags) == 3 and core.bits["muon"] == 1""") _,
+    // len==4 ⇒ k%4==3 ⇒ k odd ⇒ bits.muon==1: the conjunction is
+    // satisfiable (round 1 used len==3 which forced muon==0 — a 0-row gate)
+    "mql_len_subscript" -> q("""files from dsns:all where len(data.tags) == 4 and core.bits["muon"] == 1""") _,
     "mql_const_in" -> q("""files from dsns:all where "tag3" in data.tags""") _,
     "mql_mixed_type" -> q("""files from dsns:all where data.weight == "w43" or data.weight == 42""") _,
     "mql_datetime" -> q("""files from dsns:all where core.ts >= datetime("1997-01-01") and core.ts < datetime("1998-01-01")""") _,
@@ -70,18 +72,41 @@ object MqlQueries {
     "mql_skip_limit" -> q("files from dsns:all ordered skip 100 limit 20") _,
     "mql_skip_limit_fold" -> q("files from dsns:all skip 40 limit 100 skip 10 limit 30") _,
 
+    // --- file lists (SURVEY §2.1; dbobjects2.py:306-345) ---
+    // point lookups are always id-ordered; retired files ARE returned
+    // (direct lookups skip the liveness filter); postfix skip/limit folds
+    // into the list node. F00000097 is retired (97 % 97 == 0).
+    "mql_file_list" -> q("fids F00000003, F00000097, F00000101, F00000202 skip 1 limit 2") _,
+
     // --- named queries (SURVEY §2.1) ---
     "mql_named_query" -> q("files selected by q:runs_low") _,
+
+    // --- with_provenance projection (schema.sql:86-97, dbobjects2.py:252-255) ---
+    "mql_with_provenance" -> ((s, dir) => {
+      val cat = new DerivedCatalog(s, dir)
+      val res = Mql.withProvenance(cat,
+        Mql.query(s, cat, "files from dsns:ds1 where core.run < 100"))
+      res.select(col("fid"), col("namespace"), col("name"), col("size"),
+        col("creator"),
+        unix_timestamp(col("created_timestamp")).as("created_ts"),
+        col("retired"),
+        array_join(col("parents"), ",").as("parents"),
+        array_join(col("children"), ",").as("children"))
+    }),
 
     // --- filters (SURVEY §2.7) ---
     "mql_filter_stride" -> q("filter stride(7, 2)(files from dsns:all)") _,
     "mql_filter_sample" -> q("filter sample(0.25)(files from dsns:all)") _,
     "mql_filter_hash" -> q("filter hash(3, 1)(files from dsns:all)") _,
     "mql_filter_limit" -> q("filter limit(25)(files from dsns:all ordered)") _,
-    // no DuckDB oracle (sequential interleave / reorder semantics) —
-    // driver records rows-only checks for these two
+    // no DuckDB oracle for mix (sequential interleave; driver records a
+    // rows-only check). randomize exposes its portable md5 sort key as a
+    // column so the oracle verifies the exact reorder derivation.
     "mql_filter_mix" -> q("filter mix(2, 1)(files from dsns:ds1, files from dsns:ds2)") _,
-    "mql_filter_randomize" -> q("filter randomize(7)(files from dsns:ds0)") _,
+    "mql_filter_randomize" -> ((s, dir) =>
+      fileOut(Mql.query(s, new DerivedCatalog(s, dir),
+        "filter randomize(7)(files from dsns:ds0)"))
+        .withColumn("rand_key", graft.mql.Filters.randomizeKey(col("fid"), 7))),
 
     // --- dataset & query queries (SURVEY §2.1) ---
     "mql_datasets" -> ((s, dir) =>
@@ -102,7 +127,8 @@ object MqlQueries {
       Mql.summaryKeys(Mql.query(s, new DerivedCatalog(s, dir), "files from dsns:ds2"))),
     "mql_dataset_counts" -> ((s, dir) =>
       Mql.datasetCounts(new DerivedCatalog(s, dir))),
-    // rows-only (canonical JSON value rendering is engine-specific)
+    "mql_namespace_counts" -> ((s, dir) =>
+      Mql.namespaceCounts(new DerivedCatalog(s, dir))),
     "mql_summary_kv" -> ((s, dir) =>
       Mql.summaryKeyValues(Mql.query(s, new DerivedCatalog(s, dir),
         "files from dsns:ds3 where core.run < 50"))))
@@ -137,7 +163,7 @@ object MqlQueries {
       s"SELECT $FileCols FROM mc_files WHERE NOT retired" +
         " AND len(list_filter(m_runs, x -> x >= 1500)) = 0"),
     "mql_len_subscript" -> o(
-      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND len(m_tags) = 3 AND m_bits_muon = 1"),
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND len(m_tags) = 4 AND m_bits_muon = 1"),
     "mql_const_in" -> o( // array containment; scalar-regex leg is false on an array
       s"SELECT $FileCols FROM mc_files WHERE NOT retired AND list_contains(m_tags, 'tag3')"),
     "mql_mixed_type" -> o(
@@ -178,6 +204,22 @@ object MqlQueries {
       s"SELECT $FileCols FROM mc_files WHERE NOT retired ORDER BY fid LIMIT 30 OFFSET 50"),
     "mql_named_query" -> o(
       s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 1 AND m_run < 300"),
+    "mql_file_list" -> o(
+      s"SELECT $FileCols FROM mc_files" +
+        " WHERE fid IN ('F00000003', 'F00000097', 'F00000101', 'F00000202')" +
+        " ORDER BY fid LIMIT 2 OFFSET 1"),
+    "mql_with_provenance" ->
+      (s"WITH ${OracleCatalog.cte}, " +
+        "pr AS (SELECT child_fid AS fid, array_to_string(list_sort(list(parent_fid)), ',') AS parents" +
+        " FROM mc_parent_child GROUP BY 1), " +
+        "ch AS (SELECT parent_fid AS fid, array_to_string(list_sort(list(child_fid)), ',') AS children" +
+        " FROM mc_parent_child GROUP BY 1) " +
+        s"SELECT $FileCols, COALESCE(pr.parents, '') AS parents, COALESCE(ch.children, '') AS children" +
+        " FROM mc_files LEFT JOIN pr USING (fid) LEFT JOIN ch USING (fid)" +
+        " WHERE NOT retired AND k % 5 = 1 AND m_run < 100"),
+    "mql_filter_randomize" -> o(
+      s"SELECT $FileCols, md5('7:' || fid) AS rand_key" +
+        " FROM mc_files WHERE NOT retired AND k % 5 = 0"),
     "mql_filter_stride" ->
       (s"WITH ${OracleCatalog.cte}, numbered AS (" +
         "SELECT *, row_number() OVER (ORDER BY fid) AS rn FROM mc_files WHERE NOT retired)" +
@@ -210,6 +252,34 @@ object MqlQueries {
         " SELECT fa.*, COALESCE(cc.c, 0) AS child_count, COALESCE(pc.c, 0) AS parent_count" +
         " FROM fa LEFT JOIN cc ON fa.dataset_namespace = cc.ns AND fa.dataset_name = cc.n" +
         " LEFT JOIN pc ON fa.dataset_namespace = pc.ns AND fa.dataset_name = pc.n"),
+    "mql_namespace_counts" -> o(
+      "SELECT namespace, count(*) AS file_count, CAST(sum(size) AS BIGINT) AS total_size," +
+        " true AS exact FROM mc_files WHERE NOT retired GROUP BY 1"),
+    // (key, value-as-json) pairs: value rendering pinned to Spark's
+    // variant to_json — object keys sorted, compact separators, decimals
+    // kept verbatim (both engines print doubles shortest-roundtrip)
+    "mql_summary_kv" ->
+      (s"WITH ${OracleCatalog.cte}, base AS (" +
+        "SELECT * FROM mc_files WHERE NOT retired AND k % 5 = 3 AND m_run < 50), " +
+        "kv AS (" +
+        "SELECT 'core.run' AS key, CAST(m_run AS VARCHAR) AS value FROM base" +
+        " UNION ALL SELECT 'core.status', '\"' || m_status || '\"' FROM base" +
+        " UNION ALL SELECT 'core.priority', '\"' || m_priority || '\"' FROM base" +
+        " UNION ALL SELECT 'core.runs', '[' || array_to_string(m_runs, ',') || ']' FROM base" +
+        " UNION ALL SELECT 'core.bits', '{\"electron\":' || CAST(m_bits_electron AS VARCHAR) ||" +
+        " ',\"muon\":' || CAST(m_bits_muon AS VARCHAR) || '}' FROM base" +
+        " UNION ALL SELECT 'core.ts', CAST(m_ts AS VARCHAR) FROM base" +
+        " UNION ALL SELECT 'data.tags', '[\"' || array_to_string(m_tags, '\",\"') || '\"]' FROM base" +
+        // Spark's variant number rendering drops trailing fraction zeros
+        // ("142556.0" -> "142556"); mirror with rtrim on dotted values
+        " UNION ALL SELECT 'data.price', CASE WHEN contains(CAST(m_price AS VARCHAR), '.')" +
+        " THEN rtrim(rtrim(CAST(m_price AS VARCHAR), '0'), '.')" +
+        " ELSE CAST(m_price AS VARCHAR) END FROM base" +
+        " UNION ALL SELECT 'data.weight', CASE WHEN weight_is_int THEN CAST(m_weight_int AS VARCHAR)" +
+        " ELSE '\"' || m_weight_str || '\"' END FROM base" +
+        " UNION ALL SELECT 'opt.flag', CASE WHEN m_flag THEN 'true' ELSE 'false' END FROM base WHERE has_flag" +
+        " UNION ALL SELECT 'opt.note', '\"' || m_note || '\"' FROM base WHERE has_note)" +
+        " SELECT DISTINCT key, value FROM kv"),
     "mql_summary_keys" ->
       (s"WITH ${OracleCatalog.cte} SELECT key FROM (" +
         "SELECT unnest(['core.bits','core.priority','core.run','core.runs','core.status'," +

@@ -172,6 +172,7 @@ object ModelEval {
       case FilterQ("stride", List(IntC(m), IntC(r)), _, List(c)) =>
         go(c).zipWithIndex.filter(_._2 % m == r).map(_._1)
       case FilterQ("limit", List(IntC(n)), _, List(c)) => go(c).take(n.toInt)
+      case EmptyQ => Nil
       case other => throw new IllegalStateException(s"model can't evaluate $other")
     }
     go(q)
