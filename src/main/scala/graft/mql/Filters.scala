@@ -194,8 +194,9 @@ object Filters {
   /** (fid, rank) pairs the driver buffers per spill chunk during `mix`.
     * Driver memory is O(MixChunk + distinct fids seen) — the fid dedup set
     * is inherent to the algorithm (the reference's generator holds the
-    * same set, filters.py:160). */
-  private[mql] val MixChunk = 100000
+    * same set, filters.py:160). Var only so tests can shrink it to
+    * exercise the multi-chunk spill path on small data. */
+  private[mql] var MixChunk = 100000
 
   /** Weighted round-robin interleave of k id-ordered streams with global
     * dedup by fid; stops at first exhaustion — faithful port of the score

@@ -66,7 +66,6 @@ object MetaCompiler {
     c.exp(e)
   }
 
-  private val NumericSchema = "^(BIGINT|DOUBLE|DECIMAL|FLOAT|SMALLINT|TINYINT|INT)"
 
   private final class Ctx(meta: Column, attrs: Attrs, shredded: Shredding) {
 
@@ -90,11 +89,16 @@ object MetaCompiler {
     /** top-level key as variant (null when absent) */
     private def tv(name: String): Column = try_variant_get(meta, path(name), "variant")
 
-    /** array elements, or dict values (meta_evaluator.py:81-85) */
+    /** array elements, or dict values (meta_evaluator.py:81-85).
+      * The key's variant is extracted from the (possibly wide) metadata
+      * once; the array/map casts then re-parse only the small sub-variant
+      * (and `coalesce` short-circuits, so the map branch doesn't run for
+      * arrays — the common case). */
     private def elements(name: String): Column = {
-      val arr = try_variant_get(meta, path(name), "array<variant>")
-      val obj = try_variant_get(meta, path(name), "map<string,variant>")
-      coalesce(arr, map_values(obj))
+      val v = tv(name)
+      coalesce(
+        try_variant_get(v, "$", "array<variant>"),
+        map_values(try_variant_get(v, "$", "map<string,variant>")))
     }
 
     private def subscriptV(s: Scalar): Column = s match {
@@ -105,8 +109,14 @@ object MetaCompiler {
 
     // ---- strict typed extraction from a variant value ----
     private def schemaOf(v: Column): Column = schema_of_variant(v)
-    private def numOf(v: Column): Column =
-      when(schemaOf(v).rlike(NumericSchema), try_variant_get(v, "$", "double"))
+    /** numeric guard without a regex: exact-match the fixed-width schema
+      * names, prefix-match only DECIMAL(p,s) — cheaper per element than
+      * `rlike(NumericSchema)` inside `[any]`/`[all]` loops */
+    private def numOf(v: Column): Column = {
+      val sch = schemaOf(v)
+      when(sch.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT") ||
+        sch.startsWith("DECIMAL"), try_variant_get(v, "$", "double"))
+    }
     private def strOf(v: Column): Column =
       when(schemaOf(v) === "STRING", try_variant_get(v, "$", "string"))
     private def boolOf(v: Column): Column =

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,24 +47,84 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
   }
 
-  /** LSH (sign projection) near-neighbor pairs: bucket on the sign bits of
-    * the first `bits` dimensions (axis-aligned hyperplanes — deterministic
-    * and engine-portable; swap in seeded random planes for production),
-    * exact cosine within buckets, threshold filter. */
-  def lshCosinePairs(emb: DataFrame, bits: Int = 8, threshold: Double = 0.35): DataFrame = {
-    val bucketed = emb
-      .withColumn("bucket", expr(
-        s"aggregate(sequence(0, ${bits - 1}), 0, (acc, i) -> " +
-          "acc + CASE WHEN embedding[i] > cast(0 as float) THEN shiftleft(1, i) ELSE 0 END)"))
-      .withColumn("norm", expr(normExpr))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("q_emb"), col("norm").as("norm_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding"), col("norm").as("norm_b"))
-    a.join(b, Seq("bucket"))
+  /** Seeded random hyperplanes for sign-projection LSH, derived from md5
+    * so any engine (including the test oracle) can re-derive them exactly:
+    * coefficient (p, i) = int32(first 4 bytes of md5("seed:p:i")) / 2^31
+    * ∈ [-1, 1). The planes fold into plan-time literals — zero per-row
+    * hashing cost. */
+  def randomPlanes(seed: Long, planes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, i) =>
+      val d = md.digest(s"$seed:$p:$i".getBytes("UTF-8"))
+      val x = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+        ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+      x / 2147483648.0
+    }
+  }
+
+  val LshSeed = 7L
+  val LshBands = 8
+  val LshRowsPerBand = 4
+  val EmbDim = 64
+
+  /** Banded SRP-LSH near-neighbor pairs (the scale path for similarity
+    * search): `bands`×`rowsPerBand` seeded random hyperplanes; a vector's
+    * key in band t is the `rowsPerBand` sign bits of that band's planes;
+    * candidates are pairs sharing a (band, key) bucket — the standard
+    * AND-OR construction (AND within a band for precision, OR across
+    * bands for recall), the same shape as the MinHash band join.
+    *
+    * Scale shape: the band explode carries only (vec_id, band, key); the
+    * bucket join and the pair-dedup shuffle never move embeddings. Exact
+    * cosines are computed once per distinct candidate pair by joining the
+    * embedding table back on each side. No O(n²) stage anywhere. */
+  def lshCosinePairs(emb: DataFrame, bands: Int = LshBands,
+      rowsPerBand: Int = LshRowsPerBand, threshold: Double = 0.35,
+      seed: Long = LshSeed, dim: Int = EmbDim): DataFrame = {
+    val planes = randomPlanes(seed, bands * rowsPerBand, dim)
+    def planeDot(cs: Array[Double]): Column =
+      aggregate(zip_with(typedLit(cs.toSeq), col("embedding"),
+        (a, b) => a * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
+    def bandKey(t: Int): Column =
+      (0 until rowsPerBand).map { j =>
+        when(planeDot(planes(t * rowsPerBand + j)) > 0d, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val keyed = emb.select(col("vec_id"),
+      explode(array((0 until bands).map(t =>
+        struct(lit(t).as("band"), bandKey(t).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = keyed.select(col("band"), col("key"), col("vec_id").as("id_a"))
+      .join(keyed.select(col("band"), col("key"), col("vec_id").as("id_b")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val withNorm = emb.withColumn("norm", expr(normExpr))
+    cand
+      .join(withNorm.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"),
+        col("norm").as("norm_a")), Seq("id_a"))
+      .join(withNorm.select(col("vec_id").as("id_b"), col("embedding"),
+        col("norm").as("norm_b")), Seq("id_b"))
       .withColumn("sim", expr(dotExpr) / (col("norm_a") * col("norm_b")))
       .filter(round(col("sim"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** DuckDB SQL for the band keys of [[lshCosinePairs]] — generated from
+    * the SAME plane constants, with the same left-to-right summation
+    * order, so both engines compute bit-identical keys. Returns the
+    * per-band key expressions over a relation exposing `embedding`. */
+  def lshBandKeySql(bands: Int = LshBands, rowsPerBand: Int = LshRowsPerBand,
+      seed: Long = LshSeed, dim: Int = EmbDim): Seq[String] = {
+    val planes = randomPlanes(seed, bands * rowsPerBand, dim)
+    def dotSql(cs: Array[Double]): String =
+      cs.zipWithIndex.map { case (c, i) => s"($c * embedding[${i + 1}]::DOUBLE)" }
+        .mkString(" + ")
+    (0 until bands).map { t =>
+      (0 until rowsPerBand).map { j =>
+        s"(CASE WHEN ${dotSql(planes(t * rowsPerBand + j))} > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    }
   }
 }

@@ -49,6 +49,25 @@ object PipelineQueries {
   private def dot(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), k -> $a.embedding[k]::DOUBLE * $b.embedding[k]::DOUBLE))"
 
+  /** banded SRP-LSH oracle: band keys generated from the SAME seeded
+    * plane constants as `Similarity.lshCosinePairs` (see lshBandKeySql),
+    * candidate pairs unioned across bands (UNION dedups), exact cosine +
+    * threshold on the distinct pairs. */
+  private def lshOracle(threshold: Double): String = {
+    val keys = Similarity.lshBandKeySql()
+    val keyCols = keys.zipWithIndex
+      .map { case (k, t) => s"($k) AS k$t" }.mkString(", ")
+    val bandJoins = keys.indices.map { t =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b" +
+        s" ON a.k$t = b.k$t AND a.vec_id < b.vec_id"
+    }.mkString(" UNION ")
+    s"WITH $EmbNorm, bk AS (SELECT vec_id, embedding, norm, $keyCols FROM n), " +
+      s"cand AS ($bandJoins), " +
+      s"p AS (SELECT id_a, id_b, ${dot("a", "b")} / (a.norm * b.norm) AS sim " +
+      "FROM cand JOIN bk a ON cand.id_a = a.vec_id JOIN bk b ON cand.id_b = b.vec_id) " +
+      s"SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE round(sim, 6) >= $threshold"
+  }
+
   val oracles: Map[String, String] = Map(
     "pipe_dedup_exact" ->
       """SELECT doc_id, fp, (row_number() OVER (PARTITION BY fp ORDER BY doc_id)) > 1 AS is_dup
@@ -87,19 +106,9 @@ object PipelineQueries {
         "PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rk FROM j) " +
         "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM r WHERE rk <= 5"),
 
-    "pipe_dedup_embedding" ->
-      (s"WITH $EmbNorm, bk AS (SELECT vec_id, embedding, norm, " +
-        "CAST(list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END)) AS INT) AS bucket FROM n), " +
-        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dot("a", "b")} / (a.norm * b.norm) AS sim " +
-        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
-        "SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE round(sim, 6) >= 0.45"),
+    "pipe_dedup_embedding" -> lshOracle(0.45),
 
-    "pipe_sim_lsh" ->
-      (s"WITH $EmbNorm, bk AS (SELECT vec_id, embedding, norm, " +
-        "CAST(list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END)) AS INT) AS bucket FROM n), " +
-        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dot("a", "b")} / (a.norm * b.norm) AS sim " +
-        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
-        "SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE round(sim, 6) >= 0.35"),
+    "pipe_sim_lsh" -> lshOracle(0.35),
 
     "pipe_text_tokens" ->
       (s"WITH $Toks SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +

@@ -109,6 +109,82 @@ class WritePathSpec extends SparkTestBase {
       .select("fid").collect().head.getString(0) == "X00000002")
   }
 
+  test("declare with minimal columns: optional ones default, null retired coalesces") {
+    import spark.implicits._
+    val minimal = Seq(("M00000001", "nsm", "m_1.dat", """{"core.run":1}""", "tester", 10L),
+      ("M00000002", "nsm", "m_2.dat", """{"core.run":2}""", "tester", 20L))
+      .toDF("fid", "namespace", "name", "metadata_json", "creator", "size")
+      .withColumn("created_timestamp", to_timestamp(lit("2026-02-01 00:00:00")))
+      // retired explicitly null — must behave as false, not vanish
+      .withColumn("retired", lit(null).cast("boolean"))
+    cat.declareFiles(minimal)
+    assert(Mql.query(spark, cat, "fids M00000001, M00000002").count() == 2)
+    assert(cat.files.filter(col("fid") === "M00000001" && !col("retired")).count() == 1)
+    // missing required column is a clear error, not an AnalysisException
+    assertThrows[IllegalArgumentException](
+      cat.declareFiles(minimal.drop("size")))
+  }
+
+  test("dataset file_metadata_requirements enforced on declare and add_to") {
+    cat.createDataset("w", "strict", fileMetaRequirementsJson =
+      """{"core.run": {"required": true, "type": "int", "min": 0, "max": 100},
+         "core.tag": {"pattern": "t[0-9]"}}""")
+    // conforming declare-into-dataset passes and lands in the dataset
+    cat.declareFiles(declared(3).withColumn("fid", concat(lit("R"), col("fid"))),
+      dataset = Some(("w", "strict")))
+    assert(Mql.query(spark, cat, "files from w:strict").count() == 3)
+    // out-of-range metadata rejected at declare
+    val bad = declared(1).withColumn("fid", concat(lit("RB"), col("fid")))
+      .withColumn("metadata_json", lit("""{"core.run":5000}"""))
+    assertThrows[IllegalArgumentException](
+      cat.declareFiles(bad, dataset = Some(("w", "strict"))))
+    // add_to re-validates existing files against the dataset's requirements
+    // (runs 0 and 1 are retired by an earlier test; use 2/3 — still live)
+    cat.createDataset("w", "strict2",
+      fileMetaRequirementsJson = """{"core.run": {"max": 2}}""")
+    assertThrows[IllegalArgumentException](
+      cat.addTo(Mql.query(spark, cat, "files from w:base where core.run == 3"),
+        "w", "strict2"))
+    cat.addTo(Mql.query(spark, cat, "files from w:base where core.run == 2"),
+      "w", "strict2")
+    assert(Mql.query(spark, cat, "files from w:strict2").count() == 1)
+  }
+
+  test("category-less metadata keys rejected on declare-into-dataset") {
+    cat.createDataset("w", "cats")
+    val bad = declared(1).withColumn("fid", concat(lit("C"), col("fid")))
+      .withColumn("metadata_json", lit("""{"nocategory":1}"""))
+    assertThrows[IllegalArgumentException](
+      cat.declareFiles(bad, dataset = Some(("w", "cats"))))
+  }
+
+  test("monotonic dataset: declares append, add_to/remove_from rejected") {
+    cat.createDataset("w", "mono", monotonic = true)
+    // appending NEWLY DECLARED files is allowed (monotonic = grow-only)
+    cat.declareFiles(declared(2).withColumn("fid", concat(lit("N"), col("fid"))),
+      dataset = Some(("w", "mono")))
+    assert(Mql.query(spark, cat, "files from w:mono").count() == 2)
+    // attaching pre-existing files is not
+    assertThrows[IllegalArgumentException](
+      cat.addTo(cat.files.limit(1), "w", "mono"))
+    // neither is removal
+    assertThrows[IllegalArgumentException](
+      cat.removeFrom(cat.files.limit(1), "w", "mono"))
+  }
+
+  test("remove_from drops membership but keeps the files") {
+    cat.createDataset("w", "trimmed")
+    // runs 0/1 are retired by an earlier test; 2..4 are live
+    val three = Mql.query(spark, cat, "files from w:base where core.run in 2:4")
+    cat.addTo(three, "w", "trimmed")
+    assert(Mql.query(spark, cat, "files from w:trimmed").count() == 3)
+    cat.removeFrom(Mql.query(spark, cat, "files from w:base where core.run == 2"),
+      "w", "trimmed")
+    assert(Mql.query(spark, cat, "files from w:trimmed").count() == 2)
+    // the file itself still exists in the catalog
+    assert(Mql.query(spark, cat, "files from w:base where core.run == 2").count() == 1)
+  }
+
   test("json-seq emitter") {
     val out = new java.io.StringWriter
     JsonSeq.write(Mql.query(spark, cat, "files from w:base limit 3"), out)
