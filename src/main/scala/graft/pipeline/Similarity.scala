@@ -18,27 +18,26 @@ import org.apache.spark.sql.functions._
   * Dot products run in doubles with a fixed left-to-right fold so the
   * DuckDB oracle (same fold order) reproduces them bit-for-bit; ranking
   * uses the 6-decimal rounding + vec_id tiebreak to be engine-stable.
+  * All inner loops go through the native codegen'd
+  * [[graft.functions.DotProductExpr]] (same summation order as the
+  * composable `aggregate(zip_with(...))` form, ~10× less per-pair cost).
   */
 object Similarity {
 
-  private val dotExpr =
-    "aggregate(zip_with(q_emb, embedding, (a, b) -> cast(a as double) * cast(b as double)), " +
-      "cast(0 as double), (acc, x) -> acc + x)"
+  import graft.functions.DotProductExpr.dotProduct
 
-  private val normExpr =
-    "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), " +
-      "cast(0 as double), (acc, x) -> acc + x))"
+  private def norm(e: Column): Column = sqrt(dotProduct(e, e))
 
   /** exact top-k cosine neighbors for query vectors (vec_id < nQueries),
     * excluding self-matches. */
   def bruteCosineTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val withNorm = emb.withColumn("norm", expr(normExpr))
+    val withNorm = emb.withColumn("norm", norm(col("embedding")))
     val queries = withNorm.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
     val joined = withNorm.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", expr(dotExpr) / (col("norm") * col("q_norm")))
+      .withColumn("sim", dotProduct(col("q_emb"), col("embedding")) / (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("sim"), 6).desc, col("vec_id"))
     joined.withColumn("rk", row_number().over(w))
@@ -82,12 +81,10 @@ object Similarity {
       rowsPerBand: Int = LshRowsPerBand, threshold: Double = 0.35,
       seed: Long = LshSeed, dim: Int = EmbDim): DataFrame = {
     val planes = randomPlanes(seed, bands * rowsPerBand, dim)
-    def planeDot(cs: Array[Double]): Column =
-      aggregate(zip_with(typedLit(cs.toSeq), col("embedding"),
-        (a, b) => a * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
     def bandKey(t: Int): Column =
       (0 until rowsPerBand).map { j =>
-        when(planeDot(planes(t * rowsPerBand + j)) > 0d, lit(1 << j)).otherwise(lit(0))
+        when(dotProduct(typedLit(planes(t * rowsPerBand + j).toSeq),
+          col("embedding")) > 0d, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
 
     val keyed = emb.select(col("vec_id"),
@@ -100,13 +97,13 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val withNorm = emb.withColumn("norm", expr(normExpr))
+    val withNorm = emb.withColumn("norm", norm(col("embedding")))
     cand
       .join(withNorm.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"),
         col("norm").as("norm_a")), Seq("id_a"))
       .join(withNorm.select(col("vec_id").as("id_b"), col("embedding"),
         col("norm").as("norm_b")), Seq("id_b"))
-      .withColumn("sim", expr(dotExpr) / (col("norm_a") * col("norm_b")))
+      .withColumn("sim", dotProduct(col("q_emb"), col("embedding")) / (col("norm_a") * col("norm_b")))
       .filter(round(col("sim"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
