@@ -108,6 +108,88 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the centroid-bucketed scale
+    * path for similarity search, complementing [[lshCosinePairs]]:
+    *
+    *  1. "train": pick `nCentroids` vectors as centroids — the ids with
+    *     the smallest md5("seed:vec_id") (a portable deterministic sample;
+    *     production would run k-means, which only changes this step);
+    *     centroids are collected to the driver (C×dim doubles — tiny at
+    *     any scale) and folded into plan-time literals;
+    *  2. assign: every vector goes to its max-cosine centroid — one
+    *     narrow pass, no shuffle (centroids are literals);
+    *  3. probe: each query scans only the `nProbe` buckets whose
+    *     centroids are closest to it, so the exact-cosine work drops from
+    *     O(n·q) to O(n·q·nProbe/C) — the candidate join shuffles on the
+    *     bucket id, embeddings never fan out.
+    *
+    * Ties everywhere break by id; sims compare 6-decimal-rounded — both
+    * pinned so any engine reproduces the same buckets and ranks. */
+  def ivfCosineTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = LshSeed): DataFrame = {
+    val centroids = centroidVectors(emb, nCentroids, seed)
+
+    // argmax over centroid cosines via array_max on (rounded sim, -cid)
+    // structs: lexicographic struct comparison gives max sim with ties to
+    // the LOWEST cid, in a linear-size expression (a when-chain fold here
+    // re-embeds the accumulator per level — exponential codegen).
+    // cosine = dot / (vec_norm * centroid_norm) — the dot's summation
+    // order is pinned (ascending), the norms' multiplication order is
+    // irrelevant (IEEE multiplication commutes), so any engine derives
+    // identical buckets.
+    val bestCentroid: Column = {
+      val scored = centroids.map { case (cid, vec, cn) =>
+        struct(round(dotProduct(typedLit(vec.toSeq), col("embedding")) /
+          (col("norm") * cn), 6).as("sim"), lit(-cid).as("negCid"))
+      }
+      -array_max(array(scored: _*)).getField("negCid")
+    }
+
+    val withNorm = emb.withColumn("norm", norm(col("embedding")))
+    val assigned = withNorm.withColumn("bucket", bestCentroid)
+
+    // per query: rank centroids, keep nProbe buckets
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val probes = queries.select(col("query_id"), col("q_emb"), col("q_norm"),
+      explode(array(centroids.map { case (cid, vec, n) =>
+        struct(lit(cid).as("bucket"),
+          (dotProduct(typedLit(vec.toSeq), col("q_emb")) / (col("q_norm") * n)).as("csim"))
+      }: _*)).as("p"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("p.bucket").as("bucket"), col("p.csim").as("csim"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("query_id").orderBy(round(col("csim"), 6).desc, col("bucket"))))
+      .filter(col("prk") <= nProbe)
+      .select("query_id", "q_emb", "q_norm", "bucket")
+
+    val cand = probes.join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dotProduct(col("q_emb"), col("embedding")) /
+        (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** the IVF "training" collect: (vec_id, embedding as doubles, norm) of
+    * the `n` ids with the smallest md5("seed:vec_id"), id-ascending */
+  private def centroidVectors(emb: DataFrame, n: Int, seed: Long): Seq[(Long, Array[Double], Double)] =
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("__k", md5(concat(lit(s"$seed:"), col("vec_id"))))
+      .orderBy("__k").limit(n)
+      .collect()
+      .map { r =>
+        val vec = r.getSeq[Float](1).map(_.toDouble).toArray
+        val nm = math.sqrt(vec.foldLeft(0.0)((s, x) => s + x * x))
+        (r.getLong(0), vec, nm)
+      }
+      .sortBy(_._1).toSeq
+
   /** DuckDB SQL for the band keys of [[lshCosinePairs]] — generated from
     * the SAME plane constants, with the same left-to-right summation
     * order, so both engines compute bit-identical keys. Returns the

@@ -18,6 +18,23 @@ object TextAnalysis {
         round(expr("aggregate(__t, cast(0 as double), (a, x) -> a + length(x))") /
           size(col("__t")), 4).as("avg_token_len"))
 
+  /** GPT-2-style pre-tokenizer pattern, simplified to the RE2-compatible
+    * subset (no lookahead) so any engine tokenizes identically: common
+    * English contractions, letter runs, digit runs, punctuation runs —
+    * each optionally preceded by one space — then residual whitespace. */
+  val BpePattern = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** BPE-ish token counting: the standard LLM-pipeline estimate of
+    * sequence length before running the real tokenizer. `bpe_tokens` is
+    * the pre-tokenizer piece count; `est_tokens` the chars/4 rule of
+    * thumb; both pure codegen'd expressions. */
+  def bpeTokens(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      ceil(length(col("text")).cast("double") / 4).cast("long").as("est_tokens"))
+
   private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** heuristic quality metrics: length, punctuation density, stopword

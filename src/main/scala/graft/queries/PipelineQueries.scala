@@ -23,10 +23,12 @@ object PipelineQueries {
     "pipe_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
     "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d))),
+    "pipe_sim_ivf" -> ((s, d) => Similarity.ivfCosineTopK(emb(s, d))),
     // embedding-cosine near-duplicate detection = LSH pairs at a high
     // threshold (same plan, dedup use-case)
     "pipe_dedup_embedding" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), threshold = 0.45)),
     "pipe_text_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    "pipe_text_bpe" -> ((s, d) => TextAnalysis.bpeTokens(docs(s, d))),
     "pipe_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "pipe_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "pipe_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -48,6 +50,10 @@ object PipelineQueries {
       "k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE))) AS norm FROM embeddings)"
   private def dot(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), k -> $a.embedding[k]::DOUBLE * $b.embedding[k]::DOUBLE))"
+  private def dotVC(v: String, c: String) =
+    s"list_sum(list_transform(range(1, 65), k -> $v.embedding[k]::DOUBLE * $c.cvec[k]::DOUBLE))"
+  private def dotQC(q: String, c: String) =
+    s"list_sum(list_transform(range(1, 65), k -> $q.q_emb[k]::DOUBLE * $c.cvec[k]::DOUBLE))"
 
   /** banded SRP-LSH oracle: band keys generated from the SAME seeded
     * plane constants as `Similarity.lshCosinePairs` (see lshBandKeySql),
@@ -110,9 +116,40 @@ object PipelineQueries {
 
     "pipe_sim_lsh" -> lshOracle(0.35),
 
+    // IVF: portable md5-ranked centroid sample, argmax assignment,
+    // nProbe=4 probed buckets, exact cosine top-5 — mirrors every
+    // tie-break of Similarity.ivfCosineTopK
+    "pipe_sim_ivf" ->
+      (s"WITH $EmbNorm, cent AS (SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm" +
+        " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
+        "asg AS (SELECT vec_id, bucket FROM (" +
+        "SELECT v.vec_id, c.cid AS bucket, row_number() OVER (PARTITION BY v.vec_id" +
+        s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
+        " FROM n v, cent c) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM n WHERE vec_id < 10), " +
+        "probes AS (SELECT query_id, bucket FROM (" +
+        "SELECT q.query_id, c.cid AS bucket, row_number() OVER (PARTITION BY q.query_id" +
+        s" ORDER BY round(${dotQC("q", "c")} / (c.cnorm * q.q_norm), 6) DESC, c.cid) AS prk" +
+        " FROM q, cent c) WHERE prk <= 4), " +
+        "cand AS (SELECT q.query_id, v.vec_id, " +
+        "list_sum(list_transform(range(1, 65), k -> q.q_emb[k]::DOUBLE * v.embedding[k]::DOUBLE))" +
+        " / (v.norm * q.q_norm) AS sim" +
+        " FROM probes p JOIN q ON p.query_id = q.query_id" +
+        " JOIN asg a ON a.bucket = p.bucket JOIN n v ON v.vec_id = a.vec_id" +
+        " WHERE v.vec_id != q.query_id), " +
+        "r AS (SELECT query_id, vec_id AS neighbor_id, sim, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id) AS rk FROM cand) " +
+        "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM r WHERE rk <= 5"),
+
     "pipe_text_tokens" ->
       (s"WITH $Toks SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, " +
         "round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 4) AS avg_token_len FROM toks"),
+
+    // same RE2-safe pre-tokenizer pattern as TextAnalysis.BpePattern
+    // (single quote doubled for SQL)
+    "pipe_text_bpe" ->
+      (s"SELECT doc_id, len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}'))" +
+        " AS bpe_tokens, CAST(ceil(len(text) / 4.0) AS BIGINT) AS est_tokens FROM documents"),
 
     "pipe_text_quality" ->
       (s"WITH $Toks, m AS (SELECT doc_id, len(t) AS n_tokens, " +

@@ -63,6 +63,29 @@ class PipelineSpec extends SparkTestBase {
     assert(withSim.filter(col("cos") < 0.3 - 1e-6).count() == 0)
   }
 
+  test("IVF probes recover most brute-force neighbors and never invent sims") {
+    val brute = Similarity.bruteCosineTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id", "sim")
+    val ivf = Similarity.ivfCosineTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id", "sim")
+    // every IVF hit carries the exact brute-force sim (no approximation of
+    // the similarity itself, only of the candidate set)
+    assert(ivf.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count() > 0)
+    val agreeing = ivf.join(brute, Seq("query_id", "neighbor_id", "sim"), "left_semi").count()
+    assert(agreeing == ivf.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count(),
+      "an IVF pair disagrees with brute force on the similarity value")
+    // recall: with 4 of 16 buckets probed, expect a good share of the top-5
+    val recall = agreeing.toDouble / brute.count()
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("bpe token counts are positive and bounded by character count") {
+    val t = TextAnalysis.bpeTokens(docs)
+    assert(t.filter(col("bpe_tokens") <= 0).count() == 0)
+    val joined = t.join(docs.select(col("doc_id"), length(col("text")).as("nc")), Seq("doc_id"))
+    assert(joined.filter(col("bpe_tokens") > col("nc")).count() == 0)
+  }
+
   test("brute-force top-k: neighbors are correct for one query") {
     val topk = Similarity.bruteCosineTopK(emb, nQueries = 3, k = 5)
     assert(topk.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
