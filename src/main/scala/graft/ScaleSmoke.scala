@@ -71,6 +71,18 @@ object ScaleSmoke {
       "files from dsns:all ordered skip 100000 limit 50").count())
     time("summary_count")(Mql.summaryCount(Mql.query(spark, cat,
       "files from dsns:all where core.run < 250")).count())
+    // round-2 shapes: distributed global row index (sample/stride), chunked
+    // mix, provenance projection, namespace rollup — the operators the
+    // round-1 verdict flagged as single-task or driver-bound
+    time("stride")(Mql.query(spark, cat,
+      "filter stride(97, 3)(files from dsns:all)").count())
+    time("sample")(Mql.query(spark, cat,
+      "filter sample(0.01)(files from dsns:all)").count())
+    time("mix")(Mql.query(spark, cat,
+      "filter mix(1, 1)(files from dsns:ds1 where core.run < 200, files from dsns:ds2 where core.run < 200)").count())
+    time("with_provenance")(Mql.withProvenance(cat, Mql.query(spark, cat,
+      "files from dsns:ds1 where core.run < 100")).count())
+    time("namespace_counts")(Mql.namespaceCounts(cat).count())
     spark.stop()
   }
 }

@@ -94,6 +94,24 @@ object MqlQueries {
         array_join(col("children"), ",").as("children"))
     }),
 
+    // --- external lookup-join filter (SURVEY §2.4; the runsdb/rucio
+    // custom-filter analog) — lookup table derived from nation.parquet so
+    // the oracle can reproduce the join ---
+    "mql_filter_lookup" -> ((s, dir) => {
+      val cat = new DerivedCatalog(s, dir)
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("key"), col("n_name"))
+      graft.mql.Filters.register("oracle_nation",
+        new graft.mql.Filters.LookupJoinFilter(nation, "core.run", "nat"))
+      Mql.query(s, cat,
+        "filter oracle_nation()(files from dsns:all where core.run < 40)")
+        .select(col("fid"), col("namespace"), col("name"), col("size"),
+          col("creator"),
+          unix_timestamp(col("created_timestamp")).as("created_ts"),
+          col("retired"),
+          expr("try_variant_get(metadata, \"$['nat.n_name']\", 'string')").as("nat_name"))
+    }),
+
     // --- filters (SURVEY §2.7) ---
     "mql_filter_stride" -> q("filter stride(7, 2)(files from dsns:all)") _,
     "mql_filter_sample" -> q("filter sample(0.25)(files from dsns:all)") _,
@@ -217,6 +235,10 @@ object MqlQueries {
         s"SELECT $FileCols, COALESCE(pr.parents, '') AS parents, COALESCE(ch.children, '') AS children" +
         " FROM mc_files LEFT JOIN pr USING (fid) LEFT JOIN ch USING (fid)" +
         " WHERE NOT retired AND k % 5 = 1 AND m_run < 100"),
+    "mql_filter_lookup" -> o(
+      s"SELECT $FileCols, n.n_name AS nat_name FROM mc_files" +
+        " LEFT JOIN nation n ON m_run = n.n_nationkey" +
+        " WHERE NOT retired AND m_run < 40"),
     "mql_filter_randomize" -> o(
       s"SELECT $FileCols, md5('7:' || fid) AS rand_key" +
         " FROM mc_files WHERE NOT retired AND k % 5 = 0"),

@@ -134,7 +134,8 @@ class SetAlgebraFuzzSpec extends SparkTestBase {
           s"  onlyGot=${(got.toSet -- want.toSet).take(3)} onlyWant=${(want.toSet -- got.toSet).take(3)}")
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(80), prop)
+    val n = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(80)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
     assert(res.passed, res.status.toString)
   }
 }
