@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{MqlQueries, PipelineQueries, RelationalQueries, StreamingQueries}
+import graft.queries.{MqlQueries, PipelineQueries, RelationalQueries, StreamingQueries, WritePathQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ MqlQueries.all ++ PipelineQueries.all ++ StreamingQueries.all
+    RelationalQueries.all ++ MqlQueries.all ++ PipelineQueries.all ++
+      StreamingQueries.all ++ WritePathQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ MqlQueries.oracles ++ PipelineQueries.oracles ++ StreamingQueries.oracles
+    RelationalQueries.oracles ++ MqlQueries.oracles ++ PipelineQueries.oracles ++
+      StreamingQueries.oracles ++ WritePathQueries.oracles
 }

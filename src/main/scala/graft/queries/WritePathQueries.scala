@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.metacat.{DerivedCatalog, JsonSeq, OracleCatalog, ParquetCatalog}
+import graft.mql.Mql
+
+/** Oracle gates for the catalog WRITE path (SURVEY.md §2.1 connectors) and
+  * the json-seq sink — the rows the round-1 verdict scored "test-only".
+  *
+  * `mql_write_path` drives every ParquetCatalog mutation end-to-end in a
+  * fresh temp directory seeded deterministically from `orders`
+  * (k = o_orderkey < 200), then reads the final state back through the MQL
+  * engine. Because every mutation targets k-arithmetic row sets, DuckDB can
+  * recompute the expected final state directly from `orders` — turning the
+  * whole write path (declare / save_as / add_to / remove / retire /
+  * update-meta / move-namespace / named-query save, reference
+  * `webserver/data_handler.py:631-1263`) into one hash-checked gate.
+  */
+object WritePathQueries {
+
+  private val FileCols =
+    "fid, namespace, name, size, creator, CAST(epoch(created_timestamp) AS BIGINT) AS created_ts, retired"
+
+  private def fidOf(k: Int): String = f"W$k%08d"
+
+  /** deterministic declare batch: k < 200 rows of `orders` reshaped to the
+    * declareFiles contract (metadata carries core.run = k % 100) */
+  private def seedRows(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    s.read.parquet(s"$dir/orders.parquet")
+      .filter(k < 200)
+      .select(
+        concat(lit("W"), lpad(k.cast("string"), 8, "0")).as("fid"),
+        lit("wraw").as("namespace"),
+        concat(lit("w_"), k.cast("string"), lit(".dat")).as("name"),
+        concat(lit("{\"core.run\":"), (k % 100).cast("string"),
+          lit(",\"core.status\":\""), col("o_orderstatus"), lit("\"}"))
+          .as("metadata_json"),
+        concat(lit("u"), (k % 3).cast("string")).as("creator"),
+        col("o_orderdate").as("created_timestamp"),
+        (k * 10).cast("long").as("size"),
+        k.as("k"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "mql_write_path" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_wp_").toString
+      val cat = new ParquetCatalog(s, root)
+      val rows = seedRows(s, dir)
+
+      // datasets, one carrying the reference's per-dataset file-metadata
+      // contract (dbobjects2.py:1577-1597) so the declare below runs the
+      // validation positive path
+      cat.createDataset("wds", "base")
+      cat.createDataset("wds", "reqd", fileMetaRequirementsJson =
+        """{"core.run": {"required": true, "type": "int", "min": 0, "max": 99}}""")
+
+      // declare (data_handler.py:631-780): k<150 into wds:base, rest into
+      // the requirements-bearing dataset (core.run = k%100 conforms)
+      cat.declareFiles(rows.filter(col("k") < 150), dataset = Some(("wds", "base")))
+      cat.declareFiles(rows.filter(col("k") >= 150), dataset = Some(("wds", "reqd")))
+
+      // save_as: materialize a query result as a new dataset
+      // (membership snapshot: k in 0..49 and 100..149)
+      cat.saveAs(Mql.query(s, cat, "files from wds:base where core.run < 50"),
+        "wds", "low")
+      // add_to: attach pre-existing files from another query (k 190..199)
+      cat.addTo(Mql.query(s, cat, "files from wds:reqd where core.run >= 90"),
+        "wds", "low")
+      // remove: drop k 100..104 from the dataset again
+      cat.removeFrom(rows.filter(col("k").between(100, 104)).select("fid"),
+        "wds", "low")
+
+      // row mutations: retire every 40th file, patch metadata of k<10
+      // (merge semantics: patch wins on core.run), move k 140..149 to a
+      // new namespace (fids stay, memberships stay)
+      cat.retireFiles((0 until 200 by 40).map(fidOf))
+      cat.updateFileMeta((0 until 10).map(fidOf),
+        """{"opt.mark":"X","core.run":777}""", mode = "update")
+      cat.moveNamespace((140 until 150).map(fidOf), "wmoved")
+
+      // read back through a SAVED named query (saveNamedQuery +
+      // `files selected by` splice) — BFQ semantics hide retired rows
+      cat.saveNamedQuery("wq", "low_files", "files from wds:low")
+      Mql.query(s, cat, "files selected by wq:low_files")
+        .select(col("fid"), col("namespace"), col("name"), col("size"),
+          col("creator"),
+          unix_timestamp(col("created_timestamp")).as("created_ts"),
+          col("retired"),
+          expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"),
+          expr("try_variant_get(metadata, \"$['opt.mark']\", 'string')").as("mark"))
+    }),
+
+    // json-seq sink (RFC 7464 framing, data_handler.py:50-78): stream a
+    // query result out, parse the frames back, prove the round trip is
+    // lossless
+    "mql_jsonseq_sink" -> ((s, dir) => {
+      val res = Mql.query(s, new DerivedCatalog(s, dir),
+        "files from dsns:ds3 where core.run < 200")
+        .select(col("fid"), col("namespace"), col("name"), col("size"),
+          col("creator"),
+          unix_timestamp(col("created_timestamp")).as("created_ts"),
+          col("retired"))
+      val tmp = java.nio.file.Files.createTempFile("graft_jsonseq_", ".txt")
+      val w = new java.io.BufferedWriter(new java.io.FileWriter(tmp.toFile))
+      try JsonSeq.write(res, w) finally w.close()
+      val schema = "fid string, namespace string, name string, size long," +
+        " creator string, created_ts long, retired boolean"
+      s.read.text(tmp.toString)
+        .select(from_json(regexp_replace(col("value"), "^\\x1e", ""), schema,
+          Map.empty[String, String]).as("r"))
+        .select("r.*")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // final state of wds:low, recomputed arithmetically: membership =
+    // saveAs(0..49, 100..149) + addTo(190..199) - remove(100..104);
+    // retired k%40==0 rows are hidden by the BFQ; k<10 carry the merged
+    // metadata patch; k in 140..149 live in the moved namespace
+    "mql_write_path" ->
+      ("WITH w AS (SELECT o_orderkey AS k, o_orderdate AS ts FROM orders WHERE o_orderkey < 200), " +
+        "members AS (SELECT k FROM w WHERE ((k < 150 AND k % 100 < 50) OR k >= 190)" +
+        " AND NOT (k BETWEEN 100 AND 104)) " +
+        "SELECT 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS fid," +
+        " CASE WHEN k BETWEEN 140 AND 149 THEN 'wmoved' ELSE 'wraw' END AS namespace," +
+        " 'w_' || CAST(k AS VARCHAR) || '.dat' AS name," +
+        " CAST(k * 10 AS BIGINT) AS size," +
+        " 'u' || CAST(k % 3 AS VARCHAR) AS creator," +
+        " CAST(epoch(ts) AS BIGINT) AS created_ts," +
+        " false AS retired," +
+        " CAST(CASE WHEN k < 10 THEN 777 ELSE k % 100 END AS BIGINT) AS run," +
+        " CASE WHEN k < 10 THEN 'X' ELSE NULL END AS mark " +
+        "FROM members JOIN w USING (k) WHERE k % 40 <> 0"),
+    "mql_jsonseq_sink" -> OracleCatalog.sql(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 3 AND m_run < 200"))
+}
