@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning — the canonical training-data preparation
+  * pipeline, composed from the engine's own operators:
+  *
+  *   1. quality gate      (TextAnalysis.quality: codegen'd per-row metrics)
+  *   2. language gate     (TextAnalysis.langId marker scoring)
+  *   3. exact dedup       (canonical = lowest doc_id per content md5)
+  *   4. near-dup removal  (MinHash-LSH pairs; greedy keep-lowest-id — every
+  *      pair's higher id is dropped, so survivors are exactly the docs not
+  *      dominated by any lower-id near-duplicate; a connected-components
+  *      pass would merge chains, at the cost of an iterative job)
+  *
+  * Scale shape: stages 1-2 are embarrassingly parallel column expressions;
+  * stage 3 is one shuffle on the 16-byte fingerprint; stage 4 is the banded
+  * LSH bucket join (no O(n²) stage). The final assembly is doc_id-keyed
+  * semi/anti joins — all narrow, all AQE-friendly. Nothing here changes
+  * shape at 100 TB; each stage's cost is one pass + one keyed shuffle.
+  */
+object CorpusClean {
+
+  def clean(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en",
+      nearDupThreshold: Double = 0.5): DataFrame = {
+    val quality = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val language = TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("predicted"))
+    val canonical = Dedup.exact(docs).filter(!col("is_dup")).select("doc_id")
+    val nearDupLosers = Dedup.minhashPairs(docs, threshold = nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    docs.join(quality, "doc_id")
+      .join(language, "doc_id")
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= minQuality && col("predicted") === lang)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_score"))
+  }
+}

@@ -29,7 +29,14 @@ object Similarity {
   private def norm(e: Column): Column = sqrt(dotProduct(e, e))
 
   /** exact top-k cosine neighbors for query vectors (vec_id < nQueries),
-    * excluding self-matches. */
+    * excluding self-matches.
+    *
+    * The row_number-over-window + `rk <= k` shape is deliberate: Catalyst's
+    * InferWindowGroupLimit rewrites it into a partial WindowGroupLimit
+    * BEFORE the exchange (verified via PlanDump — Sort+WindowGroupLimit,
+    * Exchange, WindowGroupLimit(Final)), so each map task ships only its
+    * local top-k per query instead of all n·q scored rows. A hand-written
+    * bounded-heap aggregate would reproduce exactly this plan. */
   def bruteCosineTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val withNorm = emb.withColumn("norm", norm(col("embedding")))
     val queries = withNorm.filter(col("vec_id") < nQueries)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) over the driver's `documents` and `embeddings` tables, each
@@ -32,7 +32,10 @@ object PipelineQueries {
     "pipe_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "pipe_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "pipe_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
-    "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))))
+    "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
+    // flagship composition: quality -> lang -> exact dedup -> near-dup
+    // removal, all from the engine's own operators
+    "pipe_corpus_clean" -> ((s, d) => CorpusClean.clean(docs(s, d))))
 
   // shared oracle fragments
   private val Toks =
@@ -175,5 +178,25 @@ object PipelineQueries {
       ("SELECT doc_id, len(text)::BIGINT AS byte_len, " +
         "array_to_string(list_transform(range(1, 5), i -> ascii(substr(text, i, 1))), ',') AS head_codes, " +
         "len(text)::BIGINT % 640 AS fake_width, (len(text)::BIGINT * 7) % 480 AS fake_height " +
-        "FROM documents"))
+        "FROM documents"),
+
+    // corpus clean = quality >= 0.5 AND predicted 'en' AND canonical copy
+    // AND not the higher id of any MinHash-LSH near-dup pair (>= 0.5)
+    "pipe_corpus_clean" ->
+      (s"WITH $Sig, m AS (SELECT doc_id, len(t) AS n_tokens, " +
+        "round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(len(text), 1), 4) AS punct_ratio " +
+        "FROM toks), " +
+        "q AS (SELECT doc_id, round(least(1.0, n_tokens::DOUBLE / 50) * (1.0 - punct_ratio), 4) AS quality_score FROM m), " +
+        "lid AS (SELECT doc_id, CASE WHEN len(list_intersect(t, ['the','a','and','of','value','table'])) > 0 THEN 'en' ELSE 'unk' END AS predicted FROM toks), " +
+        "canon AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1), " +
+        "bands AS (SELECT doc_id, s, b.range AS band, CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+        "FROM sig, range(4) b), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS s_a, b.s AS s_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+        "losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand " +
+        "WHERE len(list_intersect(s_a, s_b))::DOUBLE / len(list_distinct(list_concat(s_a, s_b))) >= 0.5) " +
+        "SELECT d.doc_id, d.lang, d.n_chars, q.quality_score " +
+        "FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id) " +
+        "JOIN canon USING (doc_id) LEFT JOIN losers r USING (doc_id) " +
+        "WHERE r.doc_id IS NULL AND q.quality_score >= 0.5 AND lid.predicted = 'en'"))
 }

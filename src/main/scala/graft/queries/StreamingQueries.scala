@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.streaming.EventsStream
+import graft.streaming.{DedupStream, EventsStream}
 
 /** Structured Streaming entries for the correctness gate: each runs a real
   * incremental query (AvailableNow trigger) over the events files and is
@@ -12,7 +12,11 @@ object StreamingQueries {
     "stream_events_hourly" -> ((s, d) =>
       EventsStream.runToBatch(s, s"$d/events.parquet", "v_stream_hourly")),
     "stream_user_sessions" -> ((s, d) =>
-      EventsStream.runSessionsToBatch(s, s"$d/events.parquet", "v_stream_sessions")))
+      EventsStream.runSessionsToBatch(s, s"$d/events.parquet", "v_stream_sessions")),
+    // the same document file staged as TWO micro-batches: batch 2 must be
+    // fully suppressed by dedup state from batch 1
+    "stream_dedup_docs" -> ((s, d) =>
+      DedupStream.runToBatch(s, s"$d/documents.parquet", "v_stream_dedup")))
 
   val oracles: Map[String, String] = Map(
     "stream_events_hourly" ->
@@ -27,5 +31,7 @@ object StreamingQueries {
         |SELECT user_id, count(*) AS n_events,
         |  count(*) FILTER (gap IS NULL OR gap > 1800) AS n_sessions,
         |  round(sum(value), 2) AS total_value
-        |FROM g GROUP BY user_id""".stripMargin)
+        |FROM g GROUP BY user_id""".stripMargin,
+    "stream_dedup_docs" ->
+      "SELECT DISTINCT md5(text) AS fingerprint, n_chars FROM documents")
 }
