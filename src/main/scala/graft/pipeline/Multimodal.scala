@@ -52,4 +52,50 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  final case class Resized(doc_id: Long, src_w: Long, src_h: Long,
+      out_w: Long, out_h: Long)
+
+  /** fit-within-box resize of the decoded (fake) image dimensions —
+    * integer-only math (`floor(w*th/h)` style) so any engine reproduces
+    * the output exactly; a real implementation would also emit the
+    * resampled pixels from the same batched loop. Degenerate sources
+    * (zero-area) pass through as 0×0 rather than erroring the batch. */
+  def resized(spark: SparkSession, docs: DataFrame,
+      targetW: Long = 128, targetH: Long = 96): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[Payload] = payloads(docs)
+      .select(col("doc_id"), col("payload")).as[Payload]
+    ds.mapPartitions { it =>
+      it.map { p =>
+        val (len, _, w, h) = decodeStub(p.payload)
+        val (ow, oh) =
+          if (w <= 0 || h <= 0) (0L, 0L)
+          else if (w * targetH <= h * targetW) (w * targetH / h, targetH)
+          else (targetW, h * targetW / w)
+        Resized(p.doc_id, w, h, ow, oh)
+      }
+    }.toDF()
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_code: Long)
+
+  /** frame sampling: treat the payload as a fake video of
+    * `len / frameBytes` frames and emit every `stride`-th frame with a
+    * deterministic per-frame fingerprint (first byte of the frame) — the
+    * one-to-many batched shape of real video frame extraction. */
+  def frameSamples(spark: SparkSession, docs: DataFrame,
+      frameBytes: Int = 100, stride: Int = 5): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[Payload] = payloads(docs)
+      .select(col("doc_id"), col("payload")).as[Payload]
+    ds.mapPartitions { it =>
+      it.flatMap { p =>
+        val nFrames = p.payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          Frame(p.doc_id, i.toLong, (p.payload(i * frameBytes) & 0xff).toLong)
+        }
+      }
+    }.toDF()
+  }
 }

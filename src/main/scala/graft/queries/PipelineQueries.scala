@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipeline.{CorpusClean, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusClean, Dedup, Multimodal, Quantization, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) over the driver's `documents` and `embeddings` tables, each
@@ -33,6 +33,9 @@ object PipelineQueries {
     "pipe_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "pipe_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
+    "pipe_mm_resize" -> ((s, d) => Multimodal.resized(s, docs(s, d))),
+    "pipe_mm_frames" -> ((s, d) => Multimodal.frameSamples(s, docs(s, d))),
+    "pipe_emb_quantize" -> ((s, d) => Quantization.quantizeInt8(emb(s, d))),
     // flagship composition: quality -> lang -> exact dedup -> near-dup
     // removal, all from the engine's own operators
     "pipe_corpus_clean" -> ((s, d) => CorpusClean.clean(docs(s, d))))
@@ -179,6 +182,34 @@ object PipelineQueries {
         "array_to_string(list_transform(range(1, 5), i -> ascii(substr(text, i, 1))), ',') AS head_codes, " +
         "len(text)::BIGINT % 640 AS fake_width, (len(text)::BIGINT * 7) % 480 AS fake_height " +
         "FROM documents"),
+
+    // fit-within-box resize of the fake decoded dims — integer math only
+    "pipe_mm_resize" ->
+      ("WITH d AS (SELECT doc_id, len(text)::BIGINT % 640 AS w, (len(text)::BIGINT * 7) % 480 AS h FROM documents) " +
+        "SELECT doc_id, w AS src_w, h AS src_h, " +
+        "CASE WHEN w <= 0 OR h <= 0 THEN 0 WHEN w * 96 <= h * 128 THEN w * 96 // h ELSE 128 END AS out_w, " +
+        "CASE WHEN w <= 0 OR h <= 0 THEN 0 WHEN w * 96 <= h * 128 THEN 96 ELSE h * 128 // w END AS out_h " +
+        "FROM d"),
+
+    // every 5th fake frame (100 bytes each), fingerprint = frame's first
+    // byte (documents are ASCII so byte == char code)
+    "pipe_mm_frames" ->
+      ("WITH d AS (SELECT doc_id, text, len(text)::BIGINT // 100 AS n_frames FROM documents) " +
+        "SELECT doc_id, 5 * i AS frame_idx, " +
+        "ascii(substr(text, CAST(5 * i * 100 + 1 AS INT), 1))::BIGINT AS frame_code " +
+        "FROM (SELECT doc_id, text, unnest(range(0, (n_frames + 4) // 5)) AS i FROM d)"),
+
+    // int8 max-abs quantization; floor(x+0.5) rounding and pinned
+    // parenthesization mirror Quantization.quantizeInt8 exactly
+    "pipe_emb_quantize" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e), " +
+        "q AS (SELECT vec_id, v, scale, list_transform(v, x -> " +
+        "CASE WHEN scale = 0 THEN 0 ELSE CAST(floor((x * 127.0) / scale + 0.5) AS BIGINT) END) AS qv FROM s) " +
+        "SELECT vec_id, round(scale, 6) AS scale, array_to_string(qv, ',') AS q, " +
+        "round(sqrt(list_sum(list_transform(range(1, 65), k -> " +
+        "(v[k] - (qv[k] * scale) / 127.0) * (v[k] - (qv[k] * scale) / 127.0))) / 64.0), 6) AS rmse " +
+        "FROM q"),
 
     // corpus clean = quality >= 0.5 AND predicted 'en' AND canonical copy
     // AND not the higher id of any MinHash-LSH near-dup pair (>= 0.5)
