@@ -16,15 +16,27 @@ import graft.mql.Mql
   * explain. By default results stream to stdout as RS-delimited json-seq
   * (the reference's wire format). `-c` points at a ParquetCatalog root;
   * without it the demo catalog derived from `SPARK_GRAFT_SF_DIR` is used.
+  *
+  * Further reference flags (metacat_query.py:20-41): `-i/--ids` emits file
+  * ids only; `-m/--metadata <k,...|all>` controls which metadata keys are
+  * emitted (absent ⇒ metadata omitted — the reference's with_meta flag);
+  * `-q <file>` reads the query text from a file; `-S/--save-as ns:name`
+  * and `-A/--add-to ns:name` materialize the result's membership into a
+  * dataset (require `-c`, the writable catalog).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
     var explain = false
     var includeRetired = false
     var withProvenance = false
+    var idsOnly = false
+    var metaKeys: Option[String] = None
+    var saveAs: Option[String] = None
+    var addTo: Option[String] = None
     var summary: Option[String] = None
     var catalogRoot: Option[String] = None
     var defaultNs: Option[String] = None
+    var queryFile: Option[String] = None
     val mql = new StringBuilder
     var i = 0
     while (i < args.length) {
@@ -33,9 +45,14 @@ object Cli {
         case "-r" | "--include-retired" => includeRetired = true
         // metacat_query.py:49 `-P/--with-provenance`
         case "-P" | "--with-provenance" => withProvenance = true
+        case "-i" | "--ids" => idsOnly = true
+        case "-m" | "--metadata" => metaKeys = Some(args(i + 1)); i += 1
+        case "-S" | "--save-as" => saveAs = Some(args(i + 1)); i += 1
+        case "-A" | "--add-to" => addTo = Some(args(i + 1)); i += 1
         case "-s" | "--summary" => summary = Some(args(i + 1)); i += 1
         case "-c" => catalogRoot = Some(args(i + 1)); i += 1
         case "-n" => defaultNs = Some(args(i + 1)); i += 1
+        case "-q" => queryFile = Some(args(i + 1)); i += 1
         case other => mql.append(other).append(' ')
       }
       i += 1
@@ -52,11 +69,32 @@ object Cli {
       case None => new DerivedCatalog(spark,
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     }
-    val text = mql.toString.trim
+    val text = queryFile match {
+      case Some(f) =>
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+      case None => mql.toString.trim
+    }
     if (explain)
       println(Mql.explain(spark, cat, text, defaultNs))
     else {
+      import org.apache.spark.sql.functions._
       val result0 = Mql.query(spark, cat, text, defaultNs, includeRetired)
+
+      // -S/-A: materialize membership before printing (data_handler.py
+      // save_as/add_to; both need the writable catalog)
+      def didOf(s: String): (String, String) = s.split(":", 2) match {
+        case Array(ns, n) => (ns, n)
+        case _ => throw new IllegalArgumentException(s"expected ns:name, got $s")
+      }
+      if (saveAs.nonEmpty || addTo.nonEmpty) {
+        val writable = cat match {
+          case p: ParquetCatalog => p
+          case _ => throw new IllegalArgumentException("-S/-A require -c <catalog-root>")
+        }
+        saveAs.map(didOf).foreach { case (ns, n) => writable.saveAs(result0, ns, n) }
+        addTo.map(didOf).foreach { case (ns, n) => writable.addTo(result0, ns, n) }
+      }
+
       val result =
         if (withProvenance) Mql.withProvenance(cat, result0) else result0
       // `--summary count|keys|key-values` parity (metacat_query.py -s)
@@ -65,7 +103,20 @@ object Cli {
         case Some("keys") => Mql.summaryKeys(result)
         case Some("key-values" | "kv") => Mql.summaryKeyValues(result)
         case Some(other) => throw new IllegalArgumentException(s"bad summary: $other")
-        case None => result
+        case None if idsOnly => result.select(col("fid")) // -i (metacat_query.py:26)
+        case None =>
+          // with_meta parity: metadata is emitted only when -m asks for it,
+          // either whole ("all") or filtered to the listed keys
+          metaKeys match {
+            case None => result.drop("metadata")
+            case Some("all") => result
+            case Some(ks) =>
+              val keys = ks.split(",").map(_.trim).filter(_.nonEmpty)
+              result.withColumn("metadata",
+                map_filter(
+                  try_variant_get(col("metadata"), "$", "map<string,variant>"),
+                  (k, _) => k.isin(keys.toIndexedSeq: _*)))
+          }
       }
       JsonSeq.stream(out).foreach(print)
     }
