@@ -16,7 +16,12 @@ object StreamingQueries {
     // the same document file staged as TWO micro-batches: batch 2 must be
     // fully suppressed by dedup state from batch 1
     "stream_dedup_docs" -> ((s, d) =>
-      DedupStream.runToBatch(s, s"$d/documents.parquet", "v_stream_dedup")))
+      DedupStream.runToBatch(s, s"$d/documents.parquet", "v_stream_dedup")),
+    // incremental MinHash-LSH near-dup: corpus split into two parity
+    // micro-batches; pairs spanning the halves exist only if bucket state
+    // survives across batches. Oracle = the batch operator's oracle.
+    "stream_neardup_docs" -> ((s, d) =>
+      DedupStream.runNearDupToBatch(s, s"$d/documents.parquet", "v_stream_neardup")))
 
   val oracles: Map[String, String] = Map(
     "stream_events_hourly" ->
@@ -33,5 +38,6 @@ object StreamingQueries {
         |  round(sum(value), 2) AS total_value
         |FROM g GROUP BY user_id""".stripMargin,
     "stream_dedup_docs" ->
-      "SELECT DISTINCT md5(text) AS fingerprint, n_chars FROM documents")
+      "SELECT DISTINCT md5(text) AS fingerprint, n_chars FROM documents",
+    "stream_neardup_docs" -> PipelineQueries.oracles("pipe_minhash_pairs"))
 }

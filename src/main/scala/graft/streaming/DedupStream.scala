@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Streaming ingest-time exact deduplication — the training-pipeline shape
@@ -66,5 +66,119 @@ object DedupStream {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  // ---- streaming MinHash-LSH near-duplicate detection ----
+
+  final case class BandedDoc(bkey: String, doc_id: Long)
+
+  /** stage the corpus as two micro-batches split by doc_id parity, so
+    * near-dup pairs spanning the halves can only be found by state that
+    * survives across batches */
+  private def stageParitySplit(spark: SparkSession, docFile: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-neardup-stream-")
+    d.toFile.deleteOnExit()
+    val docs = spark.read.parquet(docFile)
+    for ((par, tag) <- Seq(0 -> "even", 1 -> "odd")) {
+      val sub = d.resolve(s"__stage_$tag")
+      docs.filter(col("doc_id") % 2 === par).coalesce(1)
+        .write.parquet(sub.toString)
+      val part = Files.list(sub).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, d.resolve(s"${par}_$tag.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      // drop the staging droppings so the file source sees only the data
+      Files.walk(sub).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.delete(p); () })
+    }
+    d.toString
+  }
+
+  /** Streaming MinHash-LSH near-duplicate pairs — the incremental twin of
+    * `Dedup.minhashPairs`: as document shards land, each doc's banded
+    * signature keys are computed statelessly, and per-bucket keyed state
+    * (`flatMapGroupsWithState`) remembers which docs were ever seen in the
+    * bucket, emitting candidate pairs between each arrival and ALL
+    * earlier members — across micro-batches. Candidates are then verified
+    * with exact shingle Jaccard via a stream-static join against the
+    * corpus shingle table (stateless, so it composes with the stateful
+    * bucket operator).
+    *
+    * State is one (bucket → member ids) entry per occupied bucket — the
+    * same index MinHash-LSH builds anyway; production would age buckets
+    * out with a timeout. A pair colliding in several bands is emitted per
+    * band; the collector dedups (same row either way).
+    */
+  def nearDupPairs(spark: SparkSession, stream: DataFrame, docFile: String,
+      numHashes: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val r = numHashes / bands
+    val banded = stream
+      .withColumn("__t", split(lower(col("text")), " "))
+      .filter(size(col("__t")) >= 3)
+      .withColumn("shingles", expr(graft.pipeline.Dedup.shingleExpr))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${numHashes - 1}), h ->
+           |  array_min(transform(shingles, x ->
+           |    cast(conv(substr(md5(concat(cast(h as string), ':', x)), 1, 15), 16, 10) as bigint)
+           |  )))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+           |  concat_ws(',', cast(b as string),
+           |    transform(slice(sig, b * $r + 1, $r), v -> cast(v as string))))"""
+          .stripMargin)).as("bkey"))
+      .select(col("bkey"), col("doc_id")).as[BandedDoc]
+
+    val candidates = banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val existing = state.getOption.getOrElse(Nil)
+          val arrived = rows.map(_.doc_id).toList.distinct.sorted
+          val fresh = arrived.filterNot(existing.contains)
+          state.update(existing ++ fresh)
+          // each fresh member pairs with every earlier member (previous
+          // batches' state + earlier arrivals of this batch)
+          val out = for {
+            (n, idx) <- fresh.zipWithIndex
+            e <- existing ++ fresh.take(idx)
+          } yield (math.min(n, e), math.max(n, e))
+          out.iterator
+      }
+      .toDF("doc_a", "doc_b")
+
+    // exact-Jaccard verification against the (batch) corpus shingles —
+    // stream-static equi-joins are stateless
+    val sh = graft.pipeline.Dedup.withShingles(spark.read.parquet(docFile))
+      .select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** run the incremental near-dup query over the parity-split corpus and
+    * return the pair set (cross-band repeats collapse to one row) */
+  def runNearDupToBatch(spark: SparkSession, docFile: String, name: String): DataFrame = {
+    val dir = stageParitySplit(spark, docFile)
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = nearDupPairs(spark, stream, docFile)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).distinct()
   }
 }
