@@ -1,0 +1,28 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-mix construction: each
+  * document is kept iff its seeded content hash falls under its group's
+  * rate — a pure per-row predicate, so the mix is reproducible across
+  * runs/engines, stable under repartitioning, and composes with pushdown
+  * (no RNG state, no `sample()` nondeterminism). This is how production
+  * pipelines pin "90% en, 40% other, 20% zh"-style mixture weights. */
+object Sampling {
+
+  /** hash-bucket in [0, 1000): first 6 md5 hex digits of "seed:doc_id" */
+  def bucket(seed: String, id: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 1000
+
+  /** stratified sample: keep a document iff bucket < rate(group)*1000;
+    * groups absent from `rates` fall back to `defaultRate`. */
+  def stratified(docs: DataFrame, groupCol: String, rates: Map[String, Double],
+      defaultRate: Double = 0.0, seed: String = "mix"): DataFrame = {
+    val keepBelow = rates.foldLeft(lit((defaultRate * 1000).toLong)) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit((r * 1000).toLong)).otherwise(acc)
+    }
+    docs.filter(bucket(seed, col("doc_id")) < keepBelow)
+  }
+}

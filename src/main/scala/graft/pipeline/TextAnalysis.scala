@@ -83,4 +83,23 @@ object TextAnalysis {
       md5(norm).as("fp"),
       Dedup.hex60(norm).as("fp60"))
   }
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9()\\-]{6,}"
+
+  /** PII-style scrubbing: replace email addresses and phone-like tokens,
+    * and count what was removed — pure regexp column expressions (the
+    * production pass adds more patterns, not more machinery). The test
+    * corpus carries no PII, so the gate query appends a synthetic
+    * per-document contact string before scrubbing to prove the redaction
+    * actually fires. */
+  def redact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"))
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipeline.{CorpusClean, Dedup, Multimodal, Quantization, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+import graft.pipeline.{CorpusClean, Dedup, Multimodal, Quantization, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) over the driver's `documents` and `embeddings` tables, each
@@ -38,7 +39,21 @@ object PipelineQueries {
     "pipe_emb_quantize" -> ((s, d) => Quantization.quantizeInt8(emb(s, d))),
     // flagship composition: quality -> lang -> exact dedup -> near-dup
     // removal, all from the engine's own operators
-    "pipe_corpus_clean" -> ((s, d) => CorpusClean.clean(docs(s, d))))
+    "pipe_corpus_clean" -> ((s, d) => CorpusClean.clean(docs(s, d))),
+    // synthetic contact string appended so the redaction provably fires
+    "pipe_text_redact" -> ((s, d) =>
+      TextAnalysis.redact(
+        docs(s, d).withColumn("aug",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))),
+        textCol = "aug")),
+    // training-mix: 90% en, 20% zh, 40% everything else — deterministic
+    // seeded hash buckets, reproducible across engines
+    "pipe_corpus_mix" -> ((s, d) =>
+      Sampling.stratified(docs(s, d), "lang",
+        Map("en" -> 0.9, "zh" -> 0.2), defaultRate = 0.4)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
 
   // shared oracle fragments
   private val Toks =
@@ -229,5 +244,20 @@ object PipelineQueries {
         "SELECT d.doc_id, d.lang, d.n_chars, q.quality_score " +
         "FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id) " +
         "JOIN canon USING (doc_id) LEFT JOIN losers r USING (doc_id) " +
-        "WHERE r.doc_id IS NULL AND q.quality_score >= 0.5 AND lid.predicted = 'en'"))
+        "WHERE r.doc_id IS NULL AND q.quality_score >= 0.5 AND lid.predicted = 'en'"),
+
+    "pipe_text_redact" ->
+      ("WITH a AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+        " || '@mail.example or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug" +
+        " FROM documents) " +
+        "SELECT doc_id, " +
+        s"len(regexp_extract_all(aug, '${TextAnalysis.EmailRe}'))::BIGINT AS n_emails, " +
+        s"len(regexp_extract_all(aug, '${TextAnalysis.PhoneRe}'))::BIGINT AS n_phones, " +
+        s"regexp_replace(regexp_replace(aug, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted FROM a"),
+
+    "pipe_corpus_mix" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < " +
+        "(CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 200 ELSE 400 END)"))
 }

@@ -164,6 +164,17 @@ object RelationalQueries {
         .filter(col("total_qty") > 1500)
     }),
 
+    // --- rollup (multi-level aggregation in one pass; Spark expands
+    // grouping sets before the hash aggregate — still a single shuffle) ---
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("qty"))
+    }),
+
     // --- scalar date/string functions + CASE ---
     "q_scalar_date" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -277,6 +288,11 @@ object RelationalQueries {
     "q_having" ->
       """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem GROUP BY l_suppkey HAVING round(sum(l_quantity), 2) > 1500""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_scalar_date" ->
       """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
