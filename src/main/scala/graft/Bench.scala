@@ -28,8 +28,12 @@ object Bench {
       try { new graft.metacat.DerivedCatalog(spark, sfDir).files.count(); secs(tInit) }
       catch { case _: Throwable => -1.0 }
 
+    // optional args = subset of query names (dev loop); default all.
     // a failed query reports -1, never a bogus elapsed time
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val t = try { fn(spark, sfDir).count(); secs(t0) } catch { case _: Throwable => -1.0 }
       name -> t

@@ -164,21 +164,31 @@ object DedupStream {
   }
 
   /** run the incremental near-dup query over the parity-split corpus and
-    * return the pair set (cross-band repeats collapse to one row) */
+    * return the pair set (cross-band repeats collapse to one row).
+    *
+    * Streaming state-store count is pinned by the shuffle-partition conf at
+    * checkpoint creation; per-micro-batch cost scales with it regardless of
+    * data volume, so we scope it down for this bounded local run (a real
+    * cluster sizes it to executor count once, at deploy time). */
   def runNearDupToBatch(spark: SparkSession, docFile: String, name: String): DataFrame = {
     val dir = stageParitySplit(spark, docFile)
     val stream = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-    val q = nearDupPairs(spark, stream, docFile)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val partKey = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val q = nearDupPairs(spark, stream, docFile)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, saved)
     spark.table(name).distinct()
   }
 }
