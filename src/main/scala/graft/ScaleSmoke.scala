@@ -83,6 +83,23 @@ object ScaleSmoke {
     time("with_provenance")(Mql.withProvenance(cat, Mql.query(spark, cat,
       "files from dsns:ds1 where core.run < 100")).count())
     time("namespace_counts")(Mql.namespaceCounts(cat).count())
+
+    // pipeline ops at mult× corpus/embedding scale: every clone shard is
+    // content-identical with shifted ids, so each document gains mult-1
+    // exact near-duplicates — the LSH bucket join and the verify joins
+    // carry mult·n(mult-1)/2 genuine pairs (≈ 225k at 10×), a stress of
+    // exactly the stages that would grow at 100 TB. doc_id shifts keep ids
+    // distinct; shingle/signature work is mult× linear.
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    val bigDocs = (0 until mult).map(i => docs0.withColumn("doc_id",
+      col("doc_id") + lit(i * 1000000L))).reduce(_.unionByName(_))
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bigEmb = (0 until mult).map(i => emb0.withColumn("vec_id",
+      col("vec_id") + lit(i * 1000000L))).reduce(_.unionByName(_))
+    time("minhash_pairs_10x")(graft.pipeline.Dedup.minhashPairs(bigDocs).count())
+    time("corpus_clean_10x")(graft.pipeline.CorpusClean.clean(bigDocs).count())
+    time("emb_quantize_10x")(graft.pipeline.Quantization.quantizeInt8(bigEmb).count())
+    time("sim_lsh_10x")(graft.pipeline.Similarity.lshCosinePairs(bigEmb).count())
     spark.stop()
   }
 }
