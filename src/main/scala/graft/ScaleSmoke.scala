@@ -91,11 +91,15 @@ object ScaleSmoke {
     // exactly the stages that would grow at 100 TB. doc_id shifts keep ids
     // distinct; shingle/signature work is mult× linear.
     val docs0 = spark.read.parquet(s"$dir/documents.parquet")
-    val bigDocs = (0 until mult).map(i => docs0.withColumn("doc_id",
-      col("doc_id") + lit(i * 1000000L))).reduce(_.unionByName(_))
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    // shard offset derived from the actual max id so clone ids never
+    // collide at any corpus size
+    val docOff = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    val embOff = emb0.agg(max("vec_id")).head().getLong(0) + 1
+    val bigDocs = (0 until mult).map(i => docs0.withColumn("doc_id",
+      col("doc_id") + lit(i * docOff))).reduce(_.unionByName(_))
     val bigEmb = (0 until mult).map(i => emb0.withColumn("vec_id",
-      col("vec_id") + lit(i * 1000000L))).reduce(_.unionByName(_))
+      col("vec_id") + lit(i * embOff))).reduce(_.unionByName(_))
     time("minhash_pairs_10x")(graft.pipeline.Dedup.minhashPairs(bigDocs).count())
     time("corpus_clean_10x")(graft.pipeline.CorpusClean.clean(bigDocs).count())
     time("emb_quantize_10x")(graft.pipeline.Quantization.quantizeInt8(bigEmb).count())

@@ -55,5 +55,8 @@ object Adler32Expr {
   /** register `graft_adler32` for SQL use */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_adler32", exprs => Adler32Expr(exprs.head), "built-in")
+      "graft_adler32", exprs => {
+        require(exprs.length == 1, s"graft_adler32 takes 1 argument, got ${exprs.length}")
+        Adler32Expr(exprs.head)
+      }, "built-in")
 }

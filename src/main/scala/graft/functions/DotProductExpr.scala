@@ -83,5 +83,8 @@ object DotProductExpr {
   /** register `graft_dot` for SQL use */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")
+      "graft_dot", exprs => {
+        require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
+        DotProductExpr(exprs.head, exprs(1))
+      }, "built-in")
 }

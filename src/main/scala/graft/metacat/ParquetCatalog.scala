@@ -101,25 +101,40 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     require(missing.isEmpty,
       s"declareFiles rows missing required columns: ${missing.mkString(", ")}")
 
-    val dsConstraints = dataset match {
-      case Some((ns, n)) =>
-        val ds = datasetRow(ns, n)
-        if (ds.frozen)
-          throw new IllegalArgumentException(s"dataset $ns:$n is frozen")
-        checkCategories(rows)
-        ds.requirements
-      case None => Nil
-    }
-    failOnViolations(rows, dsConstraints ++ constraints)
+    // pin the batch: validation, the files append and the membership
+    // append must all see the SAME row set even if the caller's plan is
+    // nondeterministic (limit/sample/shuffle-ordered input)
+    val batch = withDeclareDefaults(rows, FilesSchema).persist()
+    try {
+      // re-declaring an existing id is an error, as in the reference
+      // (data_handler.py declare: 'already exists'); silently appending
+      // would duplicate rows in both tables
+      val dup = batch.select("fid")
+        .join(readOr("files", FilesSchema).select("fid"), Seq("fid"), "left_semi")
+        .limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"file ${dup.head.getString(0)} already declared")
 
-    withDeclareDefaults(rows, FilesSchema)
-      .write.mode(SaveMode.Append).partitionBy("namespace").parquet(path("files"))
-    dataset.foreach { case (ns, n) =>
-      rows.select(col("fid"))
-        .withColumn("dataset_namespace", lit(ns))
-        .withColumn("dataset_name", lit(n))
-        .write.mode(SaveMode.Append).parquet(path("files_datasets"))
-    }
+      val dsConstraints = dataset match {
+        case Some((ns, n)) =>
+          val ds = datasetRow(ns, n)
+          if (ds.frozen)
+            throw new IllegalArgumentException(s"dataset $ns:$n is frozen")
+          checkCategories(batch)
+          ds.requirements
+        case None => Nil
+      }
+      failOnViolations(batch, dsConstraints ++ constraints)
+
+      batch.write.mode(SaveMode.Append).partitionBy("namespace").parquet(path("files"))
+      dataset.foreach { case (ns, n) =>
+        batch.select(col("fid"))
+          .withColumn("dataset_namespace", lit(ns))
+          .withColumn("dataset_name", lit(n))
+          .write.mode(SaveMode.Append).parquet(path("files_datasets"))
+      }
+    } finally { batch.unpersist(); () }
   }
 
   def createDataset(namespace: String, name: String, frozen: Boolean = false,

@@ -53,8 +53,6 @@ object Validation {
     val present = v.isNotNull
     val numV = try_variant_get(v, "$", "double")
     val strV = when(schema_of_variant(v) === "STRING", try_variant_get(v, "$", "string"))
-    val canonical = coalesce(strV, cast_to_string(numV),
-      try_variant_get(v, "$", "string"))
     val checks: Seq[(Column, String)] = Seq(
       (lit(c.required) && !present, s"${c.key}: required parameter missing")) ++
       c.typ.map(t => (present && !typeOk(v, t),
@@ -63,18 +61,23 @@ object Validation {
         s"${c.key}: value below min $m")).toSeq ++
       c.max.map(m => (present && coalesce(numV > m, strV > m.toString, lit(false)),
         s"${c.key}: value above max $m")).toSeq ++
-      (if (c.values.nonEmpty)
-        Seq((present && !canonical.isin(c.values: _*), s"${c.key}: value not in enumeration"))
-      else Nil) ++
+      (if (c.values.nonEmpty) {
+        // numeric enum entries must compare NUMERICALLY: the stored "1"
+        // and a BIGINT variant 1 (canonical string "1.0") are the same
+        // value. String entries compare on the string form.
+        val numVals = c.values.flatMap(v => scala.util.Try(v.toDouble).toOption)
+        val strLeg = coalesce(strV.isin(c.values: _*), lit(false))
+        val numLeg =
+          if (numVals.nonEmpty) coalesce(numV.isin(numVals: _*), lit(false))
+          else lit(false)
+        Seq((present && !(strLeg || numLeg), s"${c.key}: value not in enumeration"))
+      } else Nil) ++
       c.pattern.map(p => (present && !coalesce(strV.rlike("^(?:" + p + ")$"), lit(false)),
         s"${c.key}: value does not match pattern $p")).toSeq
     checks.foldLeft(lit(null).cast("string")) { case (acc, (bad, msg)) =>
       coalesce(acc, when(bad, lit(msg)))
     }
   }
-
-  private def cast_to_string(c: Column): Column =
-    when(c.isNotNull, c.cast("string"))
 
   /** Parse a dataset's stored `file_metadata_requirements` JSON —
     * `{key: {required, type, values, min, max, pattern}}`, the shape of
@@ -91,8 +94,7 @@ object Validation {
       def numOpt(f: String) = Option(c.get(f)).filter(_.isNumber).map(_.asDouble())
       def strOpt(f: String) = Option(c.get(f)).filter(_.isTextual).map(_.asText())
       val values = Option(c.get("values")).filter(_.isArray)
-        .map(_.elements().asScala.map(v =>
-          if (v.isTextual) v.asText() else v.asText()).toSeq)
+        .map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Nil)
       Constraint(
         key = key,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 import scala.collection.mutable
+import graft.TempDirs
 import Ast._
 
 /** MQL `filter name(params)(queries)` — the reference's UDTF surface
@@ -12,9 +13,11 @@ import Ast._
   * The reference streams rows through Python generators; order-sensitive
   * filters (`sample`, `stride`, `randomize`, `mix`) observe whatever order
   * the stream happens to have (documented as unspecified,
-  * docs/mql.rst:811-830). Our engine fixes the canonical stream order to
-  * file id, which makes the order-sensitive filters deterministic and
-  * oracle-testable.
+  * docs/mql.rst:811-830). Our engine fixes the canonical CONSUMPTION order
+  * to file id, which makes each filter's selected SET deterministic and
+  * oracle-testable. The emitted rows remain an unordered file set — the
+  * reference's own contract (mql.rst:9-10) — until an explicit `ordered`
+  * (`randomize`/`mix` outputs do carry their reorder).
   *
   * Scale notes: `sample`/`stride` need a global row index over the
   * id-ordered stream. That index is computed distributedly (see
@@ -71,11 +74,8 @@ object Filters {
         extStruct.as("__ext"))
       val mv = try_variant_get(col("metadata"), s"$$['$metaKey']", "variant")
       val fileKey =
-        if (keyIsNum)
-          when(schema_of_variant(mv).rlike("^(BIGINT|DOUBLE|DECIMAL|FLOAT|SMALLINT|TINYINT|INT)"),
-            try_variant_get(mv, "$", "double"))
-        else
-          when(schema_of_variant(mv) === "STRING", try_variant_get(mv, "$", "string"))
+        if (keyIsNum) MetaCompiler.numericVariant(mv)
+        else MetaCompiler.stringVariant(mv)
       val joined = df.withColumn("__lk", fileKey)
         .join(broadcast(keyed), Seq("__lk"), "left")
       // top-level merge, patch wins: drop colliding original keys instead of
@@ -219,11 +219,16 @@ object Filters {
       df.select("fid").sort("fid").toLocalIterator().asScala.map(_.getString(0))
     }.toArray
 
-    val interleaved: Iterator[(String, Long)] = new Iterator[(String, Long)] {
+    // (fid, rank, winning source): the SOURCE matters — when a fid exists
+    // in several inputs, the reference emits the row object pulled from
+    // the stream that won the score round (filters.py:151-191), and a
+    // lookup filter may have enriched exactly that branch's metadata
+    val interleaved: Iterator[(String, Long, Int)] = new Iterator[(String, Long, Int)] {
       private val sent = mutable.HashSet.empty[String]
       private var scores = ratios.indices.map(i => (0.0, i)).toList
       private var rank = 0L
       private var nextFid: String = _
+      private var nextSrc = 0
       private var done = false
       private var primed = false
 
@@ -245,6 +250,7 @@ object Filters {
                 sent += fid
                 scores = (scores.head._1 - 1.0, i0) :: scores.tail
                 nextFid = fid
+                nextSrc = i0
                 sentOne = true
               }
             }
@@ -253,34 +259,29 @@ object Filters {
       }
 
       def hasNext: Boolean = { if (!primed) advance(); nextFid != null }
-      def next(): (String, Long) = {
+      def next(): (String, Long, Int) = {
         if (!hasNext) throw new NoSuchElementException("mix exhausted")
-        val out = (nextFid, rank); rank += 1; primed = false
+        val out = (nextFid, rank, nextSrc); rank += 1; primed = false
         out
       }
     }
 
     import spark.implicits._
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-mix-")
-    deleteOnExit(tmpDir.toFile)
+    TempDirs.register(tmpDir)
     var any = false
     interleaved.grouped(MixChunk).foreach { chunk =>
-      spark.createDataset(chunk).toDF("fid", "__mix_rank")
+      spark.createDataset(chunk).toDF("fid", "__mix_rank", "__mix_src")
         .write.mode("append").parquet(tmpDir.toString)
       any = true
     }
-    val base = inputs.reduce(_.unionByName(_)).dropDuplicates("fid")
-    if (!any) base.limit(0)
-    else base.join(spark.read.parquet(tmpDir.toString), Seq("fid"))
-      .orderBy("__mix_rank").drop("__mix_rank")
+    // re-attach full rows from exactly the input each fid was consumed
+    // from (join on fid AND source index)
+    val base = inputs.zipWithIndex
+      .map { case (df, i) => df.withColumn("__mix_src", lit(i)) }
+      .reduce(_.unionByName(_))
+    if (!any) base.limit(0).drop("__mix_src")
+    else base.join(spark.read.parquet(tmpDir.toString), Seq("fid", "__mix_src"))
+      .orderBy("__mix_rank").drop("__mix_rank", "__mix_src")
   }
-
-  private def deleteOnExit(dir: java.io.File): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(dir)
-    }))
 }

@@ -38,6 +38,21 @@ import Ast._
   */
 object MetaCompiler {
 
+  /** Strict numeric extraction from a variant: exact-match the
+    * fixed-width schema names, prefix-match only DECIMAL(p,s) — cheaper
+    * per element than a schema regex inside `[any]`/`[all]` loops. The
+    * single source of the numeric guard (also used by the external
+    * lookup-join filter). */
+  def numericVariant(v: Column): Column = {
+    val sch = schema_of_variant(v)
+    when(sch.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT") ||
+      sch.startsWith("DECIMAL"), try_variant_get(v, "$", "double"))
+  }
+
+  /** strict string extraction (numbers never coerce — mql.rst:165-172) */
+  def stringVariant(v: Column): Column =
+    when(schema_of_variant(v) === "STRING", try_variant_get(v, "$", "string"))
+
   /** class of a typed column's values; predicates against a constant of a
     * different class are raw-false (same as the Variant type guard, and
     * the same TypeError⇒false the reference's evaluator produces) */
@@ -109,16 +124,8 @@ object MetaCompiler {
 
     // ---- strict typed extraction from a variant value ----
     private def schemaOf(v: Column): Column = schema_of_variant(v)
-    /** numeric guard without a regex: exact-match the fixed-width schema
-      * names, prefix-match only DECIMAL(p,s) — cheaper per element than
-      * `rlike(NumericSchema)` inside `[any]`/`[all]` loops */
-    private def numOf(v: Column): Column = {
-      val sch = schemaOf(v)
-      when(sch.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT") ||
-        sch.startsWith("DECIMAL"), try_variant_get(v, "$", "double"))
-    }
-    private def strOf(v: Column): Column =
-      when(schemaOf(v) === "STRING", try_variant_get(v, "$", "string"))
+    private def numOf(v: Column): Column = MetaCompiler.numericVariant(v)
+    private def strOf(v: Column): Column = MetaCompiler.stringVariant(v)
     private def boolOf(v: Column): Column =
       when(schemaOf(v) === "BOOLEAN", try_variant_get(v, "$", "boolean"))
 

@@ -33,28 +33,42 @@ object Dedup {
     "array_distinct(transform(sequence(0, size(__t) - 3), i -> " +
       "concat_ws(' ', __t[i], __t[i+1], __t[i+2])))"
 
-  /** session-scoped cache of extracted shingle sets, keyed by the source
+  /** Session-scoped cache of extracted shingle sets, keyed by the source
     * plan's semantic hash: signatures, the LSH band join, exact-Jaccard
     * verification and the corpus-clean composition all reuse ONE
     * extraction pass — the same materialize-the-hot-intermediate posture
     * as the catalog's files cache (at cluster scale this would be a
-    * persisted/bucketed table, not an in-memory cache). */
+    * persisted/bucketed table, not an in-memory cache).
+    *
+    * Bounded: FIFO-evicts (and unpersists) beyond [[ShingleCacheMax]]
+    * entries so long-lived sessions don't pin storage forever. Assumes
+    * source files are immutable for the session (true of ingested corpus
+    * shards; re-writing a file under a cached plan would serve stale rows
+    * — same contract as any Spark persist over a mutated path). */
+  private val ShingleCacheMax = 8
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+    new java.util.LinkedHashMap[(String, Int), DataFrame]()
 
-  def withShingles(docs: DataFrame): DataFrame = {
+  def withShingles(docs: DataFrame): DataFrame = shingleCache.synchronized {
     val key = (System.identityHashCode(docs.sparkSession).toString,
       docs.queryExecution.analyzed.semanticHash())
-    shingleCache.getOrElseUpdate(key, {
+    Option(shingleCache.get(key)).getOrElse {
       // the documents table arrives as a single parquet file = one input
       // split; spread the (CPU-heavy) shingle extraction over the cluster
       val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      spread.withColumn("__t", toks)
+      val built = spread.withColumn("__t", toks)
         .filter(size(col("__t")) >= 3)
         .withColumn("shingles", expr(shingleExpr))
         .drop("__t")
         .persist()
-    })
+      shingleCache.put(key, built)
+      val it = shingleCache.entrySet().iterator()
+      while (shingleCache.size() > ShingleCacheMax && it.hasNext) {
+        it.next().getValue.unpersist()
+        it.remove()
+      }
+      built
+    }
   }
 
   /** exact duplicate detection: md5 fingerprint of the raw text; the first

@@ -38,7 +38,7 @@ object DedupStream {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(file).toAbsolutePath
     val d = Files.createTempDirectory("graft-dedup-stream-")
-    d.toFile.deleteOnExit()
+    graft.TempDirs.register(d)
     for (i <- 1 to copies)
       Files.createSymbolicLink(d.resolve(s"copy_$i.parquet"), src)
     spark.readStream
@@ -78,7 +78,7 @@ object DedupStream {
   private def stageParitySplit(spark: SparkSession, docFile: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val d = Files.createTempDirectory("graft-neardup-stream-")
-    d.toFile.deleteOnExit()
+    graft.TempDirs.register(d)
     val docs = spark.read.parquet(docFile)
     for ((par, tag) <- Seq(0 -> "even", 1 -> "odd")) {
       val sub = d.resolve(s"__stage_$tag")

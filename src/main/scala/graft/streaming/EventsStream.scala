@@ -45,7 +45,7 @@ object EventsStream {
     if (Files.isDirectory(p)) path
     else {
       val d = Files.createTempDirectory("graft-stream-")
-      d.toFile.deleteOnExit()
+      graft.TempDirs.register(d)
       Files.createSymbolicLink(d.resolve(p.getFileName), p.toAbsolutePath)
       d.toString
     }

@@ -150,6 +150,26 @@ class WritePathSpec extends SparkTestBase {
     assert(Mql.query(spark, cat, "files from w:strict2").count() == 1)
   }
 
+  test("numeric enumeration requirement accepts integer values numerically") {
+    // "1" in the stored enum must match a BIGINT variant 1 (not compare
+    // "1" against the canonical "1.0" string form)
+    cat.createDataset("w", "enum", fileMetaRequirementsJson =
+      """{"core.run": {"values": [0, 1, 2]}, "core.tag": {"values": ["t0", "t1", "t2"]}}""")
+    cat.declareFiles(declared(2).withColumn("fid", concat(lit("E"), col("fid"))),
+      dataset = Some(("w", "enum")))
+    assert(Mql.query(spark, cat, "files from w:enum").count() == 2)
+    val bad = declared(1).withColumn("fid", concat(lit("EB"), col("fid")))
+      .withColumn("metadata_json", lit("""{"core.run":7,"core.tag":"t0"}"""))
+    assertThrows[IllegalArgumentException](
+      cat.declareFiles(bad, dataset = Some(("w", "enum"))))
+  }
+
+  test("re-declaring an existing fid is rejected") {
+    val first = declared(1).withColumn("fid", concat(lit("D"), col("fid")))
+    cat.declareFiles(first)
+    assertThrows[IllegalArgumentException](cat.declareFiles(first))
+  }
+
   test("category-less metadata keys rejected on declare-into-dataset") {
     cat.createDataset("w", "cats")
     val bad = declared(1).withColumn("fid", concat(lit("C"), col("fid")))

@@ -180,6 +180,20 @@ class MqlEngineSpec extends SparkTestBase {
     assert(got.select("fid").distinct().count() == n)
   }
 
+  test("mix re-attaches the row from the winning input") {
+    import spark.implicits._
+    val runsDb = Seq((1L, "good", 1.0)).toDF("key", "quality", "lumi")
+    Filters.register("enrich_mix", new Filters.LookupJoinFilter(runsDb, "core.run", "mx"))
+    // both inputs hold exactly the same single fid; equal scores tie to
+    // the LAST input, so the emitted row must be the ENRICHED branch's —
+    // not an arbitrary duplicate's (the round-2 regression this pins)
+    val got = q("filter mix(1, 1)(fids F00000001, filter enrich_mix()(fids F00000001))")
+    val rows = got
+      .select(expr("try_variant_get(metadata, \"$['mx.quality']\", 'string')").as("q"))
+      .collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "good")
+  }
+
   test("summary ops") {
     val fs = q("files from dsns:ds2")
     val row = Mql.summaryCount(fs).collect().head
