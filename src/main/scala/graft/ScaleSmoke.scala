@@ -100,10 +100,10 @@ object ScaleSmoke {
       col("doc_id") + lit(i * docOff))).reduce(_.unionByName(_))
     val bigEmb = (0 until mult).map(i => emb0.withColumn("vec_id",
       col("vec_id") + lit(i * embOff))).reduce(_.unionByName(_))
-    time("minhash_pairs_10x")(graft.pipeline.Dedup.minhashPairs(bigDocs).count())
-    time("corpus_clean_10x")(graft.pipeline.CorpusClean.clean(bigDocs).count())
-    time("emb_quantize_10x")(graft.pipeline.Quantization.quantizeInt8(bigEmb).count())
-    time("sim_lsh_10x")(graft.pipeline.Similarity.lshCosinePairs(bigEmb).count())
+    time("minhash_pairs")(graft.pipeline.Dedup.minhashPairs(bigDocs).count())
+    time("corpus_clean")(graft.pipeline.CorpusClean.clean(bigDocs).count())
+    time("emb_quantize")(graft.pipeline.Quantization.quantizeInt8(bigEmb).count())
+    time("sim_lsh")(graft.pipeline.Similarity.lshCosinePairs(bigEmb).count())
     spark.stop()
   }
 }

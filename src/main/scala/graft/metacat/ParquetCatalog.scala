@@ -106,15 +106,21 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     // nondeterministic (limit/sample/shuffle-ordered input)
     val batch = withDeclareDefaults(rows, FilesSchema).persist()
     try {
-      // re-declaring an existing id is an error, as in the reference
-      // (data_handler.py declare: 'already exists'); silently appending
-      // would duplicate rows in both tables
+      // re-declaring an existing id — or declaring the same id twice in
+      // one batch — is an error, as in the reference (data_handler.py
+      // declare: 'already exists'); silently appending would duplicate
+      // rows in both tables
       val dup = batch.select("fid")
         .join(readOr("files", FilesSchema).select("fid"), Seq("fid"), "left_semi")
         .limit(1).collect()
       if (dup.nonEmpty)
         throw new IllegalArgumentException(
           s"file ${dup.head.getString(0)} already declared")
+      val selfDup = batch.groupBy("fid").count().filter(col("count") > 1)
+        .limit(1).collect()
+      if (selfDup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"file ${selfDup.head.getString(0)} appears twice in the declare batch")
 
       val dsConstraints = dataset match {
         case Some((ns, n)) =>
@@ -345,17 +351,12 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
     val dst = new java.io.File(path(table))
     val bak = new java.io.File(path(table + "__old"))
-    if (bak.exists()) delete(bak)
+    if (bak.exists()) graft.TempDirs.delete(bak)
     if (dst.exists() && !dst.renameTo(bak))
       throw new java.io.IOException(s"cannot stage $dst")
     if (!new java.io.File(tmp).renameTo(dst))
       throw new java.io.IOException(s"cannot swap $tmp")
-    delete(bak)
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-    f.delete(): Unit
+    graft.TempDirs.delete(bak)
   }
 }
 

@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Validation {
 
-  /** one parameter's declared constraints (types from validation.py:20) */
+  /** One parameter's declared constraints (types from validation.py:20).
+    * Enumerations keep their JSON types: string entries match only string
+    * values, numeric entries only numeric values (Python's `value in
+    * values` — `"1" != 1` — and the engine's own numbers-never-coerce
+    * rule, mql.rst:165-172). */
   final case class Constraint(
       key: String,
       typ: Option[String] = None, // int float text boolean dict list int[] float[] text[] boolean[] any
       min: Option[Double] = None,
       max: Option[Double] = None,
-      values: Seq[String] = Nil, // enumeration, matched on canonical string form
+      values: Seq[String] = Nil, // string-typed enumeration entries
+      numValues: Seq[Double] = Nil, // numeric enumeration entries
+      boolValues: Seq[Boolean] = Nil, // boolean enumeration entries
       pattern: Option[String] = None, // anchored regexp for text
       required: Boolean = false)
 
@@ -51,8 +57,11 @@ object Validation {
   private def violation(meta: Column, c: Constraint): Column = {
     val v = try_variant_get(meta, s"$$['${c.key}']", "variant")
     val present = v.isNotNull
-    val numV = try_variant_get(v, "$", "double")
-    val strV = when(schema_of_variant(v) === "STRING", try_variant_get(v, "$", "string"))
+    // strict extractions — a STRING variant "1" must NOT satisfy numeric
+    // constraints via the cast (try_variant_get coerces; the schema guard
+    // is what enforces numbers-never-coerce)
+    val numV = graft.mql.MetaCompiler.numericVariant(v)
+    val strV = graft.mql.MetaCompiler.stringVariant(v)
     val checks: Seq[(Column, String)] = Seq(
       (lit(c.required) && !present, s"${c.key}: required parameter missing")) ++
       c.typ.map(t => (present && !typeOk(v, t),
@@ -61,16 +70,18 @@ object Validation {
         s"${c.key}: value below min $m")).toSeq ++
       c.max.map(m => (present && coalesce(numV > m, strV > m.toString, lit(false)),
         s"${c.key}: value above max $m")).toSeq ++
-      (if (c.values.nonEmpty) {
-        // numeric enum entries must compare NUMERICALLY: the stored "1"
-        // and a BIGINT variant 1 (canonical string "1.0") are the same
-        // value. String entries compare on the string form.
-        val numVals = c.values.flatMap(v => scala.util.Try(v.toDouble).toOption)
-        val strLeg = coalesce(strV.isin(c.values: _*), lit(false))
-        val numLeg =
-          if (numVals.nonEmpty) coalesce(numV.isin(numVals: _*), lit(false))
-          else lit(false)
-        Seq((present && !(strLeg || numLeg), s"${c.key}: value not in enumeration"))
+      (if (c.values.nonEmpty || c.numValues.nonEmpty || c.boolValues.nonEmpty) {
+        // each leg is type-strict: a string value can only match a string
+        // entry, a number only a numeric entry, a boolean only a boolean
+        // entry — mirroring Python's typed `value in values`
+        def leg(vals: Seq[Any], extracted: Column) =
+          if (vals.isEmpty) lit(false)
+          else coalesce(extracted.isin(vals: _*), lit(false))
+        val boolV = when(schema_of_variant(v) === "BOOLEAN",
+          try_variant_get(v, "$", "boolean"))
+        val ok = leg(c.values, strV) || leg(c.numValues, numV) ||
+          leg(c.boolValues, boolV)
+        Seq((present && !ok, s"${c.key}: value not in enumeration"))
       } else Nil) ++
       c.pattern.map(p => (present && !coalesce(strV.rlike("^(?:" + p + ")$"), lit(false)),
         s"${c.key}: value does not match pattern $p")).toSeq
@@ -93,15 +104,16 @@ object Validation {
       val c = e.getValue
       def numOpt(f: String) = Option(c.get(f)).filter(_.isNumber).map(_.asDouble())
       def strOpt(f: String) = Option(c.get(f)).filter(_.isTextual).map(_.asText())
-      val values = Option(c.get("values")).filter(_.isArray)
-        .map(_.elements().asScala.map(_.asText()).toSeq)
-        .getOrElse(Nil)
+      val entries = Option(c.get("values")).filter(_.isArray)
+        .map(_.elements().asScala.toSeq).getOrElse(Nil)
       Constraint(
         key = key,
         typ = strOpt("type"),
         min = numOpt("min"),
         max = numOpt("max"),
-        values = values,
+        values = entries.filter(_.isTextual).map(_.asText()),
+        numValues = entries.filter(_.isNumber).map(_.asDouble()),
+        boolValues = entries.filter(_.isBoolean).map(_.asBoolean()),
         pattern = strOpt("pattern"),
         required = Option(c.get("required")).exists(_.asBoolean(false)))
     }

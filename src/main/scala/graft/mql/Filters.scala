@@ -276,10 +276,13 @@ object Filters {
       any = true
     }
     // re-attach full rows from exactly the input each fid was consumed
-    // from (join on fid AND source index)
+    // from (join on fid AND source index); per-input fid dedup guards an
+    // upstream that emits duplicate fids (e.g. a lookup join that fanned
+    // out) from duplicating a rank's row
     val base = inputs.zipWithIndex
       .map { case (df, i) => df.withColumn("__mix_src", lit(i)) }
       .reduce(_.unionByName(_))
+      .dropDuplicates("fid", "__mix_src")
     if (!any) base.limit(0).drop("__mix_src")
     else base.join(spark.read.parquet(tmpDir.toString), Seq("fid", "__mix_src"))
       .orderBy("__mix_rank").drop("__mix_rank", "__mix_src")

@@ -64,7 +64,9 @@ object Dedup {
       shingleCache.put(key, built)
       val it = shingleCache.entrySet().iterator()
       while (shingleCache.size() > ShingleCacheMax && it.hasNext) {
-        it.next().getValue.unpersist()
+        // evicted entry may belong to an already-stopped session —
+        // unpersist is best-effort, never fails the live query
+        scala.util.Try(it.next().getValue.unpersist())
         it.remove()
       }
       built

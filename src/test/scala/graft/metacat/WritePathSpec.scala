@@ -162,6 +162,12 @@ class WritePathSpec extends SparkTestBase {
       .withColumn("metadata_json", lit("""{"core.run":7,"core.tag":"t0"}"""))
     assertThrows[IllegalArgumentException](
       cat.declareFiles(bad, dataset = Some(("w", "enum"))))
+    // type-strict: the STRING "1" does not satisfy the numeric enum
+    // (Python's typed `value in values`)
+    val crossType = declared(1).withColumn("fid", concat(lit("EX"), col("fid")))
+      .withColumn("metadata_json", lit("""{"core.run":"1","core.tag":"t0"}"""))
+    assertThrows[IllegalArgumentException](
+      cat.declareFiles(crossType, dataset = Some(("w", "enum"))))
   }
 
   test("re-declaring an existing fid is rejected") {

@@ -37,4 +37,7 @@ def main(old_path, new_path):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        print(__doc__)
+        sys.exit(2)
     main(sys.argv[1], sys.argv[2])
