@@ -175,6 +175,26 @@ object RelationalQueries {
           col("n"), col("qty"))
     }),
 
+    // --- cube (all grouping-set combinations, still one shuffle) ---
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(avg(col("l_discount")), 4).as("avg_disc"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("avg_disc"))
+    }),
+
+    // --- pivot (wide aggregation; fixed pivot domain so the schema is
+    // static and both engines emit identical columns) ---
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .na.fill(0.0, Seq("F", "O"))
+    }),
+
     // --- scalar date/string functions + CASE ---
     "q_scalar_date" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -288,6 +308,16 @@ object RelationalQueries {
     "q_having" ->
       """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem GROUP BY l_suppkey HAVING round(sum(l_quantity), 2) > 1500""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n, round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag AS rflag,
+        |  coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0) AS "F",
+        |  coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0) AS "O"
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
