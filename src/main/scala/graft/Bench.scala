@@ -38,10 +38,16 @@ object Bench {
       val t = try { fn(spark, sfDir).count(); secs(t0) } catch { case _: Throwable => -1.0 }
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.rint(results.values.filter(_ >= 0).sum * 1e3) / 1e3
-    println(s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // duplicate artifact on disk: a log-tail capture that clips the long
+    // stdout line can recover the full JSON here
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
