@@ -46,7 +46,9 @@ object WritePathQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "mql_write_path" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_wp_").toString
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wp_")
+      graft.TempDirs.register(rootPath)
+      val root = rootPath.toString
       val cat = new ParquetCatalog(s, root)
       val rows = seedRows(s, dir)
 
@@ -104,6 +106,7 @@ object WritePathQueries {
           unix_timestamp(col("created_timestamp")).as("created_ts"),
           col("retired"))
       val tmp = java.nio.file.Files.createTempFile("graft_jsonseq_", ".txt")
+      tmp.toFile.deleteOnExit() // a plain file — deleteOnExit works here
       val w = new java.io.BufferedWriter(new java.io.FileWriter(tmp.toFile))
       try JsonSeq.write(res, w) finally w.close()
       val schema = "fid string, namespace string, name string, size long," +
