@@ -73,15 +73,23 @@ object Validation {
       (if (c.values.nonEmpty || c.numValues.nonEmpty || c.boolValues.nonEmpty) {
         // each leg is type-strict: a string value can only match a string
         // entry, a number only a numeric entry, a boolean only a boolean
-        // entry — mirroring Python's typed `value in values`
+        // entry — mirroring Python's typed `value in values`. Array
+        // values check element-wise, like the reference's
+        // `all(x in values for x in value)` (validation.py:113-116)
         def leg(vals: Seq[Any], extracted: Column) =
           if (vals.isEmpty) lit(false)
           else coalesce(extracted.isin(vals: _*), lit(false))
-        val boolV = when(schema_of_variant(v) === "BOOLEAN",
-          try_variant_get(v, "$", "boolean"))
-        val ok = leg(c.values, strV) || leg(c.numValues, numV) ||
-          leg(c.boolValues, boolV)
-        Seq((present && !ok, s"${c.key}: value not in enumeration"))
+        def oneOk(x: Column): Column = {
+          val boolX = when(schema_of_variant(x) === "BOOLEAN",
+            try_variant_get(x, "$", "boolean"))
+          leg(c.values, graft.mql.MetaCompiler.stringVariant(x)) ||
+            leg(c.numValues, graft.mql.MetaCompiler.numericVariant(x)) ||
+            leg(c.boolValues, boolX)
+        }
+        val arr = try_variant_get(v, "$", "array<variant>")
+        val arrOk = arr.isNotNull && coalesce(forall(arr, oneOk), lit(true))
+        Seq((present && !(oneOk(v) || arrOk),
+          s"${c.key}: value not in enumeration"))
       } else Nil) ++
       c.pattern.map(p => (present && !coalesce(strV.rlike("^(?:" + p + ")$"), lit(false)),
         s"${c.key}: value does not match pattern $p")).toSeq

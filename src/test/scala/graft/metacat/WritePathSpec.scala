@@ -168,6 +168,14 @@ class WritePathSpec extends SparkTestBase {
       .withColumn("metadata_json", lit("""{"core.run":"1","core.tag":"t0"}"""))
     assertThrows[IllegalArgumentException](
       cat.declareFiles(crossType, dataset = Some(("w", "enum"))))
+    // array values validate element-wise (validation.py:113-116)
+    val arrOk = declared(1).withColumn("fid", concat(lit("EA"), col("fid")))
+      .withColumn("metadata_json", lit("""{"core.run":[0,2],"core.tag":"t0"}"""))
+    cat.declareFiles(arrOk, dataset = Some(("w", "enum")))
+    val arrBad = declared(1).withColumn("fid", concat(lit("EZ"), col("fid")))
+      .withColumn("metadata_json", lit("""{"core.run":[0,9],"core.tag":"t0"}"""))
+    assertThrows[IllegalArgumentException](
+      cat.declareFiles(arrBad, dataset = Some(("w", "enum"))))
   }
 
   test("re-declaring an existing fid is rejected") {
