@@ -39,6 +39,11 @@ object Cli {
     var queryFile: Option[String] = None
     val mql = new StringBuilder
     var i = 0
+    def operand(flag: String): String = {
+      if (i + 1 >= args.length)
+        throw new IllegalArgumentException(s"flag $flag requires an argument")
+      i += 1; args(i)
+    }
     while (i < args.length) {
       args(i) match {
         case "-x" | "--explain" => explain = true
@@ -46,13 +51,13 @@ object Cli {
         // metacat_query.py:49 `-P/--with-provenance`
         case "-P" | "--with-provenance" => withProvenance = true
         case "-i" | "--ids" => idsOnly = true
-        case "-m" | "--metadata" => metaKeys = Some(args(i + 1)); i += 1
-        case "-S" | "--save-as" => saveAs = Some(args(i + 1)); i += 1
-        case "-A" | "--add-to" => addTo = Some(args(i + 1)); i += 1
-        case "-s" | "--summary" => summary = Some(args(i + 1)); i += 1
-        case "-c" => catalogRoot = Some(args(i + 1)); i += 1
-        case "-n" => defaultNs = Some(args(i + 1)); i += 1
-        case "-q" => queryFile = Some(args(i + 1)); i += 1
+        case f @ ("-m" | "--metadata") => metaKeys = Some(operand(f))
+        case f @ ("-S" | "--save-as") => saveAs = Some(operand(f))
+        case f @ ("-A" | "--add-to") => addTo = Some(operand(f))
+        case f @ ("-s" | "--summary") => summary = Some(operand(f))
+        case f @ "-c" => catalogRoot = Some(operand(f))
+        case f @ "-n" => defaultNs = Some(operand(f))
+        case f @ "-q" => queryFile = Some(operand(f))
         case other => mql.append(other).append(' ')
       }
       i += 1

@@ -185,7 +185,14 @@ object Filters {
   private def selectByGlobalIndex(df: DataFrame, keep: Long => Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val picked = df.select("fid").sort("fid").as[String].rdd
+    // Materialize the narrow sorted-fid frame ONCE (eager local checkpoint,
+    // cleaned by the ContextCleaner when unreferenced). Without it the
+    // upstream plan — possibly a full BFQ — executed three times: once for
+    // zipWithIndex's size job, once when the semi-join consumed the picked
+    // RDD's lineage, and once as the join's own left side. Now only the
+    // unavoidable left-side scan replays the upstream.
+    val fids = df.select("fid").sort("fid").localCheckpoint()
+    val picked = fids.as[String].rdd
       .zipWithIndex()
       .collect { case (fid, i) if keep(i) => fid }
     df.join(spark.createDataset(picked).toDF("fid"), Seq("fid"), "left_semi")
@@ -214,8 +221,13 @@ object Filters {
     require(ratios.length == inputs.length,
       s"mix: ${ratios.length} ratios for ${inputs.length} inputs")
     import scala.jdk.CollectionConverters._
+    // each input is consumed TWICE — the fid stream for the interleave and
+    // the re-attachment join below — so materialize it once (eager local
+    // checkpoint, ContextCleaner-owned); round 2 re-executed every input's
+    // upstream plan for the second consumption
+    val pinned = inputs.map(_.localCheckpoint())
     // narrow driver streams: only fid is pulled through toLocalIterator
-    val fidIters: Array[Iterator[String]] = inputs.map { df =>
+    val fidIters: Array[Iterator[String]] = pinned.map { df =>
       df.select("fid").sort("fid").toLocalIterator().asScala.map(_.getString(0))
     }.toArray
 
@@ -279,7 +291,7 @@ object Filters {
     // from (join on fid AND source index); per-input fid dedup guards an
     // upstream that emits duplicate fids (e.g. a lookup join that fanned
     // out) from duplicating a rank's row
-    val base = inputs.zipWithIndex
+    val base = pinned.zipWithIndex
       .map { case (df, i) => df.withColumn("__mix_src", lit(i)) }
       .reduce(_.unionByName(_))
       .dropDuplicates("fid", "__mix_src")

@@ -47,11 +47,15 @@ object Dedup {
     * — same contract as any Spark persist over a mutated path). */
   private val ShingleCacheMax = 8
   private val shingleCache =
-    new java.util.LinkedHashMap[(String, Int), DataFrame]()
+    new java.util.LinkedHashMap[(String, String), DataFrame]()
 
   def withShingles(docs: DataFrame): DataFrame = shingleCache.synchronized {
-    val key = (System.identityHashCode(docs.sparkSession).toString,
-      docs.queryExecution.analyzed.semanticHash())
+    // keyed by a stable session id + the full canonicalized plan string
+    // (round 2 used identityHashCode + a 32-bit semanticHash — both can
+    // collide and silently serve another plan's shingles)
+    val key = (docs.sparkSession.sparkContext.applicationId +
+      "#" + docs.sparkSession.hashCode(),
+      docs.queryExecution.analyzed.canonicalized.toString())
     Option(shingleCache.get(key)).getOrElse {
       // the documents table arrives as a single parquet file = one input
       // split; spread the (CPU-heavy) shingle extraction over the cluster
@@ -145,11 +149,13 @@ object Dedup {
     * candidate is verified with the true jaccard. The DF table is
     * dimension-sized (distinct shingles) and broadcast. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // reused by the frequency pass, the prefix index and both verify
-    // joins — persist so extraction runs once
+    // reused by the frequency pass, the prefix index and both verify joins
+    // — all read the session shingle cache (withShingles persists the
+    // extraction; re-deriving size() over cached rows is free). Round 2
+    // stacked a second never-unpersisted persist() here, pinning executor
+    // storage per invocation in long-lived sessions.
     val sh = withShingles(docs)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
-      .persist()
     val freq = sh.select(explode(col("shingles")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val exploded = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
