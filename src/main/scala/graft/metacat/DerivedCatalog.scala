@@ -44,6 +44,12 @@ trait MetacatCatalog {
     * min/max stats instead of decoding Variant per row. Only shred keys
     * that are always present with a uniform type. */
   def shredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = Map.empty
+
+  /** Daemon-materialized per-namespace file counts (`namespace,
+    * file_count, refreshed_timestamp`), when the catalog maintains them
+    * (the reference's namespaces.file_count, `schema.sql:48`). None ⇒ the
+    * estimate path falls back to an on-demand aggregation. */
+  def namespaceCountsStored: Option[DataFrame] = None
 }
 
 /** Deterministic metacat catalog derived from the driver's `orders` table

@@ -35,9 +35,18 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
 
   private def path(t: String) = s"$root/$t"
 
+  // all storage probing goes through the Hadoop FileSystem API so the
+  // catalog root may live on any supported store (file:, hdfs:, s3a:, …),
+  // not just the local filesystem
+  private val hconf = spark.sessionState.newHadoopConf()
+  private def hPath(t: String) = new org.apache.hadoop.fs.Path(path(t))
+  private def fsOf(p: org.apache.hadoop.fs.Path) = p.getFileSystem(hconf)
+
   private def readOr(t: String, schema: StructType): DataFrame = {
-    val p = new java.io.File(path(t))
-    val nonEmpty = p.isDirectory && Option(p.listFiles()).exists(_.nonEmpty)
+    val p = hPath(t)
+    val fs = fsOf(p)
+    val nonEmpty = fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).nonEmpty
     if (nonEmpty) spark.read.schema(schema).parquet(path(t))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -127,19 +136,26 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
           val ds = datasetRow(ns, n)
           if (ds.frozen)
             throw new IllegalArgumentException(s"dataset $ns:$n is frozen")
-          checkCategories(batch)
           ds.requirements
         case None => Nil
       }
+      // category closure binds on EVERY declare (the reference's
+      // declare_files validates the batch against parameter categories
+      // unconditionally, data_handler.py:683)
+      failOnCategoryViolations(batch)
       failOnViolations(batch, dsConstraints ++ constraints)
 
-      batch.write.mode(SaveMode.Append).partitionBy("namespace").parquet(path("files"))
+      // membership rows first: an orphan membership (no file row) is
+      // invisible to every read path, whereas the reverse order could
+      // leave declared files missing from their target dataset if the
+      // second append fails mid-way
       dataset.foreach { case (ns, n) =>
         batch.select(col("fid"))
           .withColumn("dataset_namespace", lit(ns))
           .withColumn("dataset_name", lit(n))
           .write.mode(SaveMode.Append).parquet(path("files_datasets"))
       }
+      batch.write.mode(SaveMode.Append).partitionBy("namespace").parquet(path("files"))
     } finally { batch.unpersist(); () }
   }
 
@@ -228,6 +244,10 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
   def updateFileMeta(fids: Seq[String], patchJson: String, mode: String = "update",
       by: String = "graft"): Unit = {
     require(mode == "update" || mode == "replace", s"bad mode $mode")
+    // the incoming metadata dict validates against the category closure,
+    // as in the reference's update path (data_handler.py:932)
+    failOnCategoryViolations(
+      spark.range(1).select(lit("patch").as("fid"), lit(patchJson).as("metadata_json")))
     val raw = readOr("files", FilesSchema)
     val merged = mode match {
       case "replace" => lit(patchJson)
@@ -278,6 +298,70 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     align(row, QueriesSchema).write.mode(SaveMode.Append).parquet(path("queries"))
   }
 
+  /** Declare a parameter category (`schema.sql:162-176`,
+    * `db/param_category.py:105-115`): a dotted `path` owning every
+    * metadata parameter `<path>.<name>`; `restricted` closes the category
+    * to the parameters declared in `definitionsJson` (same
+    * `{name: {type, values, min, max, pattern, required}}` shape as
+    * dataset requirements). */
+  def createCategory(catPath: String, restricted: Boolean = false,
+      definitionsJson: String = "{}", creator: String = "graft"): Unit = {
+    import spark.implicits._
+    require(catPath.nonEmpty && !catPath.startsWith(".") && !catPath.endsWith("."),
+      s"bad category path: $catPath")
+    Validation.parseRequirements(definitionsJson) // fail fast on bad JSON
+    val row = Seq((catPath, restricted, definitionsJson, creator))
+      .toDF("path", "restricted", "definitions", "creator")
+      .withColumn("created_timestamp", current_timestamp())
+      .withColumn("description", lit(s"category $catPath"))
+    align(row, CategoriesSchema)
+      .write.mode(SaveMode.Append).parquet(path("categories"))
+  }
+
+  /** the category table is dimension-sized config — collected once per
+    * mutation, like the reference handler's load_categories cache
+    * (data_handler.py:37-41) */
+  def loadCategories(): Seq[Validation.Category] =
+    readOr("categories", CategoriesSchema)
+      .select("path", "restricted", "definitions")
+      .collect()
+      .map { r =>
+        Validation.Category(r.getString(0), r.getBoolean(1),
+          Validation.parseRequirements(
+            Option(r.getString(2)).getOrElse("{}"), keyPrefix = r.getString(0) + "."))
+      }.toSeq
+
+  /** Recompute the denormalized file counts the reference daemon maintains
+    * hourly (`daemon/daemon.py:42-59`): per-dataset counts into
+    * `datasets.file_count` (raw files_datasets row counts — retired
+    * included, `dbobjects2.py:1669-1676`) and per-namespace counts into a
+    * `namespace_counts` table (`dbobjects2.py:945-951`; the reference
+    * stores them on its namespaces table, which this catalog does not
+    * otherwise need). The estimate path (`exact=false`) serves these
+    * without touching the files table. */
+  def refreshCounts(): Unit = {
+    val dsCounts = readOr("files_datasets", FilesDatasetsSchema)
+      .groupBy(col("dataset_namespace").as("namespace"), col("dataset_name").as("name"))
+      .agg(count(lit(1)).as("__fc"))
+    val updated = readOr("datasets", DatasetsSchema)
+      .join(dsCounts, Seq("namespace", "name"), "left")
+      .withColumn("file_count", coalesce(col("__fc"), lit(0L)))
+      .drop("__fc")
+    rewrite(updated, "datasets", DatasetsSchema, partitionCols = Nil)
+    val nsCounts = readOr("files", FilesSchema)
+      .groupBy(col("namespace"))
+      .agg(count(lit(1)).as("file_count"))
+      .withColumn("refreshed_timestamp", current_timestamp())
+    rewrite(nsCounts, "namespace_counts", NamespaceCountsSchema, partitionCols = Nil)
+  }
+
+  /** daemon-materialized per-namespace counts (empty until
+    * [[refreshCounts]] has run) */
+  override def namespaceCountsStored: Option[DataFrame] = {
+    val df = readOr("namespace_counts", NamespaceCountsSchema)
+    if (df.isEmpty) None else Some(df)
+  }
+
   def addProvenance(edges: DataFrame): Unit =
     align(edges, ParentChildSchema)
       .write.mode(SaveMode.Append).parquet(path("parent_child"))
@@ -304,7 +388,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       throw new IllegalArgumentException(s"dataset $namespace:$name does not exist")
     val r = rows.head
     DsRow(r.getBoolean(0), r.getBoolean(1),
-      Option(r.getString(2)).map(Validation.parseRequirements).getOrElse(Nil))
+      Option(r.getString(2)).map(Validation.parseRequirements(_)).getOrElse(Nil))
   }
 
   private def failOnViolations(rows: DataFrame,
@@ -316,18 +400,15 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
         s"metadata validation failed: ${bad.head.mkString(", ")}")
   }
 
-  /** every metadata key needs a category prefix (data_handler.py:748-754) */
-  private def checkCategories(rows: DataFrame): Unit = {
-    val meta =
-      if (rows.columns.contains("metadata")) col("metadata")
-      else parse_json(col("metadata_json"))
-    val keys = map_keys(try_variant_get(meta, "$", "map<string,variant>"))
-    val bad = rows
-      .select(col("fid"), explode(filter(keys, k => !k.contains("."))).as("key"))
+  /** every metadata key needs a category prefix, restricted categories
+    * close their parameter set, and declared category parameters validate
+    * against their definitions (data_handler.py:603-627,683) */
+  private def failOnCategoryViolations(rows: DataFrame): Unit = {
+    val bad = Validation.categoryViolations(rows, loadCategories())
       .limit(1).collect()
     if (bad.nonEmpty)
       throw new IllegalArgumentException(
-        s"metadata parameter without a category: ${bad.head.getString(1)} (file ${bad.head.getString(0)})")
+        s"metadata validation failed: ${bad.head.getString(1)} (file ${bad.head.getString(0)})")
   }
 
   private def align(df: DataFrame, schema: StructType): DataFrame =
@@ -343,20 +424,25 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
   }
 
   /** full-table compacting rewrite (write new, swap) — stands in for a
-    * lakehouse MERGE at this environment's scale */
+    * lakehouse MERGE at this environment's scale. The swap uses Hadoop FS
+    * renames (atomic on HDFS/local; on object stores a production
+    * deployment would layer a table format — Delta/Iceberg — instead). */
   private def rewrite(df: DataFrame, table: String, schema: StructType,
       partitionCols: Seq[String]): Unit = {
-    val tmp = path(table + "__tmp")
+    val tmp = hPath(table + "__tmp")
     val w = align(df, schema).write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
-    val dst = new java.io.File(path(table))
-    val bak = new java.io.File(path(table + "__old"))
-    if (bak.exists()) graft.TempDirs.delete(bak)
-    if (dst.exists() && !dst.renameTo(bak))
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    val dst = hPath(table)
+    val bak = hPath(table + "__old")
+    val fs = fsOf(dst)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
       throw new java.io.IOException(s"cannot stage $dst")
-    if (!new java.io.File(tmp).renameTo(dst))
+    if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"cannot swap $tmp")
-    graft.TempDirs.delete(bak)
+    fs.delete(bak, true)
+    ()
   }
 }
 
@@ -410,6 +496,23 @@ object ParquetCatalog {
     StructField("parent_name", StringType, nullable = false),
     StructField("child_namespace", StringType, nullable = false),
     StructField("child_name", StringType, nullable = false)))
+
+  /** parameter_categories (schema.sql:162-176; ownership columns are the
+    * webserver's auth concern, out of engine scope) */
+  val CategoriesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("restricted", BooleanType, nullable = false),
+    StructField("definitions", StringType),
+    StructField("creator", StringType),
+    StructField("created_timestamp", TimestampType),
+    StructField("description", StringType)))
+
+  /** daemon-refreshed per-namespace counts (namespaces.file_count analog,
+    * schema.sql:48) */
+  val NamespaceCountsSchema: StructType = StructType(Seq(
+    StructField("namespace", StringType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("refreshed_timestamp", TimestampType)))
 
   val QueriesSchema: StructType = StructType(Seq(
     StructField("namespace", StringType, nullable = false),

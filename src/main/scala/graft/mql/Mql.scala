@@ -125,16 +125,24 @@ object Mql {
     * returns counts only). */
   def namespaceCounts(catalog: graft.metacat.MetacatCatalog,
       includeRetired: Boolean = false, exact: Boolean = true): DataFrame = {
-    val f0 = catalog.files
     if (exact) {
+      val f0 = catalog.files
       val f = if (includeRetired) f0 else f0.filter(!col("retired"))
       f.groupBy(col("namespace"))
         .agg(count(lit(1)).as("file_count"), sum(col("size")).as("total_size"),
           lit(true).as("exact"))
-    } else
-      f0.groupBy(col("namespace"))
-        .agg(count(lit(1)).as("file_count"),
+    } else catalog.namespaceCountsStored match {
+      // daemon-refreshed denormalized counts: no files scan at all — the
+      // true 100 TB estimate path (the reference answers from the
+      // namespaces.file_count column the daemon maintains)
+      case Some(stored) =>
+        stored.select(col("namespace"), col("file_count"),
           lit(null).cast("long").as("total_size"), lit(false).as("exact"))
+      case None =>
+        catalog.files.groupBy(col("namespace"))
+          .agg(count(lit(1)).as("file_count"),
+            lit(null).cast("long").as("total_size"), lit(false).as("exact"))
+    }
   }
 
   /** CLI `-x/--explain` parity (metacat_query.py:64-84): the three IRs —

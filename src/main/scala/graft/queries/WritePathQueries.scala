@@ -95,6 +95,32 @@ object WritePathQueries {
           expr("try_variant_get(metadata, \"$['opt.mark']\", 'string')").as("mark"))
     }),
 
+    // denormalized count write-back — the reference daemon's hourly
+    // file-count refresh (daemon/daemon.py:42-59): declare into datasets,
+    // retire/move some rows, refresh, then read the MATERIALIZED counts
+    // back (datasets.file_count + the namespace_counts table). Counts are
+    // raw row counts, retired included (dbobjects2.py:945-951,1669-1676).
+    "mql_count_refresh" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_cr_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString)
+      val rows = seedRows(s, dir)
+      cat.createDataset("wds", "even")
+      cat.createDataset("wds", "odd")
+      cat.createDataset("wds", "empty")
+      cat.declareFiles(rows.filter(col("k") % 2 === 0), dataset = Some(("wds", "even")))
+      cat.declareFiles(rows.filter(col("k") % 2 === 1), dataset = Some(("wds", "odd")))
+      // retired rows still count; moved rows count under the new namespace
+      cat.retireFiles((0 until 200 by 50).map(fidOf))
+      cat.moveNamespace((0 until 10).map(fidOf), "wmoved")
+      cat.refreshCounts()
+      val ds = cat.datasets.select(lit("dataset").as("entity"), col("name"),
+        col("file_count"))
+      val ns = cat.namespaceCountsStored.get.select(
+        lit("namespace").as("entity"), col("namespace").as("name"), col("file_count"))
+      ds.unionByName(ns)
+    }),
+
     // json-seq sink (RFC 7464 framing, data_handler.py:50-78): stream a
     // query result out, parse the frames back, prove the round trip is
     // lossless
@@ -136,6 +162,16 @@ object WritePathQueries {
         " CAST(CASE WHEN k < 10 THEN 777 ELSE k % 100 END AS BIGINT) AS run," +
         " CASE WHEN k < 10 THEN 'X' ELSE NULL END AS mark " +
         "FROM members JOIN w USING (k) WHERE k % 40 <> 0"),
+    // counts recomputed arithmetically from orders: datasets split k<200
+    // by parity; namespace wmoved holds k<10, wraw the rest
+    "mql_count_refresh" ->
+      ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200) " +
+        "SELECT 'dataset' AS entity, 'even' AS name," +
+        " (SELECT count(*) FROM w WHERE k % 2 = 0) AS file_count " +
+        "UNION ALL SELECT 'dataset', 'odd', (SELECT count(*) FROM w WHERE k % 2 = 1) " +
+        "UNION ALL SELECT 'dataset', 'empty', CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'namespace', 'wmoved', (SELECT count(*) FROM w WHERE k < 10) " +
+        "UNION ALL SELECT 'namespace', 'wraw', (SELECT count(*) FROM w WHERE k >= 10)"),
     "mql_jsonseq_sink" -> OracleCatalog.sql(
       s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 3 AND m_run < 200"))
 }

@@ -219,6 +219,52 @@ class WritePathSpec extends SparkTestBase {
     assert(Mql.query(spark, cat, "files from w:base where core.run == 2").count() == 1)
   }
 
+  test("restricted parameter categories close the declared key set") {
+    // fresh root: category config must not leak into the shared catalog
+    val c2 = new ParquetCatalog(spark,
+      Files.createTempDirectory("graft-cat2-").toString)
+    c2.createCategory("core", restricted = true,
+      definitionsJson = """{"run": {"type": "int", "min": 0}, "tag": {}}""")
+    c2.createCategory("opt")
+    // conforming declare passes (core.run / core.tag are declared)
+    c2.declareFiles(declared(3))
+    // undeclared key in the restricted category is rejected
+    assertThrows[IllegalArgumentException](c2.declareFiles(
+      declared(1).withColumn("fid", concat(lit("B"), col("fid")))
+        .withColumn("metadata_json", lit("""{"core.unknown":1}"""))))
+    // ... as is an unknown SUBcategory under the restricted path
+    assertThrows[IllegalArgumentException](c2.declareFiles(
+      declared(1).withColumn("fid", concat(lit("B2"), col("fid")))
+        .withColumn("metadata_json", lit("""{"core.sub.k":1}"""))))
+    // a declared parameter's definition binds (min 0)
+    assertThrows[IllegalArgumentException](c2.declareFiles(
+      declared(1).withColumn("fid", concat(lit("B3"), col("fid")))
+        .withColumn("metadata_json", lit("""{"core.run":-5}"""))))
+    // the update path validates the incoming patch too (data_handler.py:932)
+    assertThrows[IllegalArgumentException](
+      c2.updateFileMeta(Seq("X00000000"), """{"core.unknown":1}"""))
+    // non-restricted categories accept undeclared keys
+    c2.declareFiles(declared(1).withColumn("fid", concat(lit("O"), col("fid")))
+      .withColumn("metadata_json", lit("""{"opt.whatever":"y"}""")))
+  }
+
+  test("catalog root as a file: URI works end-to-end (Hadoop FS, not java.io)") {
+    val c3 = new ParquetCatalog(spark,
+      "file://" + Files.createTempDirectory("graft-uri-").toString)
+    c3.declareFiles(declared(4).withColumn("fid", concat(lit("U"), col("fid"))))
+    assert(c3.files.count() == 4)
+    // retire exercises the compacting rewrite's rename/swap path
+    c3.retireFiles(Seq("UX00000000"))
+    assert(c3.files.filter(col("retired")).count() == 1)
+    // count refresh materializes; the estimate path serves the stored
+    // counts without touching the files table (retired still counted)
+    c3.refreshCounts()
+    val est = Mql.namespaceCounts(c3, exact = false).collect()
+    assert(est.map(r => (r.getString(0), r.getLong(1))).toMap
+      == Map("ns0" -> 2L, "ns1" -> 2L))
+    assert(est.forall(!_.getBoolean(3)))
+  }
+
   test("json-seq emitter") {
     val out = new java.io.StringWriter
     JsonSeq.write(Mql.query(spark, cat, "files from w:base limit 3"), out)
