@@ -46,16 +46,19 @@ object Dedup {
     * shards; re-writing a file under a cached plan would serve stale rows
     * — same contract as any Spark persist over a mutated path). */
   private val ShingleCacheMax = 8
-  private val shingleCache =
-    new java.util.LinkedHashMap[(String, String), DataFrame]()
+  private val shingleCache = new java.util.LinkedHashMap[
+    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
 
   def withShingles(docs: DataFrame): DataFrame = shingleCache.synchronized {
-    // keyed by a stable session id + the full canonicalized plan string
-    // (round 2 used identityHashCode + a 32-bit semanticHash — both can
-    // collide and silently serve another plan's shingles)
+    // keyed by a stable session id + the canonicalized plan OBJECT —
+    // structural equality, which for file relations includes the root
+    // paths. (Round 2 used identityHashCode + a 32-bit semanticHash, which
+    // can collide; a plan STRING would be worse — file relations print
+    // without their location, so two different corpora read through the
+    // same schema would share one string.)
     val key = (docs.sparkSession.sparkContext.applicationId +
       "#" + docs.sparkSession.hashCode(),
-      docs.queryExecution.analyzed.canonicalized.toString())
+      docs.queryExecution.analyzed.canonicalized)
     Option(shingleCache.get(key)).getOrElse {
       // the documents table arrives as a single parquet file = one input
       // split; spread the (CPU-heavy) shingle extraction over the cluster

@@ -72,6 +72,42 @@ object DedupStream {
 
   final case class BandedDoc(bkey: String, doc_id: Long)
 
+  /** per-bucket membership cap (var so specs can shrink it): a bucket
+    * indexes at most this many members — beyond it, arrivals still emit
+    * candidates against the retained index but are not added */
+  private[streaming] var MaxBucketMembers = 256
+
+  /** The per-bucket state transition (factored out so the timeout path is
+    * unit-testable with `TestGroupState` — a wall clock can't drive
+    * eviction deterministically in a spec). Each fresh arrival pairs with
+    * every RETAINED member: previous batches' state plus earlier admitted
+    * arrivals of this batch; membership is Set-backed and capped, so a
+    * bucket with n arrivals does O(n·cap) work, never O(n²). On timeout
+    * the bucket's index is dropped wholesale. */
+  private[streaming] def bucketUpdate(bucketTtlMs: Option[Long])(
+      key: String, rows: Iterator[BandedDoc],
+      state: org.apache.spark.sql.streaming.GroupState[Array[Long]]): Iterator[(Long, Long)] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val retained = scala.collection.mutable.ArrayBuffer.empty[Long]
+      state.getOption.foreach(retained ++= _)
+      val member = scala.collection.mutable.HashSet.empty[Long]
+      member ++= retained
+      // sorted for deterministic pair emission within a batch
+      val fresh = rows.map(_.doc_id).toSeq.distinct.sorted
+        .filterNot(member)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (d <- fresh) {
+        retained.foreach(e => out += ((math.min(d, e), math.max(d, e))))
+        if (retained.length < MaxBucketMembers) {
+          retained += d; member += d
+        }
+      }
+      state.update(retained.toArray)
+      bucketTtlMs.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
+
   /** stage the corpus as two micro-batches split by doc_id parity, so
     * near-dup pairs spanning the halves can only be found by state that
     * survives across batches */
@@ -106,12 +142,27 @@ object DedupStream {
     * bucket operator).
     *
     * State is one (bucket → member ids) entry per occupied bucket — the
-    * same index MinHash-LSH builds anyway; production would age buckets
-    * out with a timeout. A pair colliding in several bands is emitted per
-    * band; the collector dedups (same row either way).
+    * same index MinHash-LSH builds anyway — and is BOUNDED on two axes:
+    * membership is capped at [[MaxBucketMembers]] (a hot band key — an
+    * ultra-common shingle pattern — stops indexing once full; arrivals
+    * still pair against the retained members, so per-arrival work stays
+    * O(cap) and a bucket with n arrivals emits O(n·cap) candidates, never
+    * O(n²)), and — when `bucketTtlMs` is set — idle buckets age out of the
+    * state store. Membership tests are Set-backed. A pair colliding in
+    * several bands is emitted per band; the collector dedups (same row
+    * either way).
+    *
+    * The TTL is OPT-IN because it binds the query to a processing-time
+    * timeout, which tells the engine more batches may always be needed
+    * (`shouldRunAnotherBatch` is unconditionally true for
+    * ProcessingTimeTimeout) — under `Trigger.AvailableNow` such a query
+    * never terminates, spinning no-data batches until the farthest
+    * timeout. Always-on ingest (a real deployment) sets it; bounded
+    * backfill runs leave it off.
     */
   def nearDupPairs(spark: SparkSession, stream: DataFrame, docFile: String,
-      numHashes: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+      bucketTtlMs: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val r = numHashes / bands
     val banded = stream
@@ -130,23 +181,13 @@ object DedupStream {
           .stripMargin)).as("bkey"))
       .select(col("bkey"), col("doc_id")).as[BandedDoc]
 
+    val timeoutConf =
+      if (bucketTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val candidates = banded
       .groupByKey(_.bkey)
-      .flatMapGroupsWithState[List[Long], (Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (_, rows, state) =>
-          val existing = state.getOption.getOrElse(Nil)
-          val arrived = rows.map(_.doc_id).toList.distinct.sorted
-          val fresh = arrived.filterNot(existing.contains)
-          state.update(existing ++ fresh)
-          // each fresh member pairs with every earlier member (previous
-          // batches' state + earlier arrivals of this batch)
-          val out = for {
-            (n, idx) <- fresh.zipWithIndex
-            e <- existing ++ fresh.take(idx)
-          } yield (math.min(n, e), math.max(n, e))
-          out.iterator
-      }
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append(), timeoutConf)(bucketUpdate(bucketTtlMs))
       .toDF("doc_a", "doc_b")
 
     // exact-Jaccard verification against the (batch) corpus shingles —
