@@ -45,6 +45,23 @@ object Filters {
     custom(name) = f
   }
 
+  /** Config-driven filter loading — the reference instantiates filter
+    * classes named in server config (`filters.py:201-218`). The Spark
+    * analog of a server config is the session conf:
+    * `spark.graft.filters` holds comma-separated
+    * `name=fully.qualified.ClassName` entries, each class a zero-arg
+    * [[GraftFilter]]. Resolved lazily on first use of the name, then
+    * cached in the in-process registry. */
+  private def fromConf(spark: SparkSession, name: String): Option[GraftFilter] =
+    spark.conf.getOption("spark.graft.filters").flatMap { entries =>
+      entries.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.split("=", 2))
+        .collectFirst { case Array(n, cls) if n.trim == name =>
+          Class.forName(cls.trim).getDeclaredConstructor()
+            .newInstance().asInstanceOf[GraftFilter]
+        }
+    }
+
   /** External-data join filter — the reference's runsdb/rucio custom
     * filters (`DUNE_specials/custom_filters/runsdb.py:44-60`,
     * `rucio_rses.py:21-40`): look up rows in an external source keyed by a
@@ -156,7 +173,8 @@ object Filters {
         mix(spark, params.map(num), inputs)
 
       case other =>
-        custom.synchronized(custom.get(other)) match {
+        custom.synchronized(custom.get(other))
+          .orElse(fromConf(spark, other).map { f => register(other, f); f }) match {
           case Some(f) => f(spark, inputs, params, kw)
           case None => throw new IllegalArgumentException(s"Unknown filter: $other")
         }

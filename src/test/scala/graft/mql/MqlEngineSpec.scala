@@ -1,8 +1,16 @@
 package graft.mql
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.metacat.DerivedCatalog
+
+/** Zero-arg filter a session conf can name — exercises the config-driven
+  * loader (`spark.graft.filters`, filters.py:201-218 analog). */
+class FirstThreeFilter extends Filters.GraftFilter {
+  override def apply(spark: SparkSession, inputs: Seq[DataFrame],
+      params: Seq[Ast.Const], kw: Map[String, Ast.Const]): DataFrame =
+    inputs.head.orderBy("fid").limit(3)
+}
 
 /** End-to-end MQL over the derived catalog at sf0.001, validated against
   * independently-computed expectations from the raw orders table (the same
@@ -219,6 +227,18 @@ class MqlEngineSpec extends SparkTestBase {
       .select(expr("try_variant_get(metadata, \"$['runs.lumi']\", 'double')"))
       .collect().head.getDouble(0)
     assert(lumi == 41.5)
+  }
+
+  test("config-loadable user filter resolves by class name") {
+    spark.conf.set("spark.graft.filters",
+      "first3 = graft.mql.FirstThreeFilter , other=no.such.Class")
+    try {
+      val got = q("filter first3()(files from dsns:ds1)")
+      assert(got.count() == 3)
+      // unknown names still fail fast, and a bad class name only breaks
+      // the entry that uses it
+      assertThrows[IllegalArgumentException](q("filter nope()(files from dsns:ds1)"))
+    } finally spark.conf.unset("spark.graft.filters")
   }
 
   test("dataset counts aggregation") {
