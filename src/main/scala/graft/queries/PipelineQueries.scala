@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, lpad}
-import graft.pipeline.{CorpusClean, Dedup, Multimodal, Quantization, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusClean, Decontam, Dedup, Multimodal, Quantization, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) over the driver's `documents` and `embeddings` tables, each
@@ -40,6 +40,14 @@ object PipelineQueries {
     // flagship composition: quality -> lang -> exact dedup -> near-dup
     // removal, all from the engine's own operators
     "pipe_corpus_clean" -> ((s, d) => CorpusClean.clean(docs(s, d))),
+    // benchmark decontamination: doc_id % 37 == 0 stands in for the
+    // (tiny, broadcast) eval set; the rest is the train corpus
+    "pipe_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontam.ngramOverlap(
+        all.filter(col("doc_id") % 37 =!= 0),
+        all.filter(col("doc_id") % 37 === 0))
+    }),
     // synthetic contact string appended so the redaction provably fires
     "pipe_text_redact" -> ((s, d) =>
       TextAnalysis.redact(
@@ -225,6 +233,21 @@ object PipelineQueries {
         "round(sqrt(list_sum(list_transform(range(1, 65), k -> " +
         "(v[k] - (qv[k] * scale) / 127.0) * (v[k] - (qv[k] * scale) / 127.0))) / 64.0), 6) AS rmse " +
         "FROM q"),
+
+    // decontamination: 5-gram overlap of train docs (doc_id % 37 != 0)
+    // against the eval stand-in (doc_id % 37 == 0); DuckDB slicing is
+    // inclusive, so t[i:i+4] is the same 5-token window as Spark's
+    // slice(__t, i+1, 5)
+    "pipe_decontam" ->
+      ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "ng AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
+        "i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks WHERE len(t) >= 5), " +
+        "ev AS (SELECT coalesce(list(DISTINCT ng), []) AS evl FROM " +
+        "(SELECT unnest(g) AS ng FROM ng WHERE doc_id % 37 = 0)), " +
+        "tr AS (SELECT n.doc_id, n.g, len(list_intersect(n.g, ev.evl)) AS hits " +
+        "FROM ng n CROSS JOIN ev WHERE n.doc_id % 37 != 0) " +
+        "SELECT doc_id, len(g)::BIGINT AS n_ngrams, hits::BIGINT AS hits, " +
+        "round(hits::DOUBLE / len(g), 4) AS contam_frac, hits > 0 AS contaminated FROM tr"),
 
     // corpus clean = quality >= 0.5 AND predicted 'en' AND canonical copy
     // AND not the higher id of any MinHash-LSH near-dup pair (>= 0.5)

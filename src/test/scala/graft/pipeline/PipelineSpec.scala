@@ -40,6 +40,26 @@ class PipelineSpec extends SparkTestBase {
     assert(smart.exceptAll(brute).isEmpty && brute.exceptAll(smart).isEmpty)
   }
 
+  test("decontamination flags exactly the docs sharing eval n-grams") {
+    import spark.implicits._
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // full 5-gram copy of an eval window -> contaminated
+      (1L, "x alpha beta gamma delta epsilon y"),
+      // shares only 4-gram windows -> clean at n=5
+      (2L, "alpha beta gamma delta OTHER tail words"),
+      // no overlap at all
+      (3L, "one two three four five six seven"),
+      // too short for any 5-gram -> out of scope entirely
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val got = Decontam.ngramOverlap(train, eval, n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("hits"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, true)))   // the one shared window 'alpha..epsilon'
+    assert(got(2L)._2 == false && got(3L) == ((0L, false)))
+  }
+
   test("near-duplicate pairs have small simhash hamming distance") {
     val sim = Dedup.simhash(docs)
     val pairs = Dedup.jaccardPairs(docs, 0.7)
