@@ -102,4 +102,36 @@ object TextAnalysis {
         .cast("long").as("n_phones"),
       regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("redacted"))
+
+  /** Gopher/MassiveText-style repetition signals, per doc: unique-token
+    * ratio, the token fraction covered by the single most frequent
+    * bigram, and the fraction of bigram occurrences that are repeats.
+    * Heavily self-repetitive machine text scores high on the last two.
+    *
+    * One corpus scan: per-doc scalars ride through the bigram explode
+    * (first() in the partial agg), so the shape is explode → two keyed
+    * aggregations with map-side combine — no joins back to the source,
+    * nothing wide shuffled. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val exploded = docs.withColumn("__t", split(lower(col("text")), " "))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        round(size(array_distinct(col("__t"))).cast("double") / size(col("__t")), 4)
+          .as("uniq_ratio"),
+        explode(expr(
+          "transform(sequence(0, size(__t) - 2), i -> concat_ws(' ', __t[i], __t[i+1]))"))
+          .as("b"))
+    exploded
+      .groupBy("doc_id", "b")
+      .agg(count("*").as("cnt"),
+        first(col("n_tokens")).as("n_tokens"), first(col("uniq_ratio")).as("uniq_ratio"))
+      .groupBy("doc_id")
+      .agg(first(col("n_tokens")).as("n_tokens"), first(col("uniq_ratio")).as("uniq_ratio"),
+        max(col("cnt")).as("__top"), sum(col("cnt")).as("__nbg"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("__dup"))
+      .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
+        round(col("__top").cast("double") / col("__nbg"), 4).as("top_bigram_frac"),
+        round(col("__dup").cast("double") / col("__nbg"), 4).as("dup_bigram_frac"))
+  }
 }

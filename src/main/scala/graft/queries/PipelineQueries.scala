@@ -33,6 +33,7 @@ object PipelineQueries {
     "pipe_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "pipe_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "pipe_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "pipe_text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
     "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
     "pipe_mm_resize" -> ((s, d) => Multimodal.resized(s, docs(s, d))),
     "pipe_mm_frames" -> ((s, d) => Multimodal.frameSamples(s, docs(s, d))),
@@ -233,6 +234,23 @@ object PipelineQueries {
         "round(sqrt(list_sum(list_transform(range(1, 65), k -> " +
         "(v[k] - (qv[k] * scale) / 127.0) * (v[k] - (qv[k] * scale) / 127.0))) / 64.0), 6) AS rmse " +
         "FROM q"),
+
+    // Gopher-style repetition signals; DuckDB recomputes the bigram
+    // frequency profile per doc
+    "pipe_text_repetition" ->
+      ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, " +
+        "round(len(list_distinct(t))::DOUBLE / len(t), 4) AS uniq_ratio, " +
+        "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg " +
+        "FROM toks WHERE len(t) >= 2), " +
+        "c AS (SELECT doc_id, unnest(bg) AS b FROM base), " +
+        "cnts AS (SELECT doc_id, b, count(*) AS cnt FROM c GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS nbg, " +
+        "sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup FROM cnts GROUP BY 1) " +
+        "SELECT b.doc_id, b.n_tokens, b.uniq_ratio, " +
+        "round(a.top_cnt::DOUBLE / a.nbg, 4) AS top_bigram_frac, " +
+        "round(a.dup::DOUBLE / a.nbg, 4) AS dup_bigram_frac " +
+        "FROM base b JOIN agg a USING (doc_id)"),
 
     // decontamination: 5-gram overlap of train docs (doc_id % 37 != 0)
     // against the eval stand-in (doc_id % 37 == 0); DuckDB slicing is

@@ -60,6 +60,21 @@ class PipelineSpec extends SparkTestBase {
     assert(got(2L)._2 == false && got(3L) == ((0L, false)))
   }
 
+  test("repetition stats match a hand-computed profile") {
+    import spark.implicits._
+    // "a b a b a": tokens=5 uniq=2/5; bigrams: ab,ba,ab,ba -> top=2/4, all repeat
+    val df = Seq((1L, "a b a b a"), (2L, "w x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_tokens") == 5)
+    assert(got(1L).getAs[Double]("uniq_ratio") == 0.4)
+    assert(got(1L).getAs[Double]("top_bigram_frac") == 0.5)
+    assert(got(1L).getAs[Double]("dup_bigram_frac") == 1.0)
+    // all-distinct text: top bigram covers 1/3, nothing repeats
+    assert(got(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(got(2L).getAs[Double]("uniq_ratio") == 1.0)
+  }
+
   test("near-duplicate pairs have small simhash hamming distance") {
     val sim = Dedup.simhash(docs)
     val pairs = Dedup.jaccardPairs(docs, 0.7)
