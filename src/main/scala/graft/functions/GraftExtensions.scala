@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` entry point: registers the engine's native
+  * codegen'd expressions in the SQL function registry, so plain
+  * `spark.sql` (and any SQL-speaking client of the session) can call
+  * them without touching the Scala API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * ...
+  * spark.sql("SELECT graft_adler32(fid) % 10 FROM files")
+  * spark.sql("SELECT graft_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * `graft_adler32` is the reference's partition-assignment hash
+  * (filters.py:105-123); `graft_dot` is the float-array dot-product
+  * kernel every similarity operator runs on. Both stay inside
+  * whole-stage codegen when invoked from SQL, exactly as from Scala.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adler32"),
+      new ExpressionInfo(classOf[Adler32Expr].getName, "graft_adler32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_adler32 takes one string argument")
+        Adler32Expr(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes two float-array arguments")
+        DotProductExpr(args(0), args(1))
+      }))
+  }
+}
