@@ -104,6 +104,11 @@ object ScaleSmoke {
     time("corpus_clean")(graft.pipeline.CorpusClean.clean(bigDocs).count())
     time("emb_quantize")(graft.pipeline.Quantization.quantizeInt8(bigEmb).count())
     time("sim_lsh")(graft.pipeline.Similarity.lshCosinePairs(bigEmb).count())
+    // eval side stays BASE-sized while train grows mult× — the real shape
+    // of decontamination (benchmarks don't scale with the corpus)
+    time("decontam")(graft.pipeline.Decontam.ngramOverlap(
+      bigDocs, docs0.filter(col("doc_id") % 37 === 0)).count())
+    time("repetition")(graft.pipeline.TextAnalysis.repetition(bigDocs).count())
     spark.stop()
   }
 }

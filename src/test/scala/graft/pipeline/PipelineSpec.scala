@@ -60,6 +60,17 @@ class PipelineSpec extends SparkTestBase {
     assert(got(2L)._2 == false && got(3L) == ((0L, false)))
   }
 
+  test("decontam broadcasts the eval side; repetition plans join-free") {
+    val plan = Decontam.ngramOverlap(
+      docs.filter(col("doc_id") % 37 =!= 0),
+      docs.filter(col("doc_id") % 37 === 0))
+      .queryExecution.executedPlan.toString
+    // benchmark n-grams must never drive a shuffle join of the corpus
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"))
+    val rep = TextAnalysis.repetition(docs).queryExecution.executedPlan.toString
+    assert(!rep.contains("Join"))
+  }
+
   test("repetition stats match a hand-computed profile") {
     import spark.implicits._
     // "a b a b a": tokens=5 uniq=2/5; bigrams: ab,ba,ab,ba -> top=2/4, all repeat
