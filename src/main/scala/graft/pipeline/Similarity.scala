@@ -133,24 +133,36 @@ object Similarity {
     * Ties everywhere break by id; sims compare 6-decimal-rounded — both
     * pinned so any engine reproduces the same buckets and ranks. */
   def ivfCosineTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = LshSeed): DataFrame = {
-    val centroids = centroidVectors(emb, nCentroids, seed)
+      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = LshSeed): DataFrame =
+    probeTopK(emb, centroidVectors(emb, nCentroids, seed), nQueries, k, nProbe)
 
-    // argmax over centroid cosines via array_max on (rounded sim, -cid)
-    // structs: lexicographic struct comparison gives max sim with ties to
-    // the LOWEST cid, in a linear-size expression (a when-chain fold here
-    // re-embeds the accumulator per level — exponential codegen).
-    // cosine = dot / (vec_norm * centroid_norm) — the dot's summation
-    // order is pinned (ascending), the norms' multiplication order is
-    // irrelevant (IEEE multiplication commutes), so any engine derives
-    // identical buckets.
-    val bestCentroid: Column = {
-      val scored = centroids.map { case (cid, vec, cn) =>
-        struct(round(dotProduct(typedLit(vec.toSeq), col("embedding")) /
-          (col("norm") * cn), 6).as("sim"), lit(-cid).as("negCid"))
-      }
-      -array_max(array(scored: _*)).getField("negCid")
+  /** IVF with Lloyd-refined centroids ([[kmeansCentroids]]) — closes the
+    * "production would run k-means" caveat of [[ivfCosineTopK]]'s sampled
+    * training while keeping the identical probe plan. */
+  def ivfKmeansTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      seed: Long = LshSeed): DataFrame =
+    probeTopK(emb, kmeansCentroids(emb, nCentroids, iters, seed), nQueries, k, nProbe)
+
+  /** argmax over centroid cosines via array_max on (rounded sim, -cid)
+    * structs: lexicographic struct comparison gives max sim with ties to
+    * the LOWEST cid, in a linear-size expression (a when-chain fold here
+    * re-embeds the accumulator per level — exponential codegen).
+    * cosine = dot / (vec_norm * centroid_norm) — the dot's summation
+    * order is pinned (ascending), the norms' multiplication order is
+    * irrelevant (IEEE multiplication commutes), so any engine derives
+    * identical buckets. Expects a `norm` column on the input. */
+  private def bestCentroidExpr(centroids: Seq[(Long, Array[Double], Double)]): Column = {
+    val scored = centroids.map { case (cid, vec, cn) =>
+      struct(round(dotProduct(typedLit(vec.toSeq), col("embedding")) /
+        (col("norm") * cn), 6).as("sim"), lit(-cid).as("negCid"))
     }
+    -array_max(array(scored: _*)).getField("negCid")
+  }
+
+  private def probeTopK(emb: DataFrame, centroids: Seq[(Long, Array[Double], Double)],
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val bestCentroid = bestCentroidExpr(centroids)
 
     val withNorm = emb.withColumn("norm", norm(col("embedding")))
     val assigned = withNorm.withColumn("bucket", bestCentroid)
@@ -196,6 +208,56 @@ object Similarity {
         (r.getLong(0), vec, nm)
       }
       .sortBy(_._1).toSeq
+
+  /** Deterministic spherical k-means: the md5-sampled [[centroidVectors]]
+    * init, refined by `iters` Lloyd steps — assign every training vector
+    * to its max-cosine centroid (6-decimal rounding, tie to lowest cid,
+    * same rule as the probe), then move each centroid to the elementwise
+    * MEAN of its bucket. Empty buckets keep their previous position.
+    * Centroid ids stay the init sample's vec_ids.
+    *
+    * Determinism is the whole trick: float addition doesn't commute
+    * across partitions, so the bucket means fold the member embeddings
+    * in ASCENDING vec_id order (`sort_array(collect_list(...))` + an
+    * ordered `aggregate` fold per dimension) — any engine replaying the
+    * same order (the DuckDB oracle does: `list(... ORDER BY vec_id)` +
+    * `list_sum`) reproduces the centroids bit-for-bit.
+    *
+    * Scale: `trainCap` bounds the training set (md5-ranked sample —
+    * FAISS-style practice: IVF trains on a bounded sample, then the full
+    * corpus is assigned distributedly); per-iteration driver traffic is
+    * one k×dim collect. The per-bucket ordered fold keeps ≤ trainCap/k
+    * expected vectors in one aggregation buffer. */
+  def kmeansCentroids(emb: DataFrame, n: Int = 16, iters: Int = 2,
+      seed: Long = LshSeed, trainCap: Int = 100000): Seq[(Long, Array[Double], Double)] = {
+    val dimCols = emb.select(col("embedding")).head().getSeq[Float](0).length
+    val train0 = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("__k", md5(concat(lit(s"$seed:"), col("vec_id"))))
+      .orderBy("__k").limit(trainCap).drop("__k")
+    val train = train0.withColumn("norm", norm(col("embedding"))).cache()
+    try {
+      var cents = centroidVectors(emb, n, seed)
+      for (_ <- 0 until iters) {
+        val means = train
+          .withColumn("bucket", bestCentroidExpr(cents))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"),
+            sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+          .select(col("bucket"), expr(
+            s"""transform(sequence(0, ${dimCols - 1}), d ->
+               |  aggregate(vs, cast(0 as double), (acc, v) -> acc + cast(v.embedding[d] as double)) / cnt)"""
+              .stripMargin).as("mean"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+          .toMap
+        cents = cents.map { case (cid, oldVec, _) =>
+          val vec = means.getOrElse(cid, oldVec)
+          (cid, vec, math.sqrt(vec.foldLeft(0.0)((s, x) => s + x * x)))
+        }
+      }
+      cents
+    } finally { train.unpersist(); () }
+  }
 
   /** DuckDB SQL for the band keys of [[lshCosinePairs]] — generated from
     * the SAME plane constants, with the same left-to-right summation

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, lpad}
-import graft.pipeline.{CorpusClean, Decontam, Dedup, Multimodal, Quantization, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusClean, Decontam, Dedup, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) over the driver's `documents` and `embeddings` tables, each
@@ -25,6 +25,7 @@ object PipelineQueries {
     "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
     "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d))),
     "pipe_sim_ivf" -> ((s, d) => Similarity.ivfCosineTopK(emb(s, d))),
+    "pipe_sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKmeansTopK(emb(s, d))),
     // embedding-cosine near-duplicate detection = LSH pairs at a high
     // threshold (same plan, dedup use-case)
     "pipe_dedup_embedding" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), threshold = 0.45)),
@@ -34,6 +35,7 @@ object PipelineQueries {
     "pipe_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "pipe_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "pipe_text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
+    "pipe_pack" -> ((s, d) => Packing.greedyPack(docs(s, d))),
     "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
     "pipe_mm_resize" -> ((s, d) => Multimodal.resized(s, docs(s, d))),
     "pipe_mm_frames" -> ((s, d) => Multimodal.frameSamples(s, docs(s, d))),
@@ -104,7 +106,50 @@ object PipelineQueries {
       s"SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE round(sim, 6) >= $threshold"
   }
 
+  /** one Lloyd step in DuckDB: assign every vector to its max-cosine
+    * centroid (6-dec rounding, tie to lowest cid — the same rule as the
+    * probe), then means with the member fold ORDERED BY vec_id so the
+    * non-commutative float sum replays Spark's sorted aggregate exactly;
+    * empty buckets keep their previous position */
+  private def kmeansIterSql(i: Int): String = {
+    val next = s"cent${i + 1}"
+    s"ass$i AS (SELECT vec_id, bucket FROM (" +
+      s"SELECT v.vec_id, c.cid AS bucket, row_number() OVER (PARTITION BY v.vec_id" +
+      s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
+      s" FROM n v, cent$i c) WHERE rn = 1), " +
+      s"m$i AS (SELECT bucket AS cid, count(*) AS cnt, list(v.embedding ORDER BY v.vec_id) AS vs" +
+      s" FROM ass$i a JOIN n v ON v.vec_id = a.vec_id GROUP BY bucket), " +
+      s"mv$i AS (SELECT cid, list_transform(range(1, 65), d -> " +
+      s"list_sum(list_transform(vs, x -> x[d]::DOUBLE)) / cnt) AS mvec FROM m$i), " +
+      s"$next AS (SELECT cid, cvec, sqrt(list_sum(list_transform(range(1, 65), d -> cvec[d] * cvec[d]))) AS cnorm" +
+      s" FROM (SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec FROM cent$i c LEFT JOIN mv$i m ON m.cid = c.cid))"
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipe_sim_ivf_kmeans" ->
+      (s"WITH $EmbNorm, cent0 AS (SELECT vec_id AS cid, " +
+        "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
+        " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
+        kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
+        "asg AS (SELECT vec_id, bucket FROM (" +
+        "SELECT v.vec_id, c.cid AS bucket, row_number() OVER (PARTITION BY v.vec_id" +
+        s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
+        " FROM n v, cent2 c) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM n WHERE vec_id < 10), " +
+        "probes AS (SELECT query_id, bucket FROM (" +
+        "SELECT q.query_id, c.cid AS bucket, row_number() OVER (PARTITION BY q.query_id" +
+        s" ORDER BY round(${dotQC("q", "c")} / (c.cnorm * q.q_norm), 6) DESC, c.cid) AS prk" +
+        " FROM q, cent2 c) WHERE prk <= 4), " +
+        "cand AS (SELECT q.query_id, v.vec_id, " +
+        "list_sum(list_transform(range(1, 65), k -> q.q_emb[k]::DOUBLE * v.embedding[k]::DOUBLE))" +
+        " / (v.norm * q.q_norm) AS sim" +
+        " FROM probes p JOIN q ON p.query_id = q.query_id" +
+        " JOIN asg a ON a.bucket = p.bucket JOIN n v ON v.vec_id = a.vec_id" +
+        " WHERE v.vec_id != q.query_id), " +
+        "r AS (SELECT query_id, vec_id AS neighbor_id, sim, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id) AS rk FROM cand) " +
+        "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM r WHERE rk <= 5"),
+
     "pipe_dedup_exact" ->
       """SELECT doc_id, fp, (row_number() OVER (PARTITION BY fp ORDER BY doc_id)) > 1 AS is_dup
         |FROM (SELECT doc_id, md5(text) AS fp FROM documents)""".stripMargin,
@@ -234,6 +279,14 @@ object PipelineQueries {
         "round(sqrt(list_sum(list_transform(range(1, 65), k -> " +
         "(v[k] - (qv[k] * scale) / 127.0) * (v[k] - (qv[k] * scale) / 127.0))) / 64.0), 6) AS rmse " +
         "FROM q"),
+
+    // contiguous greedy sequence packing per source shard; DuckDB
+    // replays the exclusive running token sum
+    "pipe_pack" ->
+      ("WITH t AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, coalesce(sum(n_tokens) OVER (" +
+        "PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) " +
+        "SELECT doc_id, source, n_tokens, (cb // 512)::BIGINT AS bin FROM c"),
 
     // Gopher-style repetition signals; DuckDB recomputes the bigram
     // frequency profile per doc

@@ -60,6 +60,19 @@ class PipelineSpec extends SparkTestBase {
     assert(got(2L)._2 == false && got(3L) == ((0L, false)))
   }
 
+  test("greedy packing fills token-budget bins per source in id order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "s1"),   // 3 tokens, cum_before 0 -> bin 0
+      (2L, "d e f g", "s1"), // cum_before 3 -> bin 0
+      (3L, "h i", "s1"),     // cum_before 7 -> bin 1 (budget 5)
+      (4L, "j k l m n o", "s2")) // other shard packs independently: bin 0
+      .toDF("doc_id", "text", "source")
+    val got = Packing.greedyPack(df, budget = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("decontam broadcasts the eval side; repetition plans join-free") {
     val plan = Decontam.ngramOverlap(
       docs.filter(col("doc_id") % 37 =!= 0),
@@ -123,6 +136,19 @@ class PipelineSpec extends SparkTestBase {
     // recall: with 4 of 16 buckets probed, expect a good share of the top-5
     val recall = agreeing.toDouble / brute.count()
     assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("k-means-trained IVF keeps exact sims and sane recall") {
+    val brute = Similarity.bruteCosineTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id", "sim")
+    val ivf = Similarity.ivfKmeansTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id", "sim")
+    assert(ivf.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val agreeing = ivf.join(brute, Seq("query_id", "neighbor_id", "sim"), "left_semi").count()
+    assert(agreeing == hits, "a k-means IVF pair disagrees with brute force on sim")
+    assert(hits.toDouble / brute.count() >= 0.3,
+      s"k-means IVF recall ${hits.toDouble / brute.count()} too low")
   }
 
   test("bpe token counts are positive and bounded by character count") {
