@@ -39,4 +39,34 @@ object CorpusClean {
       .filter(col("quality_score") >= minQuality && col("predicted") === lang)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_score"))
   }
+
+  /** The whole training-data preparation flow, [[clean]] extended with
+    * the round-3 operators — what a 100 TB corpus actually runs before
+    * a token ever reaches a trainer:
+    *
+    *   1-4. [[clean]]          (quality, language, exact + near dedup)
+    *   5. repetition gate      (drop docs whose duplicate-bigram fraction
+    *      exceeds `maxDupBigramFrac`; docs too short for bigram stats are
+    *      dropped too — conservative)
+    *   6. decontamination      (drop any doc sharing a 5-gram with `eval`)
+    *   7. sequence packing     (survivors into `budget`-token bins per
+    *      source shard)
+    *
+    * Every stage is the already-gated operator; the composition adds only
+    * doc_id semi/anti joins — narrow, AQE-friendly, shape-stable at
+    * 100 TB. */
+  def pipeline(docs: DataFrame, eval: DataFrame, minQuality: Double = 0.5,
+      lang: String = "en", nearDupThreshold: Double = 0.5,
+      maxDupBigramFrac: Double = 0.7, budget: Long = 512): DataFrame = {
+    val cleaned = clean(docs, minQuality, lang, nearDupThreshold).select("doc_id")
+    val repOk = TextAnalysis.repetition(docs)
+      .filter(col("dup_bigram_frac") <= maxDupBigramFrac).select("doc_id")
+    val contaminated = Decontam.ngramOverlap(docs, eval)
+      .filter(col("contaminated")).select("doc_id")
+    val survivors = docs
+      .join(cleaned, Seq("doc_id"), "left_semi")
+      .join(repOk, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    Packing.greedyPack(survivors, budget)
+  }
 }

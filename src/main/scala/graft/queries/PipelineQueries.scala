@@ -51,6 +51,14 @@ object PipelineQueries {
         all.filter(col("doc_id") % 37 =!= 0),
         all.filter(col("doc_id") % 37 === 0))
     }),
+    // the whole flow: clean -> repetition gate -> decontaminate against
+    // the eval stand-in -> pack survivors into 512-token bins. Train side
+    // is the FULL corpus, so the eval docs themselves (self-overlap) are
+    // removed by decontamination.
+    "pipe_corpus_pipeline" -> ((s, d) => {
+      val all = docs(s, d)
+      CorpusClean.pipeline(all, all.filter(col("doc_id") % 37 === 0))
+    }),
     // synthetic contact string appended so the redaction provably fires
     "pipe_text_redact" -> ((s, d) =>
       TextAnalysis.redact(
@@ -339,6 +347,44 @@ object PipelineQueries {
         "FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id) " +
         "JOIN canon USING (doc_id) LEFT JOIN losers r USING (doc_id) " +
         "WHERE r.doc_id IS NULL AND q.quality_score >= 0.5 AND lid.predicted = 'en'"),
+
+    // full pipeline: the corpus_clean CTE chain, then repetition /
+    // decontamination gates, then the packing window over survivors
+    "pipe_corpus_pipeline" ->
+      (s"WITH $Sig, m AS (SELECT doc_id, len(t) AS n_tokens, " +
+        "round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(len(text), 1), 4) AS punct_ratio " +
+        "FROM toks), " +
+        "q AS (SELECT doc_id, round(least(1.0, n_tokens::DOUBLE / 50) * (1.0 - punct_ratio), 4) AS quality_score FROM m), " +
+        "lid AS (SELECT doc_id, CASE WHEN len(list_intersect(t, ['the','a','and','of','value','table'])) > 0 THEN 'en' ELSE 'unk' END AS predicted FROM toks), " +
+        "canon AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1), " +
+        "bands AS (SELECT doc_id, s, b.range AS band, CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+        "FROM sig, range(4) b), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS s_a, b.s AS s_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+        "losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand " +
+        "WHERE len(list_intersect(s_a, s_b))::DOUBLE / len(list_distinct(list_concat(s_a, s_b))) >= 0.5), " +
+        "clean AS (SELECT d.doc_id FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id) " +
+        "JOIN canon USING (doc_id) LEFT JOIN losers r USING (doc_id) " +
+        "WHERE r.doc_id IS NULL AND q.quality_score >= 0.5 AND lid.predicted = 'en'), " +
+        // repetition gate (round-4 duplicate-bigram fraction <= 0.7)
+        "bgb AS (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg FROM toks WHERE len(t) >= 2), " +
+        "bgc AS (SELECT doc_id, b, count(*) AS cnt FROM (SELECT doc_id, unnest(bg) AS b FROM bgb) GROUP BY 1, 2), " +
+        "repok AS (SELECT doc_id FROM (SELECT doc_id, sum(cnt) AS nbg, " +
+        "sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup FROM bgc GROUP BY 1) " +
+        "WHERE round(dup::DOUBLE / nbg, 4) <= 0.7), " +
+        // decontamination gate (any shared 5-gram with the eval stand-in)
+        "ng5 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
+        "i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks WHERE len(t) >= 5), " +
+        "ev AS (SELECT coalesce(list(DISTINCT ng), []) AS evl FROM " +
+        "(SELECT unnest(g) AS ng FROM ng5 WHERE doc_id % 37 = 0)), " +
+        "cont AS (SELECT n.doc_id FROM ng5 n CROSS JOIN ev WHERE len(list_intersect(n.g, ev.evl)) > 0), " +
+        "surv AS (SELECT d.doc_id, d.source, d.text FROM documents d " +
+        "JOIN clean USING (doc_id) JOIN repok USING (doc_id) " +
+        "LEFT JOIN cont USING (doc_id) WHERE cont.doc_id IS NULL), " +
+        "pk AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens FROM surv), " +
+        "cb AS (SELECT doc_id, source, n_tokens, coalesce(sum(n_tokens) OVER (" +
+        "PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c FROM pk) " +
+        "SELECT doc_id, source, n_tokens, (c // 512)::BIGINT AS bin FROM cb"),
 
     "pipe_text_redact" ->
       ("WITH a AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)" +

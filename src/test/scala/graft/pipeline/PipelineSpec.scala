@@ -60,6 +60,19 @@ class PipelineSpec extends SparkTestBase {
     assert(got(2L)._2 == false && got(3L) == ((0L, false)))
   }
 
+  test("full pipeline drops eval-overlapping docs and packs survivors") {
+    val eval = docs.filter(col("doc_id") % 37 === 0)
+    val out = CorpusClean.pipeline(docs, eval)
+    assert(out.count() > 0)
+    // the eval docs trivially self-overlap -> decontaminated away
+    assert(out.join(eval, Seq("doc_id"), "left_semi").count() == 0)
+    // survivors are a subset of the plain clean() output
+    assert(out.join(CorpusClean.clean(docs), Seq("doc_id"), "left_anti").count() == 0)
+    // packing starts at bin 0 in every source shard
+    assert(out.groupBy("source").agg(min("bin").as("m"))
+      .filter(col("m") =!= 0).count() == 0)
+  }
+
   test("greedy packing fills token-budget bins per source in id order") {
     import spark.implicits._
     val df = Seq(
