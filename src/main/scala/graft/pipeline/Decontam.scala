@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
 object Decontam {
 
   /** distinct word n-grams per doc; docs shorter than n tokens are out
-    * of scope (they cannot contain an n-gram) */
-  private def ngrams(docs: DataFrame, n: Int): DataFrame =
+    * of scope (they cannot contain an n-gram). Stateless projection —
+    * also safe on a streaming DataFrame (see
+    * [[graft.streaming.DecontamStream]]). */
+  private[graft] def ngrams(docs: DataFrame, n: Int): DataFrame =
     docs.withColumn("__t", split(lower(col("text")), " "))
       .filter(size(col("__t")) >= n)
       .withColumn("g", array_distinct(expr(

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.streaming.{DedupStream, EventsStream}
+import graft.streaming.{DecontamStream, DedupStream, EventsStream}
 
 /** Structured Streaming entries for the correctness gate: each runs a real
   * incremental query (AvailableNow trigger) over the events files and is
@@ -21,7 +21,12 @@ object StreamingQueries {
     // micro-batches; pairs spanning the halves exist only if bucket state
     // survives across batches. Oracle = the batch operator's oracle.
     "stream_neardup_docs" -> ((s, d) =>
-      DedupStream.runNearDupToBatch(s, s"$d/documents.parquet", "v_stream_neardup")))
+      DedupStream.runNearDupToBatch(s, s"$d/documents.parquet", "v_stream_neardup")),
+    // stateless ingest-time decontamination: train docs stream through in
+    // two micro-batches, the eval set is static; numbers must equal the
+    // batch operator's (shared oracle)
+    "stream_decontam_docs" -> ((s, d) =>
+      DecontamStream.runToBatch(s, s"$d/documents.parquet", "v_stream_decontam")))
 
   val oracles: Map[String, String] = Map(
     "stream_events_hourly" ->
@@ -39,5 +44,6 @@ object StreamingQueries {
         |FROM g GROUP BY user_id""".stripMargin,
     "stream_dedup_docs" ->
       "SELECT DISTINCT md5(text) AS fingerprint, n_chars FROM documents",
-    "stream_neardup_docs" -> PipelineQueries.oracles("pipe_minhash_pairs"))
+    "stream_neardup_docs" -> PipelineQueries.oracles("pipe_minhash_pairs"),
+    "stream_decontam_docs" -> PipelineQueries.oracles("pipe_decontam"))
 }

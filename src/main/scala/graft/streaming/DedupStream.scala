@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   */
 object DedupStream {
 
-  private val docSchema = StructType(Seq(
+  private[streaming] val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),
@@ -111,7 +111,7 @@ object DedupStream {
   /** stage the corpus as two micro-batches split by doc_id parity, so
     * near-dup pairs spanning the halves can only be found by state that
     * survives across batches */
-  private def stageParitySplit(spark: SparkSession, docFile: String): String = {
+  private[streaming] def stageParitySplit(spark: SparkSession, docFile: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val d = Files.createTempDirectory("graft-neardup-stream-")
     graft.TempDirs.register(d)
