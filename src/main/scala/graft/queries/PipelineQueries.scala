@@ -40,6 +40,7 @@ object PipelineQueries {
     "pipe_mm_resize" -> ((s, d) => Multimodal.resized(s, docs(s, d))),
     "pipe_mm_frames" -> ((s, d) => Multimodal.frameSamples(s, docs(s, d))),
     "pipe_emb_quantize" -> ((s, d) => Quantization.quantizeInt8(emb(s, d))),
+    "pipe_emb_pq" -> ((s, d) => Quantization.pqEncode(emb(s, d))),
     // flagship composition: quality -> lang -> exact dedup -> near-dup
     // removal, all from the engine's own operators
     "pipe_corpus_clean" -> ((s, d) => CorpusClean.clean(docs(s, d))),
@@ -114,6 +115,30 @@ object PipelineQueries {
       s"SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE round(sim, 6) >= $threshold"
   }
 
+  /** one PQ subspace in DuckDB: slice, one L2 Lloyd step from the shared
+    * md5 init sample (ordered member folds, ties to lowest cid, empty
+    * buckets keep position), then encode each vector against the refined
+    * codebook — the distance is the direct ordered (x−c)² fold, the same
+    * float path as the Spark side */
+  private def pqSubspaceSql(s: Int, sd: Int): String = {
+    val lo = s * sd + 1; val hi = (s + 1) * sd
+    def dsq(v: String, c: String) =
+      s"list_sum(list_transform(range(1, ${sd + 1}), i -> ($v.sub[i] - $c.cvec[i]) * ($v.sub[i] - $c.cvec[i])))"
+    s"sub$s AS (SELECT vec_id, list_transform(embedding[$lo:$hi], x -> x::DOUBLE) AS sub FROM embeddings), " +
+      s"c0_$s AS (SELECT p.vec_id AS cid, v.sub AS cvec FROM samp p JOIN sub$s v ON v.vec_id = p.vec_id), " +
+      s"a0_$s AS (SELECT vec_id, cid FROM (SELECT v.vec_id, c.cid, row_number() OVER (" +
+      s"PARTITION BY v.vec_id ORDER BY round(${dsq("v", "c")}, 6), c.cid) AS rn FROM sub$s v, c0_$s c) WHERE rn = 1), " +
+      s"m_$s AS (SELECT a.cid, count(*) AS cnt, list(v.sub ORDER BY v.vec_id) AS vs" +
+      s" FROM a0_$s a JOIN sub$s v USING (vec_id) GROUP BY a.cid), " +
+      s"mv_$s AS (SELECT cid, list_transform(range(1, ${sd + 1}), d -> " +
+      s"list_sum(list_transform(vs, x -> x[d])) / cnt) AS mvec FROM m_$s), " +
+      s"c1_$s AS (SELECT cid, cvec, row_number() OVER (ORDER BY cid) - 1 AS idx FROM (" +
+      s"SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec FROM c0_$s c LEFT JOIN mv_$s m USING (cid))), " +
+      s"e_$s AS (SELECT vec_id, idx, d FROM (SELECT v.vec_id, c.idx, ${dsq("v", "c")} AS d, " +
+      s"row_number() OVER (PARTITION BY v.vec_id ORDER BY round(${dsq("v", "c")}, 6), c.cid) AS rn" +
+      s" FROM sub$s v, c1_$s c) WHERE rn = 1)"
+  }
+
   /** one Lloyd step in DuckDB: assign every vector to its max-cosine
     * centroid (6-dec rounding, tie to lowest cid — the same rule as the
     * probe), then means with the member fold ORDERED BY vec_id so the
@@ -134,6 +159,15 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipe_emb_pq" ->
+      ("WITH samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
+        (0 until 4).map(pqSubspaceSql(_, 16)).mkString(", ") + " " +
+        "SELECT v.vec_id, CAST(e_0.idx AS VARCHAR) || ',' || CAST(e_1.idx AS VARCHAR) || ',' || " +
+        "CAST(e_2.idx AS VARCHAR) || ',' || CAST(e_3.idx AS VARCHAR) AS code, " +
+        "round(sqrt((e_0.d + e_1.d + e_2.d + e_3.d) / 64), 6) AS recon_rmse " +
+        "FROM embeddings v JOIN e_0 ON e_0.vec_id = v.vec_id JOIN e_1 ON e_1.vec_id = v.vec_id " +
+        "JOIN e_2 ON e_2.vec_id = v.vec_id JOIN e_3 ON e_3.vec_id = v.vec_id"),
+
     "pipe_sim_ivf_kmeans" ->
       (s"WITH $EmbNorm, cent0 AS (SELECT vec_id AS cid, " +
         "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +

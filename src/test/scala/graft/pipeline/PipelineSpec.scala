@@ -151,6 +151,20 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("PQ codes are in range and reconstruction beats the worst case") {
+    val out = Quantization.pqEncode(emb).cache()
+    try {
+      assert(out.count() == emb.count())
+      // every code is m=4 indices in [0, 8)
+      val badCodes = out.filter(!col("code").rlike("^[0-7](,[0-7]){3}$")).count()
+      assert(badCodes == 0)
+      // codebooks are used non-trivially: more than one distinct code word
+      assert(out.select("code").distinct().count() > 1)
+      // reconstruction error is finite and nonnegative
+      assert(out.filter(col("recon_rmse") < 0 || col("recon_rmse").isNull).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("k-means-trained IVF keeps exact sims and sane recall") {
     val brute = Similarity.bruteCosineTopK(emb, nQueries = 10, k = 5)
       .select("query_id", "neighbor_id", "sim")
