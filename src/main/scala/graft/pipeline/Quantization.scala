@@ -60,18 +60,35 @@ object Quantization {
     * Scale: training folds `trainCap` sampled vectors (sample-train,
     * encode-distributed); encoding is one embarrassingly-parallel pass —
     * m·k distance expressions per row, no shuffle, no join. */
-  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 1,
-      seed: Long = 7L, trainCap: Int = 100000): DataFrame = {
+  private def subColOf(e: Column, s: Int, sd: Int): Column =
+    transform(slice(e, s * sd + 1, sd), _.cast("double"))
+
+  /** direct ordered fold of squared differences over the subspace dims —
+    * NOT the norm-expansion shortcut, whose different float path would
+    * break cross-engine determinism */
+  private def distToC(sub: Column, c: Array[Double]): Column =
+    aggregate(zip_with(sub, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _)
+
+  /** index of the nearest codebook centroid for subspace `s` (6-dec
+    * rounded argmin, ties to the lowest index = lowest centroid id) */
+  private def bestIdxOf(books: IndexedSeq[IndexedSeq[(Long, Array[Double])]],
+      e: Column, s: Int, sd: Int): Column = {
+    val sub = subColOf(e, s, sd)
+    val scored = books(s).zipWithIndex.map { case ((_, c), idx) =>
+      struct(round(distToC(sub, c), 6).as("d"), lit(idx).as("idx"))
+    }
+    array_min(array(scored: _*)).getField("idx")
+  }
+
+  /** Train the per-subspace L2 codebooks: md5-sampled init refined by
+    * `iters` Lloyd steps with the deterministic recipe (see [[pqEncode]]).
+    * Returns m codebooks of k (cid, centroid) pairs, cid-ascending. */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 1,
+      seed: Long = 7L, trainCap: Int = 100000): IndexedSeq[IndexedSeq[(Long, Array[Double])]] = {
     val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
     val sd = dim / m
     require(sd * m == dim, s"dim $dim not divisible into $m subspaces")
-
-    def subCol(s: Int): Column =
-      transform(slice(col("embedding"), s * sd + 1, sd), _.cast("double"))
-    // direct ordered fold of squared differences over the subspace dims
-    def distTo(sub: Column, c: Array[Double]): Column =
-      aggregate(zip_with(sub, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0.0), _ + _)
 
     val sampleRows = emb.select(col("vec_id"), col("embedding"))
       .withColumn("__k", md5(concat(lit(s"$seed:"), col("vec_id"))))
@@ -82,22 +99,14 @@ object Quantization {
       (0 until m).map(s => sampleRows.map { case (cid, v) =>
         (cid, v.slice(s * sd, (s + 1) * sd)) })
 
-    def bestIdx(s: Int): Column = {
-      val sub = subCol(s)
-      val scored = books(s).zipWithIndex.map { case ((_, c), idx) =>
-        struct(round(distTo(sub, c), 6).as("d"), lit(idx).as("idx"))
-      }
-      array_min(array(scored: _*)).getField("idx")
-    }
-
     val train = emb.select(col("vec_id"), col("embedding"))
       .withColumn("__k", md5(concat(lit(s"$seed:"), col("vec_id"))))
       .orderBy("__k").limit(trainCap).drop("__k").cache()
     try {
       for (_ <- 0 until iters; s <- 0 until m) {
         val means = train
-          .withColumn("sub", subCol(s))
-          .withColumn("b", bestIdx(s))
+          .withColumn("sub", subColOf(col("embedding"), s, sd))
+          .withColumn("b", bestIdxOf(books, col("embedding"), s, sd))
           .groupBy("b")
           .agg(count(lit(1)).as("cnt"),
             sort_array(collect_list(struct(col("vec_id"), col("sub")))).as("vs"))
@@ -111,19 +120,72 @@ object Quantization {
           (cid, means.getOrElse(idx, old))
         })
       }
+      books
     } finally { train.unpersist(); () }
+  }
+
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 1,
+      seed: Long = 7L, trainCap: Int = 100000): DataFrame = {
+    val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
+    val sd = dim / m
+    val books = pqCodebooks(emb, m, k, iters, seed, trainCap)
 
     val coded = (0 until m).foldLeft(emb.select(col("vec_id"), col("embedding"))) {
-      (df, s) => df.withColumn(s"__c$s", bestIdx(s))
+      (df, s) => df.withColumn(s"__c$s", bestIdxOf(books, col("embedding"), s, sd))
     }
     // per-subspace squared error of the CHOSEN centroid (unrounded),
     // summed left-associatively — the same float path as the oracle
     val totalErr = (0 until m).map { s =>
-      element_at(array(books(s).map { case (_, c) => distTo(subCol(s), c) }: _*),
+      element_at(array(books(s).map { case (_, c) =>
+        distToC(subColOf(col("embedding"), s, sd), c) }: _*),
         col(s"__c$s") + 1)
     }.reduce(_ + _)
     coded.select(col("vec_id"),
       concat_ws(",", (0 until m).map(s => col(s"__c$s").cast("string")): _*).as("code"),
       round(sqrt(totalErr / lit(dim * 1.0)), 6).as("recon_rmse"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k — the search half of a
+    * PQ index: queries stay exact, the corpus is its PQ codes, and the
+    * approximate distance is the sum of per-subspace distances from the
+    * query's subvector to the CODED centroid. Per (query, vector) pair
+    * that's m table lookups instead of a dim-wide dot product — the
+    * compute shape that makes billion-scale search affordable; a
+    * production index composes this kernel with IVF bucketing
+    * ([[Similarity.ivfKmeansTopK]]) to also cut the candidate count.
+    *
+    * Queries are broadcast (tiny), the corpus side streams through one
+    * pass over its codes, and the top-k window prunes map-side via
+    * InferWindowGroupLimit — same plan shape as the exact searches. */
+  def adcTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, m: Int = 4,
+      kc: Int = 8, iters: Int = 1, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
+    val sd = dim / m
+    val books = pqCodebooks(emb, m, kc, iters, seed)
+
+    val coded = (0 until m).foldLeft(emb.select(col("vec_id"), col("embedding"))) {
+      (df, s) => df.withColumn(s"__c$s", bestIdxOf(books, col("embedding"), s, sd))
+    }.drop("embedding")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+    // per-subspace distance table: query subvector vs each centroid,
+    // looked up by the corpus row's code
+    val adist = (0 until m).map { s =>
+      element_at(array(books(s).map { case (_, c) =>
+        distToC(subColOf(col("q_emb"), s, sd), c) }: _*),
+        col(s"__c$s") + 1)
+    }.reduce(_ + _)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("ad"), 6).asc, col("vec_id"))
+    coded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ad", adist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("ad"), 4).as("adist"), col("rk").cast("long").as("rk"))
   }
 }

@@ -41,6 +41,7 @@ object PipelineQueries {
     "pipe_mm_frames" -> ((s, d) => Multimodal.frameSamples(s, docs(s, d))),
     "pipe_emb_quantize" -> ((s, d) => Quantization.quantizeInt8(emb(s, d))),
     "pipe_emb_pq" -> ((s, d) => Quantization.pqEncode(emb(s, d))),
+    "pipe_sim_adc" -> ((s, d) => Quantization.adcTopK(emb(s, d))),
     // flagship composition: quality -> lang -> exact dedup -> near-dup
     // removal, all from the engine's own operators
     "pipe_corpus_clean" -> ((s, d) => CorpusClean.clean(docs(s, d))),
@@ -167,6 +168,25 @@ object PipelineQueries {
         "round(sqrt((e_0.d + e_1.d + e_2.d + e_3.d) / 64), 6) AS recon_rmse " +
         "FROM embeddings v JOIN e_0 ON e_0.vec_id = v.vec_id JOIN e_1 ON e_1.vec_id = v.vec_id " +
         "JOIN e_2 ON e_2.vec_id = v.vec_id JOIN e_3 ON e_3.vec_id = v.vec_id"),
+
+    // ADC: queries exact, corpus as PQ codes; approximate distance = sum
+    // of per-subspace query-to-coded-centroid distances
+    "pipe_sim_adc" ->
+      ("WITH samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
+        (0 until 4).map(pqSubspaceSql(_, 16)).mkString(", ") + ", " +
+        (0 until 4).map { s =>
+          s"ad_$s AS (SELECT q.vec_id AS query_id, e.vec_id, " +
+            s"list_sum(list_transform(range(1, 17), i -> (q.sub[i] - c.cvec[i]) * (q.sub[i] - c.cvec[i]))) AS d" +
+            s" FROM sub$s q CROSS JOIN e_$s e JOIN c1_$s c ON c.idx = e.idx WHERE q.vec_id < 10)"
+        }.mkString(", ") + ", " +
+        "adc AS (SELECT a0.query_id, a0.vec_id, a0.d + a1.d + a2.d + a3.d AS ad " +
+        "FROM ad_0 a0 JOIN ad_1 a1 ON a1.query_id = a0.query_id AND a1.vec_id = a0.vec_id " +
+        "JOIN ad_2 a2 ON a2.query_id = a0.query_id AND a2.vec_id = a0.vec_id " +
+        "JOIN ad_3 a3 ON a3.query_id = a0.query_id AND a3.vec_id = a0.vec_id " +
+        "WHERE a0.vec_id != a0.query_id), " +
+        "r AS (SELECT query_id, vec_id AS neighbor_id, ad, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY round(ad, 6) ASC, vec_id) AS rk FROM adc) " +
+        "SELECT query_id, neighbor_id, round(ad, 4) AS adist, rk FROM r WHERE rk <= 5"),
 
     "pipe_sim_ivf_kmeans" ->
       (s"WITH $EmbNorm, cent0 AS (SELECT vec_id AS cid, " +

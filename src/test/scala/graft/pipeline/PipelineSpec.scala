@@ -165,6 +165,18 @@ class PipelineSpec extends SparkTestBase {
     } finally { out.unpersist(); () }
   }
 
+  test("ADC top-k approximates brute-force neighbors") {
+    val brute = Similarity.bruteCosineTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id")
+    val adc = Quantization.adcTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id")
+    assert(adc.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    // PQ with m=4, k=8 is a coarse code; expect some overlap with the
+    // exact top-5 but demand nothing precise — correctness is the oracle's
+    val hits = adc.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits > 0, "ADC shares no neighbors at all with brute force")
+  }
+
   test("k-means-trained IVF keeps exact sims and sane recall") {
     val brute = Similarity.bruteCosineTopK(emb, nQueries = 10, k = 5)
       .select("query_id", "neighbor_id", "sim")
