@@ -9,16 +9,20 @@ import org.apache.spark.sql.functions._
   *   1. quality gate      (TextAnalysis.quality: codegen'd per-row metrics)
   *   2. language gate     (TextAnalysis.langId marker scoring)
   *   3. exact dedup       (canonical = lowest doc_id per content md5)
-  *   4. near-dup removal  (MinHash-LSH pairs; greedy keep-lowest-id — every
-  *      pair's higher id is dropped, so survivors are exactly the docs not
-  *      dominated by any lower-id near-duplicate; a connected-components
-  *      pass would merge chains, at the cost of an iterative job)
+  *   4. near-dup removal  (MinHash-LSH pairs clustered by connected
+  *      components — [[ConnectedComponents.clusters]] — keeping each
+  *      cluster's lowest doc_id, so transitive chains a~b~c collapse to
+  *      one survivor even when (a,c) was never a candidate pair; round 3
+  *      used greedy pair-drop, which could keep a non-minimal chain
+  *      member whose only pair partner was larger)
   *
   * Scale shape: stages 1-2 are embarrassingly parallel column expressions;
   * stage 3 is one shuffle on the 16-byte fingerprint; stage 4 is the banded
-  * LSH bucket join (no O(n²) stage). The final assembly is doc_id-keyed
-  * semi/anti joins — all narrow, all AQE-friendly. Nothing here changes
-  * shape at 100 TB; each stage's cost is one pass + one keyed shuffle.
+  * LSH bucket join (no O(n²) stage) plus an O(log n)-round star contraction
+  * over the PAIR set (edge-sized, not corpus-sized). The final assembly is
+  * doc_id-keyed semi/anti joins — all narrow, all AQE-friendly. Nothing
+  * here changes shape at 100 TB; each stage's cost is one pass + one keyed
+  * shuffle.
   */
 object CorpusClean {
 
@@ -29,8 +33,9 @@ object CorpusClean {
     val language = TextAnalysis.langId(docs)
       .select(col("doc_id"), col("predicted"))
     val canonical = Dedup.exact(docs).filter(!col("is_dup")).select("doc_id")
-    val nearDupLosers = Dedup.minhashPairs(docs, threshold = nearDupThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDupLosers = ConnectedComponents
+      .clusters(Dedup.minhashPairs(docs, threshold = nearDupThreshold))
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
 
     docs.join(quality, "doc_id")
       .join(language, "doc_id")

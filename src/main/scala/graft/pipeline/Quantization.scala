@@ -145,18 +145,39 @@ object Quantization {
       round(sqrt(totalErr / lit(dim * 1.0)), 6).as("recon_rmse"))
   }
 
+  /** The per-query ADC distance tables, MATERIALIZED as m array columns
+    * on the (tiny) query frame: `__dt_s[c] = ‖q_sub_s − centroid_c‖²`.
+    * This is the half of ADC that must happen once per QUERY, not once
+    * per (query, vector) pair — Catalyst does not hoist query-dependent
+    * subexpressions out of a join, so leaving the table as an expression
+    * over `q_emb` inside the join re-runs m·k·sd multiply-adds per pair
+    * (the round-3 bench showed that costing 14× the exact brute force). */
+  private def withQueryDistTables(queries: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Long, Array[Double])]], m: Int, sd: Int): DataFrame =
+    (0 until m).foldLeft(queries) { (df, s) =>
+      df.withColumn(s"__dt$s", array(books(s).map { case (_, c) =>
+        distToC(subColOf(col("q_emb"), s, sd), c) }: _*))
+    }.drop("q_emb")
+
+  /** per-pair approximate distance: m table lookups + adds, nothing else */
+  private def adcDistExpr(m: Int): Column =
+    (0 until m).map(s => element_at(col(s"__dt$s"), col(s"__c$s") + 1)).reduce(_ + _)
+
   /** ADC (asymmetric distance computation) top-k — the search half of a
     * PQ index: queries stay exact, the corpus is its PQ codes, and the
     * approximate distance is the sum of per-subspace distances from the
     * query's subvector to the CODED centroid. Per (query, vector) pair
     * that's m table lookups instead of a dim-wide dot product — the
     * compute shape that makes billion-scale search affordable; a
-    * production index composes this kernel with IVF bucketing
-    * ([[Similarity.ivfKmeansTopK]]) to also cut the candidate count.
+    * production index composes this kernel with IVF bucketing —
+    * [[ivfAdcTopK]], the FAISS IVFADC composition.
     *
-    * Queries are broadcast (tiny), the corpus side streams through one
-    * pass over its codes, and the top-k window prunes map-side via
-    * InferWindowGroupLimit — same plan shape as the exact searches. */
+    * The m per-query distance tables are computed ONCE per query as
+    * array columns on the broadcast side ([[withQueryDistTables]]); the
+    * joined expression is just `element_at` lookups. The corpus side
+    * streams through one pass over its codes, and the top-k window
+    * prunes map-side via InferWindowGroupLimit — same plan shape as the
+    * exact searches. */
   def adcTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, m: Int = 4,
       kc: Int = 8, iters: Int = 1, seed: Long = 7L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -167,22 +188,63 @@ object Quantization {
     val coded = (0 until m).foldLeft(emb.select(col("vec_id"), col("embedding"))) {
       (df, s) => df.withColumn(s"__c$s", bestIdxOf(books, col("embedding"), s, sd))
     }.drop("embedding")
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-
-    // per-subspace distance table: query subvector vs each centroid,
-    // looked up by the corpus row's code
-    val adist = (0 until m).map { s =>
-      element_at(array(books(s).map { case (_, c) =>
-        distToC(subColOf(col("q_emb"), s, sd), c) }: _*),
-        col(s"__c$s") + 1)
-    }.reduce(_ + _)
+    val queries = withQueryDistTables(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      books, m, sd)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("ad"), 6).asc, col("vec_id"))
     coded.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("ad", adist)
+      .withColumn("ad", adcDistExpr(m))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("ad"), 4).as("adist"), col("rk").cast("long").as("rk"))
+  }
+
+  /** IVFADC — the production composition the two index halves exist for
+    * (FAISS's standard billion-scale recipe): IVF bucketing cuts the
+    * CANDIDATE COUNT (each query scans only its nProbe closest k-means
+    * buckets), PQ+ADC cuts the PER-CANDIDATE COST (m table lookups
+    * instead of a dim-wide distance).
+    *
+    * Plan shape: centroids and codebooks are plan-time literals trained
+    * on bounded samples; the corpus is one pass (assign bucket + encode
+    * codes, embedding dropped); the probe side is a tiny broadcast of
+    * (query_id, bucket, m distance-table arrays); the candidate join is
+    * a BUCKET-KEY equi-join — no full corpus scan per query, no
+    * embeddings through the join, top-k prunes map-side via
+    * InferWindowGroupLimit. */
+  def ivfAdcTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4, ivfIters: Int = 2,
+      m: Int = 4, kc: Int = 8, pqIters: Int = 1, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
+    val sd = dim / m
+    val books = pqCodebooks(emb, m, kc, pqIters, seed)
+    val cents = Similarity.kmeansCentroids(emb, nCentroids, ivfIters, seed)
+
+    val withNorm = emb.withColumn("norm", Similarity.norm(col("embedding")))
+    val coded = (0 until m).foldLeft(
+      withNorm.withColumn("bucket", Similarity.bestCentroidExpr(cents))) { (df, s) =>
+      df.withColumn(s"__c$s", bestIdxOf(books, col("embedding"), s, sd))
+    }.select(col("vec_id") +: col("bucket") +:
+      (0 until m).map(s => col(s"__c$s")): _*)
+
+    val queries = withNorm.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val probes = withQueryDistTables(
+      Similarity.probeBuckets(queries, cents, nProbe).drop("q_norm"),
+      books, m, sd)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("ad"), 6).asc, col("vec_id"))
+    coded.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ad", adcDistExpr(m))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

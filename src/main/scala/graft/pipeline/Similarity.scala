@@ -26,7 +26,7 @@ object Similarity {
 
   import graft.functions.DotProductExpr.dotProduct
 
-  private def norm(e: Column): Column = sqrt(dotProduct(e, e))
+  private[pipeline] def norm(e: Column): Column = sqrt(dotProduct(e, e))
 
   /** exact top-k cosine neighbors for query vectors (vec_id < nQueries),
     * excluding self-matches.
@@ -152,7 +152,7 @@ object Similarity {
     * order is pinned (ascending), the norms' multiplication order is
     * irrelevant (IEEE multiplication commutes), so any engine derives
     * identical buckets. Expects a `norm` column on the input. */
-  private def bestCentroidExpr(centroids: Seq[(Long, Array[Double], Double)]): Column = {
+  private[pipeline] def bestCentroidExpr(centroids: Seq[(Long, Array[Double], Double)]): Column = {
     val scored = centroids.map { case (cid, vec, cn) =>
       struct(round(dotProduct(typedLit(vec.toSeq), col("embedding")) /
         (col("norm") * cn), 6).as("sim"), lit(-cid).as("negCid"))
@@ -160,18 +160,12 @@ object Similarity {
     -array_max(array(scored: _*)).getField("negCid")
   }
 
-  private def probeTopK(emb: DataFrame, centroids: Seq[(Long, Array[Double], Double)],
-      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    val bestCentroid = bestCentroidExpr(centroids)
-
-    val withNorm = emb.withColumn("norm", norm(col("embedding")))
-    val assigned = withNorm.withColumn("bucket", bestCentroid)
-
-    // per query: rank centroids, keep nProbe buckets
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"))
-    val probes = queries.select(col("query_id"), col("q_emb"), col("q_norm"),
+  /** per query: rank centroids by cosine (6-dec rounding, ties to lowest
+    * cid — the same rule everywhere), keep the nProbe closest buckets.
+    * Expects (query_id, q_emb, q_norm); emits one row per probed bucket. */
+  private[pipeline] def probeBuckets(queries: DataFrame,
+      centroids: Seq[(Long, Array[Double], Double)], nProbe: Int): DataFrame =
+    queries.select(col("query_id"), col("q_emb"), col("q_norm"),
       explode(array(centroids.map { case (cid, vec, n) =>
         struct(lit(cid).as("bucket"),
           (dotProduct(typedLit(vec.toSeq), col("q_emb")) / (col("q_norm") * n)).as("csim"))
@@ -182,6 +176,18 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(round(col("csim"), 6).desc, col("bucket"))))
       .filter(col("prk") <= nProbe)
       .select("query_id", "q_emb", "q_norm", "bucket")
+
+  private def probeTopK(emb: DataFrame, centroids: Seq[(Long, Array[Double], Double)],
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val bestCentroid = bestCentroidExpr(centroids)
+
+    val withNorm = emb.withColumn("norm", norm(col("embedding")))
+    val assigned = withNorm.withColumn("bucket", bestCentroid)
+
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val probes = probeBuckets(queries, centroids, nProbe)
 
     val cand = probes.join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, lpad}
-import graft.pipeline.{CorpusClean, Decontam, Dedup, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{ConnectedComponents, CorpusClean, Decontam, Dedup, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) over the driver's `documents` and `embeddings` tables, each
@@ -42,6 +42,12 @@ object PipelineQueries {
     "pipe_emb_quantize" -> ((s, d) => Quantization.quantizeInt8(emb(s, d))),
     "pipe_emb_pq" -> ((s, d) => Quantization.pqEncode(emb(s, d))),
     "pipe_sim_adc" -> ((s, d) => Quantization.adcTopK(emb(s, d))),
+    // IVFADC: ADC search restricted to the query's nProbe k-means buckets
+    "pipe_sim_ivfadc" -> ((s, d) => Quantization.ivfAdcTopK(emb(s, d))),
+    // near-dup clustering: connected components over the MinHash-LSH
+    // pair set (cluster id = component's minimum doc_id)
+    "pipe_dedup_clusters" -> ((s, d) =>
+      ConnectedComponents.clusters(Dedup.minhashPairs(docs(s, d)))),
     // flagship composition: quality -> lang -> exact dedup -> near-dup
     // removal, all from the engine's own operators
     "pipe_corpus_clean" -> ((s, d) => CorpusClean.clean(docs(s, d))),
@@ -97,6 +103,39 @@ object PipelineQueries {
   private def dotQC(q: String, c: String) =
     s"list_sum(list_transform(range(1, 65), k -> $q.q_emb[k]::DOUBLE * $c.cvec[k]::DOUBLE))"
 
+  /** the Lloyd-step TRAINING subset — mirrors the Spark side's
+    * md5-ranked `trainCap` sample (Similarity.kmeansCentroids /
+    * Quantization.pqCodebooks) so the oracle replays training verbatim
+    * even when the table exceeds the cap. `trn` carries full n-rows (for
+    * k-means), `ptrn` just the ids (for PQ subspace training). */
+  private val KmTrain =
+    "trn AS (SELECT * FROM n ORDER BY md5('7:' || vec_id) LIMIT 100000)"
+  private val PqTrain =
+    "ptrn AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 100000)"
+
+  /** MinHash-LSH banded candidates + exact-Jaccard scores — shared by
+    * the pair gate, the clustering gate and both corpus compositions */
+  private val MinhashScored =
+    Sig + ", bands AS (SELECT doc_id, s, b.range AS band, " +
+      "CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+      "FROM sig, range(4) b), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS s_a, b.s AS s_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+      "scored AS (SELECT doc_a, doc_b, " +
+      "len(list_intersect(s_a, s_b))::DOUBLE / len(list_distinct(list_concat(s_a, s_b))) AS jac FROM cand)"
+
+  /** connected components over scored pairs >= 0.5 via recursive
+    * min-reachability closure (callers must open WITH RECURSIVE):
+    * comp(id, root) = every paired doc with its component's minimum id —
+    * the unique fixpoint the Spark-side star contraction also reaches */
+  private val CcCtes =
+    "ccp AS (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.5), " +
+      "cce AS (SELECT doc_a AS src, doc_b AS dst FROM ccp UNION SELECT doc_b, doc_a FROM ccp), " +
+      "ccn AS (SELECT DISTINCT src AS id FROM cce), " +
+      "reach(id, r) AS (SELECT id, id FROM ccn UNION " +
+      "SELECT rc.id, cce.dst FROM reach rc JOIN cce ON cce.src = rc.r), " +
+      "comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)"
+
   /** banded SRP-LSH oracle: band keys generated from the SAME seeded
     * plane constants as `Similarity.lshCosinePairs` (see lshBandKeySql),
     * candidate pairs unioned across bands (UNION dedups), exact cosine +
@@ -128,7 +167,8 @@ object PipelineQueries {
     s"sub$s AS (SELECT vec_id, list_transform(embedding[$lo:$hi], x -> x::DOUBLE) AS sub FROM embeddings), " +
       s"c0_$s AS (SELECT p.vec_id AS cid, v.sub AS cvec FROM samp p JOIN sub$s v ON v.vec_id = p.vec_id), " +
       s"a0_$s AS (SELECT vec_id, cid FROM (SELECT v.vec_id, c.cid, row_number() OVER (" +
-      s"PARTITION BY v.vec_id ORDER BY round(${dsq("v", "c")}, 6), c.cid) AS rn FROM sub$s v, c0_$s c) WHERE rn = 1), " +
+      s"PARTITION BY v.vec_id ORDER BY round(${dsq("v", "c")}, 6), c.cid) AS rn FROM sub$s v, c0_$s c" +
+      s" WHERE v.vec_id IN (SELECT vec_id FROM ptrn)) WHERE rn = 1), " +
       s"m_$s AS (SELECT a.cid, count(*) AS cnt, list(v.sub ORDER BY v.vec_id) AS vs" +
       s" FROM a0_$s a JOIN sub$s v USING (vec_id) GROUP BY a.cid), " +
       s"mv_$s AS (SELECT cid, list_transform(range(1, ${sd + 1}), d -> " +
@@ -150,7 +190,7 @@ object PipelineQueries {
     s"ass$i AS (SELECT vec_id, bucket FROM (" +
       s"SELECT v.vec_id, c.cid AS bucket, row_number() OVER (PARTITION BY v.vec_id" +
       s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
-      s" FROM n v, cent$i c) WHERE rn = 1), " +
+      s" FROM trn v, cent$i c) WHERE rn = 1), " +
       s"m$i AS (SELECT bucket AS cid, count(*) AS cnt, list(v.embedding ORDER BY v.vec_id) AS vs" +
       s" FROM ass$i a JOIN n v ON v.vec_id = a.vec_id GROUP BY bucket), " +
       s"mv$i AS (SELECT cid, list_transform(range(1, 65), d -> " +
@@ -162,6 +202,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "pipe_emb_pq" ->
       ("WITH samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
+        PqTrain + ", " +
         (0 until 4).map(pqSubspaceSql(_, 16)).mkString(", ") + " " +
         "SELECT v.vec_id, CAST(e_0.idx AS VARCHAR) || ',' || CAST(e_1.idx AS VARCHAR) || ',' || " +
         "CAST(e_2.idx AS VARCHAR) || ',' || CAST(e_3.idx AS VARCHAR) AS code, " +
@@ -173,6 +214,7 @@ object PipelineQueries {
     // of per-subspace query-to-coded-centroid distances
     "pipe_sim_adc" ->
       ("WITH samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
+        PqTrain + ", " +
         (0 until 4).map(pqSubspaceSql(_, 16)).mkString(", ") + ", " +
         (0 until 4).map { s =>
           s"ad_$s AS (SELECT q.vec_id AS query_id, e.vec_id, " +
@@ -188,8 +230,51 @@ object PipelineQueries {
         "PARTITION BY query_id ORDER BY round(ad, 6) ASC, vec_id) AS rk FROM adc) " +
         "SELECT query_id, neighbor_id, round(ad, 4) AS adist, rk FROM r WHERE rk <= 5"),
 
+    // IVFADC: the kmeans-IVF CTE chain picks each query's nProbe buckets,
+    // the PQ CTE chain encodes the corpus, and the ADC distance is summed
+    // per (query, candidate) only for candidates in probed buckets
+    "pipe_sim_ivfadc" ->
+      (s"WITH $EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
+        "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
+        " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
+        kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
+        "asg AS (SELECT vec_id, bucket FROM (" +
+        "SELECT v.vec_id, c.cid AS bucket, row_number() OVER (PARTITION BY v.vec_id" +
+        s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
+        " FROM n v, cent2 c) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM n WHERE vec_id < 10), " +
+        "probes AS (SELECT query_id, bucket FROM (" +
+        "SELECT q.query_id, c.cid AS bucket, row_number() OVER (PARTITION BY q.query_id" +
+        s" ORDER BY round(${dotQC("q", "c")} / (c.cnorm * q.q_norm), 6) DESC, c.cid) AS prk" +
+        " FROM q, cent2 c) WHERE prk <= 4), " +
+        "samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
+        PqTrain + ", " +
+        (0 until 4).map(pqSubspaceSql(_, 16)).mkString(", ") + ", " +
+        "cnd AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a ON a.bucket = p.bucket" +
+        " WHERE a.vec_id != p.query_id), " +
+        (0 until 4).map { s =>
+          s"adq_$s AS (SELECT cd.query_id, cd.vec_id, " +
+            s"list_sum(list_transform(range(1, 17), i -> (qs.sub[i] - c.cvec[i]) * (qs.sub[i] - c.cvec[i]))) AS d" +
+            s" FROM cnd cd JOIN sub$s qs ON qs.vec_id = cd.query_id" +
+            s" JOIN e_$s e ON e.vec_id = cd.vec_id JOIN c1_$s c ON c.idx = e.idx)"
+        }.mkString(", ") + ", " +
+        "adc AS (SELECT a0.query_id, a0.vec_id, a0.d + a1.d + a2.d + a3.d AS ad " +
+        "FROM adq_0 a0 JOIN adq_1 a1 ON a1.query_id = a0.query_id AND a1.vec_id = a0.vec_id " +
+        "JOIN adq_2 a2 ON a2.query_id = a0.query_id AND a2.vec_id = a0.vec_id " +
+        "JOIN adq_3 a3 ON a3.query_id = a0.query_id AND a3.vec_id = a0.vec_id), " +
+        "r AS (SELECT query_id, vec_id AS neighbor_id, ad, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY round(ad, 6) ASC, vec_id) AS rk FROM adc) " +
+        "SELECT query_id, neighbor_id, round(ad, 4) AS adist, rk FROM r WHERE rk <= 5"),
+
+    // connected components over the >= 0.5 MinHash pair set: recursive
+    // min-reachability closure — the same unique fixpoint as the Spark
+    // side's large-star/small-star contraction
+    "pipe_dedup_clusters" ->
+      (s"WITH RECURSIVE $MinhashScored, $CcCtes " +
+        "SELECT id AS doc_id, root AS cluster_id FROM comp"),
+
     "pipe_sim_ivf_kmeans" ->
-      (s"WITH $EmbNorm, cent0 AS (SELECT vec_id AS cid, " +
+      (s"WITH $EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
         "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
         " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
         kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
@@ -220,12 +305,7 @@ object PipelineQueries {
       s"WITH $Sig SELECT doc_id, array_to_string(g, ',') AS sig FROM sig",
 
     "pipe_minhash_pairs" ->
-      (s"WITH $Sig, bands AS (" +
-        "SELECT doc_id, s, b.range AS band, CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
-        "FROM sig, range(4) b), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS s_a, b.s AS s_b " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
-        "scored AS (SELECT doc_a, doc_b, len(list_intersect(s_a, s_b))::DOUBLE / len(list_distinct(list_concat(s_a, s_b))) AS jac FROM cand) " +
+      (s"WITH $MinhashScored " +
         "SELECT doc_a, doc_b, round(jac, 4) AS jac FROM scored WHERE jac >= 0.5"),
 
     "pipe_jaccard_pairs" ->
@@ -383,20 +463,16 @@ object PipelineQueries {
         "round(hits::DOUBLE / len(g), 4) AS contam_frac, hits > 0 AS contaminated FROM tr"),
 
     // corpus clean = quality >= 0.5 AND predicted 'en' AND canonical copy
-    // AND not the higher id of any MinHash-LSH near-dup pair (>= 0.5)
+    // AND the minimum doc_id of its near-dup connected component
     "pipe_corpus_clean" ->
-      (s"WITH $Sig, m AS (SELECT doc_id, len(t) AS n_tokens, " +
+      (s"WITH RECURSIVE $MinhashScored, $CcCtes, " +
+        "m AS (SELECT doc_id, len(t) AS n_tokens, " +
         "round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(len(text), 1), 4) AS punct_ratio " +
         "FROM toks), " +
         "q AS (SELECT doc_id, round(least(1.0, n_tokens::DOUBLE / 50) * (1.0 - punct_ratio), 4) AS quality_score FROM m), " +
         "lid AS (SELECT doc_id, CASE WHEN len(list_intersect(t, ['the','a','and','of','value','table'])) > 0 THEN 'en' ELSE 'unk' END AS predicted FROM toks), " +
         "canon AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1), " +
-        "bands AS (SELECT doc_id, s, b.range AS band, CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
-        "FROM sig, range(4) b), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS s_a, b.s AS s_b " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
-        "losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand " +
-        "WHERE len(list_intersect(s_a, s_b))::DOUBLE / len(list_distinct(list_concat(s_a, s_b))) >= 0.5) " +
+        "losers AS (SELECT id AS doc_id FROM comp WHERE root != id) " +
         "SELECT d.doc_id, d.lang, d.n_chars, q.quality_score " +
         "FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id) " +
         "JOIN canon USING (doc_id) LEFT JOIN losers r USING (doc_id) " +
@@ -405,18 +481,14 @@ object PipelineQueries {
     // full pipeline: the corpus_clean CTE chain, then repetition /
     // decontamination gates, then the packing window over survivors
     "pipe_corpus_pipeline" ->
-      (s"WITH $Sig, m AS (SELECT doc_id, len(t) AS n_tokens, " +
+      (s"WITH RECURSIVE $MinhashScored, $CcCtes, " +
+        "m AS (SELECT doc_id, len(t) AS n_tokens, " +
         "round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(len(text), 1), 4) AS punct_ratio " +
         "FROM toks), " +
         "q AS (SELECT doc_id, round(least(1.0, n_tokens::DOUBLE / 50) * (1.0 - punct_ratio), 4) AS quality_score FROM m), " +
         "lid AS (SELECT doc_id, CASE WHEN len(list_intersect(t, ['the','a','and','of','value','table'])) > 0 THEN 'en' ELSE 'unk' END AS predicted FROM toks), " +
         "canon AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1), " +
-        "bands AS (SELECT doc_id, s, b.range AS band, CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
-        "FROM sig, range(4) b), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS s_a, b.s AS s_b " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
-        "losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand " +
-        "WHERE len(list_intersect(s_a, s_b))::DOUBLE / len(list_distinct(list_concat(s_a, s_b))) >= 0.5), " +
+        "losers AS (SELECT id AS doc_id FROM comp WHERE root != id), " +
         "clean AS (SELECT d.doc_id FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id) " +
         "JOIN canon USING (doc_id) LEFT JOIN losers r USING (doc_id) " +
         "WHERE r.doc_id IS NULL AND q.quality_score >= 0.5 AND lid.predicted = 'en'), " +

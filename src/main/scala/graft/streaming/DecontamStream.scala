@@ -9,25 +9,36 @@ import graft.pipeline.Decontam
   * against a static benchmark set.
   *
   * Entirely STATELESS: a document carries everything it needs (its own
-  * n-grams), and the eval set is a static one-row n-gram list joined in
-  * via a stream-static cross join (broadcast nested loop of one row —
-  * no state store, no watermark, append mode). This is the composition
-  * property that matters on an always-on ingest: per-batch cost is one
-  * pass over the arriving shard, state is zero, and the numbers are
-  * IDENTICAL to the batch operator — the gate shares
-  * `pipe_decontam`'s DuckDB oracle verbatim.
+  * n-grams), and the eval set is a driver-built broadcast HASH SET
+  * probed per n-gram — no state store, no watermark, append mode. This
+  * is the composition property that matters on an always-on ingest:
+  * per-batch cost is one pass over the arriving shard with O(1)
+  * membership per n-gram, state is zero, and the numbers are IDENTICAL
+  * to the batch operator — the gate shares `pipe_decontam`'s DuckDB
+  * oracle verbatim.
+  *
+  * The eval side ships ONCE per executor as a broadcast variable (eval
+  * suites are MBs — bounded by construction), replacing the round-3
+  * shape that collect_list'd the whole eval set into a single row and
+  * re-scanned it linearly per document: per-doc cost is now
+  * O(|doc n-grams|) instead of O(|doc n-grams| × |eval n-grams|), and
+  * no single-row array artifact rides the plan.
   */
 object DecontamStream {
 
   /** per-arriving-doc contamination stats against the static `evalDocs` */
   def decontam(stream: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
-    val evalList = Decontam.ngrams(evalDocs, n)
+    val evalSet: Set[String] = Decontam.ngrams(evalDocs, n)
       .select(explode(col("g")).as("ng")).distinct()
-      .agg(collect_list(col("ng")).as("evl")) // one static row
+      .collect().map(_.getString(0)).toSet
+    val bcast = evalDocs.sparkSession.sparkContext.broadcast(evalSet)
+    // a UDF (not codegen'd) is the deliberate trade here: only a scalar
+    // closure can consult a broadcast variable, and O(1) probes against
+    // a once-shipped set beat any codegen'd O(|eval|) array scan
+    val hitsOf = udf((g: Seq[String]) => g.count(bcast.value.contains).toLong)
     Decontam.ngrams(stream, n)
-      .crossJoin(evalList)
       .select(col("doc_id"), size(col("g")).cast("long").as("n_ngrams"),
-        size(array_intersect(col("g"), col("evl"))).cast("long").as("hits"))
+        hitsOf(col("g")).as("hits"))
       .withColumn("contam_frac", round(col("hits").cast("double") / col("n_ngrams"), 4))
       .withColumn("contaminated", col("hits") > 0)
   }

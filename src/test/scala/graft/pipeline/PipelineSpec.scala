@@ -112,6 +112,39 @@ class PipelineSpec extends SparkTestBase {
     assert(got(2L).getAs[Double]("uniq_ratio") == 1.0)
   }
 
+  test("connected components: chains collapse to the component minimum") {
+    import spark.implicits._
+    // component {1,2,3} as a chain 1-2, 2-3 (no 1-3 edge), a separate
+    // pair {10,11}, and the greedy-pair-drop counterexample: 5-9, 7-9 —
+    // 7 is minimal among ITS pair partners but not its component's min,
+    // so round-3's greedy keep-lowest would have kept {5, 7}; CC keeps
+    // only 5
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 9L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = ConnectedComponents.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 9L -> 5L, 7L -> 5L))
+    // empty pair set ⇒ empty clustering (no iteration blow-up)
+    assert(ConnectedComponents.clusters(pairs.limit(0)).count() == 0)
+    // a long path (worst case for naive label propagation) still
+    // converges to one cluster within the round bound
+    val path = (0L until 64L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val labels = ConnectedComponents.clusters(path).select("cluster_id")
+      .distinct().collect().map(_.getLong(0))
+    assert(labels.toSeq == Seq(0L))
+  }
+
+  test("corpus clean drops every non-minimal member of a near-dup component") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+    val losers = ConnectedComponents.clusters(pairs)
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    val cleaned = CorpusClean.clean(docs).select("doc_id")
+    assert(cleaned.join(losers, Seq("doc_id"), "left_semi").count() == 0,
+      "no cluster loser may survive cleaning")
+  }
+
   test("near-duplicate pairs have small simhash hamming distance") {
     val sim = Dedup.simhash(docs)
     val pairs = Dedup.jaccardPairs(docs, 0.7)
