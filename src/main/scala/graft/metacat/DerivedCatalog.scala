@@ -50,6 +50,20 @@ trait MetacatCatalog {
     * (the reference's namespaces.file_count, `schema.sql:48`). None ⇒ the
     * estimate path falls back to an on-demand aggregation. */
   def namespaceCountsStored: Option[DataFrame] = None
+
+  /** The namespace dimension (`name, description, owner_user, creator,
+    * created_timestamp, file_count` — `schema.sql:35-49`; owner_role and
+    * the ACL machinery are webserver/auth scope). Default: derived from
+    * the files table, one row per distinct namespace with ownership
+    * unknown — writable catalogs override with their stored table. */
+  def namespaces: DataFrame =
+    files.select(col("namespace").as("name")).distinct()
+      .select(col("name"),
+        concat(lit("namespace "), col("name")).as("description"),
+        lit(null).cast("string").as("owner_user"),
+        lit(null).cast("string").as("creator"),
+        lit(null).cast("timestamp").as("created_timestamp"),
+        lit(null).cast("long").as("file_count"))
 }
 
 /** Deterministic metacat catalog derived from the driver's `orders` table
@@ -163,6 +177,19 @@ class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCatalog {
       "core.ts" -> (("_s_core_ts", ShredNum)),
       "data.price" -> (("_s_data_price", ShredNum)))
   }
+
+  /** deterministic namespace dimension over the derived ns0..ns3:
+    * owner_user = 'owner' || (index % 2) — value-reproducible by the
+    * DuckDB oracle (which recomputes the same expression from mc_files) */
+  override lazy val namespaces: DataFrame =
+    files.select(col("namespace").as("name")).distinct()
+      .select(col("name"),
+        concat(lit("namespace "), col("name")).as("description"),
+        concat(lit("owner"),
+          (substring(col("name"), 3, 10).cast("int") % 2).cast("string")).as("owner_user"),
+        lit("graft").as("creator"),
+        lit(null).cast("timestamp").as("created_timestamp"),
+        lit(null).cast("long").as("file_count"))
 
   override lazy val filesDatasets: DataFrame = {
     val k = col("o_orderkey")

@@ -159,6 +159,116 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     } finally { batch.unpersist(); () }
   }
 
+  /** Update a dataset's metadata / flags / description (`update_dataset`,
+    * data_handler.py:287-330): metadata merges top-level keys
+    * (mode="update", patch wins) or replaces the whole dict
+    * (mode="replace"); every resulting key must carry a category prefix
+    * (the handler's dotted-key check); frozen / monotonic / description
+    * are set directly — the reference validates no transition beyond
+    * authentication, so freezing, unfreezing and toggling monotonic are
+    * all legal state moves. */
+  def updateDataset(namespace: String, name: String,
+      metadataJson: Option[String] = None, metadataMode: String = "update",
+      frozen: Option[Boolean] = None, monotonic: Option[Boolean] = None,
+      description: Option[String] = None): Unit = {
+    require(metadataMode == "update" || metadataMode == "replace",
+      s"bad mode $metadataMode")
+    datasetRow(namespace, name) // existence check — throws if missing
+    metadataJson.foreach { mj =>
+      // the handler rejects any post-merge key without a '.' category
+      // prefix (data_handler.py:317-319); pre-existing keys were already
+      // checked when they were written, so checking the patch suffices
+      val bare = spark.range(1)
+        .select(explode(map_keys(try_variant_get(
+          parse_json(lit(mj)), "$", "map<string,variant>"))).as("key"))
+        .filter(!col("key").contains(".")).limit(1).collect()
+      if (bare.nonEmpty)
+        throw new IllegalArgumentException(
+          s"metadata parameter without a category: ${bare.head.getString(0)}")
+    }
+    val hit = col("namespace") === namespace && col("name") === name
+    var updated = readOr("datasets", DatasetsSchema)
+    metadataJson.foreach { mj =>
+      val merged = metadataMode match {
+        case "replace" => lit(mj)
+        case "update" =>
+          val orig = coalesce(
+            try_variant_get(parse_json(col("metadata_json")), "$", "map<string,variant>"),
+            map().cast("map<string,variant>"))
+          val patch = try_variant_get(parse_json(lit(mj)), "$", "map<string,variant>")
+          to_json(map_concat(
+            map_filter(orig, (k, _) => !map_contains_key(patch, k)), patch))
+      }
+      updated = updated.withColumn("metadata_json",
+        when(hit, merged).otherwise(col("metadata_json")))
+    }
+    frozen.foreach(f => updated = updated.withColumn("frozen",
+      when(hit, lit(f)).otherwise(col("frozen"))))
+    monotonic.foreach(m => updated = updated.withColumn("monotonic",
+      when(hit, lit(m)).otherwise(col("monotonic"))))
+    description.foreach(d => updated = updated.withColumn("description",
+      when(hit, lit(d)).otherwise(col("description"))))
+    rewrite(updated, "datasets", DatasetsSchema, partitionCols = Nil)
+  }
+
+  /** Remove a dataset (`remove_dataset`, data_handler.py:548-572 +
+    * DBDataset.delete, dbobjects2.py:1387-1390): drops the dataset row
+    * and — as the SQL schema's cascading foreign keys do — its
+    * membership rows and its edges in the dataset hierarchy. The files
+    * themselves are untouched (they may belong to other datasets). */
+  def removeDataset(namespace: String, name: String): Unit = {
+    datasetRow(namespace, name) // throws if missing
+    val hit = col("namespace") === namespace && col("name") === name
+    rewrite(readOr("datasets", DatasetsSchema).filter(!hit),
+      "datasets", DatasetsSchema, partitionCols = Nil)
+    val mHit = col("dataset_namespace") === namespace && col("dataset_name") === name
+    rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!mHit),
+      "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
+    val eHit = (col("parent_namespace") === namespace && col("parent_name") === name) ||
+      (col("child_namespace") === namespace && col("child_name") === name)
+    rewrite(readOr("datasets_parent_child", DsParentChildSchema).filter(!eHit),
+      "datasets_parent_child", DsParentChildSchema, partitionCols = Nil)
+  }
+
+  /** Hard-delete files by id (`DBFile.delete`, dbobjects2.py:493-500 —
+    * the delete beyond retirement): provenance edges in BOTH directions,
+    * membership rows, then the file rows themselves, in that order so a
+    * partial failure leaves dangling-edge-free state (orphan file rows
+    * are still queryable; orphan edges would corrupt provenance hops). */
+  def removeFiles(fids: Seq[String]): Unit = {
+    val hit = col("fid").isin(fids: _*)
+    rewrite(readOr("parent_child", ParentChildSchema)
+      .filter(!col("parent_fid").isin(fids: _*) && !col("child_fid").isin(fids: _*)),
+      "parent_child", ParentChildSchema, partitionCols = Nil)
+    rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!hit),
+      "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
+    rewrite(readOr("files", FilesSchema).filter(!hit),
+      "files", FilesSchema, partitionCols = Seq("namespace"))
+  }
+
+  /** Create a namespace (`create_namespace`, data_handler.py:119-150;
+    * `schema.sql:35-49` — the owner_role/auth columns are webserver
+    * concerns, out of engine scope). Duplicate names are rejected, as
+    * the primary key does in the reference. */
+  def createNamespace(name: String, owner: String = "graft",
+      description: String = null, creator: String = "graft"): Unit = {
+    require(name.nonEmpty, "empty namespace name")
+    val exists = readOr("namespaces", NamespacesSchema)
+      .filter(col("name") === name).limit(1).collect().nonEmpty
+    if (exists)
+      throw new IllegalArgumentException(s"namespace $name already exists")
+    import spark.implicits._
+    val row = Seq((name, Option(description), owner, creator))
+      .toDF("name", "description", "owner_user", "creator")
+      .withColumn("created_timestamp", current_timestamp())
+      .withColumn("file_count", lit(0L))
+    align(row, NamespacesSchema)
+      .write.mode(SaveMode.Append).parquet(path("namespaces"))
+  }
+
+  /** the namespace dimension (empty until [[createNamespace]]) */
+  override def namespaces: DataFrame = readOr("namespaces", NamespacesSchema)
+
   def createDataset(namespace: String, name: String, frozen: Boolean = false,
       monotonic: Boolean = false, creator: String = "graft",
       metadataJson: String = "{}",
@@ -353,6 +463,16 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       .agg(count(lit(1)).as("file_count"))
       .withColumn("refreshed_timestamp", current_timestamp())
     rewrite(nsCounts, "namespace_counts", NamespaceCountsSchema, partitionCols = Nil)
+    // and onto the namespaces dimension itself — the column the reference
+    // daemon maintains (schema.sql:48)
+    val ns = readOr("namespaces", NamespacesSchema)
+    if (!ns.isEmpty) {
+      val updatedNs = ns.drop("file_count")
+        .join(readOr("namespace_counts", NamespaceCountsSchema)
+          .select(col("namespace").as("name"), col("file_count")), Seq("name"), "left")
+        .withColumn("file_count", coalesce(col("file_count"), lit(0L)))
+      rewrite(updatedNs, "namespaces", NamespacesSchema, partitionCols = Nil)
+    }
   }
 
   /** daemon-materialized per-namespace counts (empty until
@@ -506,6 +626,16 @@ object ParquetCatalog {
     StructField("creator", StringType),
     StructField("created_timestamp", TimestampType),
     StructField("description", StringType)))
+
+  /** namespace dimension (schema.sql:35-49; owner_role/auth columns are
+    * webserver concerns, out of engine scope) */
+  val NamespacesSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("description", StringType),
+    StructField("owner_user", StringType),
+    StructField("creator", StringType),
+    StructField("created_timestamp", TimestampType),
+    StructField("file_count", LongType)))
 
   /** daemon-refreshed per-namespace counts (namespaces.file_count analog,
     * schema.sql:48) */

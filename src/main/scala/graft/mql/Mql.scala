@@ -128,9 +128,16 @@ object Mql {
     if (exact) {
       val f0 = catalog.files
       val f = if (includeRetired) f0 else f0.filter(!col("retired"))
-      f.groupBy(col("namespace"))
-        .agg(count(lit(1)).as("file_count"), sum(col("size")).as("total_size"),
-          lit(true).as("exact"))
+      val counts = f.groupBy(col("namespace"))
+        .agg(count(lit(1)).as("file_count"), sum(col("size")).as("total_size"))
+      // drive from the namespace DIMENSION (broadcastable, schema.sql:35-49)
+      // so ownership rides along and file-less namespaces still appear
+      catalog.namespaces
+        .select(col("name").as("namespace"), col("owner_user"))
+        .join(counts, Seq("namespace"), "left")
+        .select(col("namespace"), col("owner_user"),
+          coalesce(col("file_count"), lit(0L)).as("file_count"),
+          col("total_size"), lit(true).as("exact"))
     } else catalog.namespaceCountsStored match {
       // daemon-refreshed denormalized counts: no files scan at all — the
       // true 100 TB estimate path (the reference answers from the

@@ -275,7 +275,8 @@ object MqlQueries {
         " FROM fa LEFT JOIN cc ON fa.dataset_namespace = cc.ns AND fa.dataset_name = cc.n" +
         " LEFT JOIN pc ON fa.dataset_namespace = pc.ns AND fa.dataset_name = pc.n"),
     "mql_namespace_counts" -> o(
-      "SELECT namespace, count(*) AS file_count, CAST(sum(size) AS BIGINT) AS total_size," +
+      "SELECT namespace, 'owner' || CAST(CAST(substr(namespace, 3) AS INT) % 2 AS VARCHAR) AS owner_user," +
+        " count(*) AS file_count, CAST(sum(size) AS BIGINT) AS total_size," +
         " true AS exact FROM mc_files WHERE NOT retired GROUP BY 1"),
     // (key, value-as-json) pairs: value rendering pinned to Spark's
     // variant to_json — object keys sorted, compact separators, decimals

@@ -83,6 +83,14 @@ object WritePathQueries {
         """{"opt.mark":"X","core.run":777}""", mode = "update")
       cat.moveNamespace((140 until 150).map(fidOf), "wmoved")
 
+      // hard delete (DBFile.delete analog): k 45..49 vanish from the
+      // files table AND from wds:low's membership
+      cat.removeFiles((45 to 49).map(fidOf))
+      // dataset removal cleans ITS membership rows only — wds:reqd goes
+      // away, wds:low keeps its k 190..199 rows (same fids, different
+      // membership rows), and the file rows themselves stay
+      cat.removeDataset("wds", "reqd")
+
       // read back through a SAVED named query (saveNamedQuery +
       // `files selected by` splice) — BFQ semantics hide retired rows
       cat.saveNamedQuery("wq", "low_files", "files from wds:low")
@@ -93,6 +101,47 @@ object WritePathQueries {
           col("retired"),
           expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"),
           expr("try_variant_get(metadata, \"$['opt.mark']\", 'string')").as("mark"))
+    }),
+
+    // dataset/namespace administration (update_dataset
+    // data_handler.py:287-330, remove_dataset :548-572, create_namespace
+    // :119-150): every mutation is a deterministic constant, so the
+    // DuckDB oracle is a VALUES literal of the expected final state
+    "mql_dataset_admin" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_da_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString)
+      cat.createNamespace("adm", owner = "alice", description = "admin ns")
+      cat.createNamespace("adm2", owner = "bob")
+      val dupCheck =
+        try { cat.createNamespace("adm"); "not-rejected" }
+        catch { case _: IllegalArgumentException => "dup-rejected" }
+      cat.createDataset("adm", "a", metadataJson = """{"ds.kind":"raw"}""")
+      cat.createDataset("adm", "b")
+      cat.createDataset("adm", "c", frozen = true)
+      // metadata merge (patch wins), description set
+      cat.updateDataset("adm", "a",
+        metadataJson = Some("""{"ds.kind":"clean","ds.v":2}"""),
+        description = Some("updated a"))
+      // flag transitions: freeze b, thaw c, then replace c's metadata
+      cat.updateDataset("adm", "b", frozen = Some(true), monotonic = Some(false))
+      cat.updateDataset("adm", "c", frozen = Some(false))
+      cat.updateDataset("adm", "c",
+        metadataJson = Some("""{"ds.only":"x"}"""), metadataMode = "replace")
+      cat.removeDataset("adm", "b")
+      val ds = cat.datasets.select(
+        lit("dataset").as("entity"), col("namespace"), col("name"),
+        concat(col("frozen").cast("string"), lit(":"),
+          col("monotonic").cast("string"), lit(":"), col("description"),
+          lit(":"), to_json(col("metadata"))).as("detail"))
+      val ns = cat.namespaces.select(
+        lit("namespace").as("entity"), lit("").as("namespace"), col("name"),
+        concat(col("owner_user"), lit(":"),
+          coalesce(col("description"), lit("-"))).as("detail"))
+      val chk = s.range(1).select(
+        lit("check").as("entity"), lit("adm").as("namespace"),
+        lit("duplicate").as("name"), lit(dupCheck).as("detail"))
+      ds.unionByName(ns).unionByName(chk)
     }),
 
     // denormalized count write-back — the reference daemon's hourly
@@ -151,7 +200,7 @@ object WritePathQueries {
     "mql_write_path" ->
       ("WITH w AS (SELECT o_orderkey AS k, o_orderdate AS ts FROM orders WHERE o_orderkey < 200), " +
         "members AS (SELECT k FROM w WHERE ((k < 150 AND k % 100 < 50) OR k >= 190)" +
-        " AND NOT (k BETWEEN 100 AND 104)) " +
+        " AND NOT (k BETWEEN 100 AND 104) AND NOT (k BETWEEN 45 AND 49)) " +
         "SELECT 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS fid," +
         " CASE WHEN k BETWEEN 140 AND 149 THEN 'wmoved' ELSE 'wraw' END AS namespace," +
         " 'w_' || CAST(k AS VARCHAR) || '.dat' AS name," +
@@ -162,6 +211,16 @@ object WritePathQueries {
         " CAST(CASE WHEN k < 10 THEN 777 ELSE k % 100 END AS BIGINT) AS run," +
         " CASE WHEN k < 10 THEN 'X' ELSE NULL END AS mark " +
         "FROM members JOIN w USING (k) WHERE k % 40 <> 0"),
+    // expected final admin state — every mutation is a constant, so the
+    // oracle is the literal expected snapshot
+    "mql_dataset_admin" ->
+      ("SELECT * FROM (VALUES " +
+        "('dataset', 'adm', 'a', 'false:false:updated a:{\"ds.kind\":\"clean\",\"ds.v\":2}'), " +
+        "('dataset', 'adm', 'c', 'false:false:dataset c:{\"ds.only\":\"x\"}'), " +
+        "('namespace', '', 'adm', 'alice:admin ns'), " +
+        "('namespace', '', 'adm2', 'bob:-'), " +
+        "('check', 'adm', 'duplicate', 'dup-rejected')" +
+        ") AS t(entity, namespace, name, detail)"),
     // counts recomputed arithmetically from orders: datasets split k<200
     // by parity; namespace wmoved holds k<10, wraw the rest
     "mql_count_refresh" ->

@@ -54,7 +54,7 @@ class WritePathFuzzSpec extends SparkTestBase {
         rnd.shuffle(model.values.filterNot(_.retired).map(_.fid).toSeq).take(n)
 
       for (step <- 0 until 12) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // declare a fresh batch, optionally straight into a dataset
             val ids = (nextId until nextId + 1 + rnd.nextInt(8))
             nextId = ids.last + 1
@@ -101,6 +101,15 @@ class WritePathFuzzSpec extends SparkTestBase {
             if (picks.nonEmpty) {
               cat.moveNamespace(picks, s"moved$step")
               picks.foreach(model(_).namespace = s"moved$step")
+            }
+          case 6 => // hard delete: file rows, memberships, provenance
+            val picks = randomLive(1 + rnd.nextInt(3))
+            if (picks.nonEmpty) {
+              cat.removeFiles(picks)
+              picks.foreach { f =>
+                model.remove(f)
+                members.values.foreach(_ -= f)
+              }
             }
         }
 

@@ -265,6 +265,74 @@ class WritePathSpec extends SparkTestBase {
     assert(est.forall(!_.getBoolean(3)))
   }
 
+  test("update dataset: metadata merge/replace, flags, description") {
+    cat.createDataset("w", "upd", metadataJson = """{"ds.kind":"raw"}""")
+    cat.updateDataset("w", "upd", metadataJson = Some("""{"ds.v":1}"""))
+    val m = cat.datasets.filter(col("namespace") === "w" && col("name") === "upd")
+      .select(to_json(col("metadata"))).collect().head.getString(0)
+    assert(m == """{"ds.kind":"raw","ds.v":1}""")
+    cat.updateDataset("w", "upd", metadataJson = Some("""{"ds.only":2}"""),
+      metadataMode = "replace", frozen = Some(true), description = Some("d2"))
+    val r = cat.datasets.filter(col("namespace") === "w" && col("name") === "upd")
+      .select(to_json(col("metadata")), col("frozen"), col("description"))
+      .collect().head
+    assert(r.getString(0) == """{"ds.only":2}""" && r.getBoolean(1)
+      && r.getString(2) == "d2")
+    // the frozen flag set by update BINDS: add_to now rejects...
+    assertThrows[IllegalArgumentException](cat.addTo(cat.files.limit(1), "w", "upd"))
+    // ...and thawing re-opens the dataset
+    cat.updateDataset("w", "upd", frozen = Some(false))
+    cat.addTo(cat.files.filter(col("fid") === "X00000002"), "w", "upd")
+    assert(cat.filesDatasets.filter(col("dataset_name") === "upd").count() == 1)
+    // category-less patch key and unknown dataset are rejected
+    assertThrows[IllegalArgumentException](
+      cat.updateDataset("w", "upd", metadataJson = Some("""{"bare":1}""")))
+    assertThrows[IllegalArgumentException](
+      cat.updateDataset("w", "nope", frozen = Some(true)))
+  }
+
+  test("remove dataset cleans memberships and hierarchy edges, keeps files") {
+    cat.createDataset("w", "gone")
+    cat.addTo(Mql.query(spark, cat, "files from w:base where core.run in 3:4"),
+      "w", "gone")
+    cat.addDatasetEdge("w", "base", "w", "gone")
+    cat.removeDataset("w", "gone")
+    assert(cat.datasets.filter(col("name") === "gone").count() == 0)
+    assert(cat.filesDatasets.filter(col("dataset_name") === "gone").count() == 0)
+    assert(cat.datasetsParentChild.filter(col("child_name") === "gone").count() == 0)
+    // the files themselves are untouched
+    assert(Mql.query(spark, cat, "files from w:base where core.run in 3:4").count() == 2)
+    // removing a missing dataset is an error, not a no-op
+    assertThrows[IllegalArgumentException](cat.removeDataset("w", "gone"))
+  }
+
+  test("remove files: hard delete cleans memberships and provenance edges") {
+    import spark.implicits._
+    cat.addProvenance(Seq(("X00000008", "X00000009")).toDF("parent_fid", "child_fid"))
+    cat.removeFiles(Seq("X00000008"))
+    assert(cat.files.filter(col("fid") === "X00000008").count() == 0)
+    assert(cat.filesDatasets.filter(col("fid") === "X00000008").count() == 0)
+    assert(cat.parentChild.filter(col("parent_fid") === "X00000008" ||
+      col("child_fid") === "X00000008").count() == 0)
+    // neighbors survive: the file it pointed to, and other edges
+    assert(cat.files.filter(col("fid") === "X00000009").count() == 1)
+    assert(cat.parentChild.filter(col("parent_fid") === "X00000002").count() == 2)
+  }
+
+  test("namespace dimension: create, duplicate-reject, counts join") {
+    cat.createNamespace("wn1", owner = "alice", description = "first")
+    cat.createNamespace("wn2", owner = "bob")
+    assertThrows[IllegalArgumentException](cat.createNamespace("wn1"))
+    val got = cat.namespaces.select("name", "owner_user", "description")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set(("wn1", "alice", Some("first")), ("wn2", "bob", None)))
+    // refreshCounts writes the denormalized count onto the dimension
+    cat.refreshCounts()
+    val counts = cat.namespaces.select("name", "file_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("wn1", "wn2") && counts.values.forall(_ == 0L))
+  }
+
   test("json-seq emitter") {
     val out = new java.io.StringWriter
     JsonSeq.write(Mql.query(spark, cat, "files from w:base limit 3"), out)
