@@ -11,9 +11,14 @@ import org.apache.spark.sql.SparkSession
   *
   * The stdout line carries only the totals — a log-tail capture holds it
   * whole; the full per-query map lives in `bench_last.json` on disk.
-  * `SPARK_GRAFT_BENCH_N` (default 1) repeats each query n times and
-  * reports the per-query MEDIAN, making small deltas measurable against
-  * run-to-run noise. */
+  * `SPARK_GRAFT_BENCH_N` (default 3) repeats each query n times and
+  * reports the per-query MEDIAN (middle-pair average for even n), making
+  * small deltas measurable against run-to-run noise; since the cold
+  * first-touch run is usually the sample max, the n=3 median also
+  * measures the PLAN rather than scheduling order. Failed runs are
+  * dropped from the sample and surfaced as `failed_runs`.
+  * `SPARK_GRAFT_BENCH_WARMUP` (default 0) adds untimed warmup
+  * executions per query for full isolation from first-touch effects. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,14 +43,25 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
     val n = sys.env.get("SPARK_GRAFT_BENCH_N").flatMap(_.toIntOption)
-      .filter(_ >= 1).getOrElse(1)
+      .filter(_ >= 1).getOrElse(3)
+    val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").flatMap(_.toIntOption)
+      .filter(_ >= 0).getOrElse(0)
+    var failedRuns = 0
     val results = selected.map { case (name, fn) =>
+      (1 to warmup).foreach { _ =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
       val runs = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); secs(t0) } catch { case _: Throwable => -1.0 }
       }
       val ok = runs.filter(_ >= 0).sorted
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+      failedRuns += runs.size - ok.size
+      val med =
+        if (ok.isEmpty) -1.0
+        else if (ok.size % 2 == 1) ok(ok.size / 2)
+        else math.rint((ok(ok.size / 2 - 1) + ok(ok.size / 2)) * 5e2) / 1e3
+      name -> med
     }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -53,11 +69,11 @@ object Bench {
     // full artifact (incl. per-query map) on disk; the stdout line stays
     // short so a log-tail capture can't clip it
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"runs":$n,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"runs":$n,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,15 +50,30 @@ object Filters {
     * analog of a server config is the session conf:
     * `spark.graft.filters` holds comma-separated
     * `name=fully.qualified.ClassName` entries, each class a zero-arg
-    * [[GraftFilter]]. Resolved lazily on first use of the name, then
-    * cached in the in-process registry. */
+    * [[GraftFilter]].
+    *
+    * The conf is consulted on EVERY call and instances are cached per
+    * CLASS NAME (not per filter name, and never written into the
+    * [[register]] registry): a session that changes or unsets the conf
+    * sees the change immediately, one session's mapping never leaks into
+    * another session or outlives it in the process-global registry, and
+    * a class is still only instantiated once per JVM. (The reference
+    * loads filter classes from trusted server-side startup config;
+    * keeping the runtime-settable conf surface means a client able to
+    * SET session conf chooses which registered-on-classpath class runs —
+    * acceptable for an in-process library, but nothing a client names
+    * can pin itself globally.) */
+  private val confInstances = mutable.Map.empty[String, GraftFilter]
   private def fromConf(spark: SparkSession, name: String): Option[GraftFilter] =
     spark.conf.getOption("spark.graft.filters").flatMap { entries =>
       entries.split(',').iterator.map(_.trim).filter(_.nonEmpty)
         .map(_.split("=", 2))
         .collectFirst { case Array(n, cls) if n.trim == name =>
-          Class.forName(cls.trim).getDeclaredConstructor()
-            .newInstance().asInstanceOf[GraftFilter]
+          confInstances.synchronized {
+            confInstances.getOrElseUpdate(cls.trim,
+              Class.forName(cls.trim).getDeclaredConstructor()
+                .newInstance().asInstanceOf[GraftFilter])
+          }
         }
     }
 
@@ -173,8 +188,11 @@ object Filters {
         mix(spark, params.map(num), inputs)
 
       case other =>
+        // explicit in-process registration wins; the session conf mapping
+        // is re-resolved per call (never promoted into the registry, so
+        // unsetting the conf genuinely removes the filter)
         custom.synchronized(custom.get(other))
-          .orElse(fromConf(spark, other).map { f => register(other, f); f }) match {
+          .orElse(fromConf(spark, other)) match {
           case Some(f) => f(spark, inputs, params, kw)
           case None => throw new IllegalArgumentException(s"Unknown filter: $other")
         }

@@ -11,7 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("native functions callable from plain SQL via SparkSessionExtensions") {
-    val prev = SparkSession.getDefaultSession
+    // capture BOTH the default and active sessions and restore both —
+    // another suite observing getActiveSession mid-test must not pick up
+    // the extensions session (round-3 advice)
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val spark = SparkSession.builder().master("local[2]")
       .withExtensions(new GraftExtensions)
@@ -36,7 +40,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("graft_adler32"))
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      prev.foreach(SparkSession.setDefaultSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
     }
   }
 }

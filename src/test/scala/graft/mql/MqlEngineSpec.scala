@@ -239,6 +239,10 @@ class MqlEngineSpec extends SparkTestBase {
       // the entry that uses it
       assertThrows[IllegalArgumentException](q("filter nope()(files from dsns:ds1)"))
     } finally spark.conf.unset("spark.graft.filters")
+    // unsetting the conf removes the mapping — the name must NOT linger
+    // in any process-global registry (round-3 advice: the first session
+    // to use a name pinned its class for the whole JVM)
+    assertThrows[IllegalArgumentException](q("filter first3()(files from dsns:ds1)"))
   }
 
   test("dataset counts aggregation") {

@@ -56,6 +56,49 @@ class NearDupStreamSpec extends SparkTestBase {
     } finally DedupStream.MaxBucketMembers = saved
   }
 
+  test("TTL-on deployment: processing-time trigger, cross-batch discovery intact within the TTL window") {
+    // the always-on configuration a real ingest runs: bucketTtlMs SET,
+    // processing-time trigger (AvailableNow would never terminate with a
+    // processing-time timeout — see nearDupPairs' scaladoc). Both parity
+    // micro-batches land well inside the 10-minute TTL, so eviction must
+    // not fire and the pair set must equal the batch operator's —
+    // including the cross-batch pairs that only state can find.
+    import org.apache.spark.sql.streaming.Trigger
+    val file = "/root/testdata/sf0.001/documents.parquet"
+    val batch = Dedup.minhashPairs(spark.read.parquet(file))
+      .select("doc_a", "doc_b", "jac")
+    val expected = batch.count()
+    val dir = DedupStream.stageParitySplit(spark, file)
+    val stream = spark.readStream.schema(DedupStream.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val partKey = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val q = DedupStream
+        .nearDupPairs(spark, stream, file, bucketTtlMs = Some(600000L))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_ttl_neardup")
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      // processAllAvailable() would never return here: a registered
+      // processing-time timeout makes shouldRunAnotherBatch=true forever
+      // (the same behavior that rules out AvailableNow — see
+      // nearDupPairs' scaladoc), so poll the sink until the expected
+      // pair count lands, then stop the always-on query
+      try {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (spark.table("t_ttl_neardup").distinct().count() < expected &&
+          System.currentTimeMillis() < deadline) Thread.sleep(500L)
+      } finally q.stop()
+    } finally spark.conf.set(partKey, saved)
+    val streamed = spark.table("t_ttl_neardup").distinct()
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "TTL-on streamed pair set must equal the batch pair set")
+    assert(streamed.filter(col("doc_a") % 2 =!= col("doc_b") % 2).count() > 0,
+      "cross-batch pairs must survive with TTL registered but unexpired")
+  }
+
   test("opt-in bucket TTL: state transition registers timeouts and evicts on expiry") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
