@@ -70,18 +70,27 @@ object ConnectedComponents {
   }
 
   /** cluster id (= minimum doc_id of the connected component) for every
-    * document that appears in `pairs`. Documents in no pair are not
-    * emitted — they are their own singleton cluster by definition. */
+    * document that appears in a (non-self) pair. Documents in no pair
+    * are their own singleton cluster by definition and are not emitted.
+    *
+    * The caller's `pairs` plan is evaluated exactly ONCE (the initial
+    * edge checkpoint) — everything downstream, including the final node
+    * list, reads the checkpointed edges, so an expensive upstream (an
+    * LSH pair join) is never recomputed per CC round. Checkpoints are
+    * lazy; the signature action right after each one materializes it,
+    * giving one Spark job per round instead of two. */
   def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIters: Int = 25): DataFrame = {
-    var edges = pairs
+    val edges0 = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false)
+    var edges = edges0
     var sig = signature(edges)
-    var converged = edges.isEmpty
+    var converged = sig._1 == 0L
     var it = 0
     while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nsig = signature(next)
       converged = nsig == sig
       edges = next; sig = nsig; it += 1
@@ -89,8 +98,8 @@ object ConnectedComponents {
     // fixpoint = star forest: every edge is (member, component-min)
     val roots = edges.select(greatest(col("src"), col("dst")).as("id"),
       least(col("src"), col("dst")).as("cluster_id")).distinct()
-    val nodes = pairs.select(col(aCol).cast("long").as("id"))
-      .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+    val nodes = edges0.select(col("src").as("id"))
+      .union(edges0.select(col("dst").as("id"))).distinct()
     nodes.join(roots, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))

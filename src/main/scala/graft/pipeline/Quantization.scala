@@ -83,42 +83,54 @@ object Quantization {
 
   /** Train the per-subspace L2 codebooks: md5-sampled init refined by
     * `iters` Lloyd steps with the deterministic recipe (see [[pqEncode]]).
-    * Returns m codebooks of k (cid, centroid) pairs, cid-ascending. */
+    * Returns m codebooks of k (cid, centroid) pairs, cid-ascending.
+    * `dim` skips the probe job when the caller already knows it (<= 0
+    * derives it). All m subspaces refine in ONE job per Lloyd iteration
+    * (exploded (s, bucket, subvector) rows, one keyed aggregation) — the
+    * per-group ordered fold is unchanged, so results are bit-identical
+    * to the per-subspace form and the oracle replay still holds. */
   def pqCodebooks(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 1,
-      seed: Long = 7L, trainCap: Int = 100000): IndexedSeq[IndexedSeq[(Long, Array[Double])]] = {
-    val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
-    val sd = dim / m
-    require(sd * m == dim, s"dim $dim not divisible into $m subspaces")
+      seed: Long = 7L, trainCap: Int = 100000,
+      dim: Int = 0): IndexedSeq[IndexedSeq[(Long, Array[Double])]] = {
+    val d = if (dim > 0) dim else emb.select(col("embedding")).head().getSeq[Float](0).length
+    val sd = d / m
+    require(sd * m == d, s"dim $d not divisible into $m subspaces")
 
-    val sampleRows = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("__k", md5(concat(lit(s"$seed:"), col("vec_id"))))
-      .orderBy("__k").limit(k).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-      .sortBy(_._1).toIndexedSeq
-    var books: IndexedSeq[IndexedSeq[(Long, Array[Double])]] =
-      (0 until m).map(s => sampleRows.map { case (cid, v) =>
-        (cid, v.slice(s * sd, (s + 1) * sd)) })
-
+    // the k-row init sample is the PREFIX of the same md5-ranked order the
+    // training sample uses (k <= trainCap), so it reads through the cached
+    // train frame — one sort job materializes both
     val train = emb.select(col("vec_id"), col("embedding"))
       .withColumn("__k", md5(concat(lit(s"$seed:"), col("vec_id"))))
-      .orderBy("__k").limit(trainCap).drop("__k").cache()
+      .orderBy("__k").limit(trainCap).cache()
     try {
-      for (_ <- 0 until iters; s <- 0 until m) {
+      val sampleRows = train.limit(k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1).toIndexedSeq
+      var books: IndexedSeq[IndexedSeq[(Long, Array[Double])]] =
+        (0 until m).map(s => sampleRows.map { case (cid, v) =>
+          (cid, v.slice(s * sd, (s + 1) * sd)) })
+      for (_ <- 0 until iters) {
+        val subStructs = (0 until m).map { s =>
+          struct(lit(s).as("s"), bestIdxOf(books, col("embedding"), s, sd).as("b"),
+            subColOf(col("embedding"), s, sd).as("sub"))
+        }
         val means = train
-          .withColumn("sub", subColOf(col("embedding"), s, sd))
-          .withColumn("b", bestIdxOf(books, col("embedding"), s, sd))
-          .groupBy("b")
+          .select(col("vec_id"), explode(array(subStructs: _*)).as("x"))
+          .select(col("vec_id"), col("x.s").as("s"), col("x.b").as("b"),
+            col("x.sub").as("sub"))
+          .groupBy("s", "b")
           .agg(count(lit(1)).as("cnt"),
             sort_array(collect_list(struct(col("vec_id"), col("sub")))).as("vs"))
-          .select(col("b"), expr(
+          .select(col("s"), col("b"), expr(
             s"transform(sequence(0, ${sd - 1}), d -> " +
               "aggregate(vs, cast(0 as double), (acc, v) -> acc + v.sub[d]) / cnt)").as("mean"))
           .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
           .toMap
-        books = books.updated(s, books(s).zipWithIndex.map { case ((cid, old), idx) =>
-          (cid, means.getOrElse(idx, old))
-        })
+        books = books.zipWithIndex.map { case (book, s) =>
+          book.zipWithIndex.map { case ((cid, old), idx) =>
+            (cid, means.getOrElse((s, idx), old)) }
+        }
       }
       books
     } finally { train.unpersist(); () }
@@ -128,7 +140,7 @@ object Quantization {
       seed: Long = 7L, trainCap: Int = 100000): DataFrame = {
     val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
     val sd = dim / m
-    val books = pqCodebooks(emb, m, k, iters, seed, trainCap)
+    val books = pqCodebooks(emb, m, k, iters, seed, trainCap, dim)
 
     val coded = (0 until m).foldLeft(emb.select(col("vec_id"), col("embedding"))) {
       (df, s) => df.withColumn(s"__c$s", bestIdxOf(books, col("embedding"), s, sd))
@@ -183,7 +195,7 @@ object Quantization {
     import org.apache.spark.sql.expressions.Window
     val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
     val sd = dim / m
-    val books = pqCodebooks(emb, m, kc, iters, seed)
+    val books = pqCodebooks(emb, m, kc, iters, seed, dim = dim)
 
     val coded = (0 until m).foldLeft(emb.select(col("vec_id"), col("embedding"))) {
       (df, s) => df.withColumn(s"__c$s", bestIdxOf(books, col("embedding"), s, sd))
@@ -223,8 +235,8 @@ object Quantization {
     import org.apache.spark.sql.expressions.Window
     val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
     val sd = dim / m
-    val books = pqCodebooks(emb, m, kc, pqIters, seed)
-    val cents = Similarity.kmeansCentroids(emb, nCentroids, ivfIters, seed)
+    val books = pqCodebooks(emb, m, kc, pqIters, seed, dim = dim)
+    val cents = Similarity.kmeansCentroids(emb, nCentroids, ivfIters, seed, dim = dim)
 
     val withNorm = emb.withColumn("norm", Similarity.norm(col("embedding")))
     val coded = (0 until m).foldLeft(

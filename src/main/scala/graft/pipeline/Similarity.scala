@@ -235,14 +235,25 @@ object Similarity {
     * one k×dim collect. The per-bucket ordered fold keeps ≤ trainCap/k
     * expected vectors in one aggregation buffer. */
   def kmeansCentroids(emb: DataFrame, n: Int = 16, iters: Int = 2,
-      seed: Long = LshSeed, trainCap: Int = 100000): Seq[(Long, Array[Double], Double)] = {
-    val dimCols = emb.select(col("embedding")).head().getSeq[Float](0).length
-    val train0 = emb.select(col("vec_id"), col("embedding"))
+      seed: Long = LshSeed, trainCap: Int = 100000,
+      dim: Int = 0): Seq[(Long, Array[Double], Double)] = {
+    val dimCols =
+      if (dim > 0) dim else emb.select(col("embedding")).head().getSeq[Float](0).length
+    val train = emb.select(col("vec_id"), col("embedding"))
       .withColumn("__k", md5(concat(lit(s"$seed:"), col("vec_id"))))
-      .orderBy("__k").limit(trainCap).drop("__k")
-    val train = train0.withColumn("norm", norm(col("embedding"))).cache()
+      .orderBy("__k").limit(trainCap)
+      .withColumn("norm", norm(col("embedding"))).cache()
     try {
-      var cents = centroidVectors(emb, n, seed)
+      // the n-centroid init is the PREFIX of the same md5-ranked order the
+      // training sample uses (n <= trainCap) — one sort job materializes
+      // both; values identical to [[centroidVectors]]
+      var cents: Seq[(Long, Array[Double], Double)] =
+        train.limit(n).select(col("vec_id"), col("embedding")).collect()
+          .map { r =>
+            val vec = r.getSeq[Float](1).map(_.toDouble).toArray
+            val nm = math.sqrt(vec.foldLeft(0.0)((s, x) => s + x * x))
+            (r.getLong(0), vec, nm)
+          }.sortBy(_._1).toSeq
       for (_ <- 0 until iters) {
         val means = train
           .withColumn("bucket", bestCentroidExpr(cents))

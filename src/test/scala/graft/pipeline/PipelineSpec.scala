@@ -210,6 +210,26 @@ class PipelineSpec extends SparkTestBase {
     assert(hits > 0, "ADC shares no neighbors at all with brute force")
   }
 
+  test("IVFADC: per-query k results, plausible vs ADC-full, bucket-join plan") {
+    val full = Quantization.adcTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id")
+    val ivfadc = Quantization.ivfAdcTopK(emb, nQueries = 10, k = 5)
+    assert(ivfadc.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0,
+      "every query must return exactly k IVFADC neighbors")
+    // bucketing only restricts the candidate set: the composed index
+    // should still share a good part of the full-ADC ranking
+    val hits = ivfadc.select("query_id", "neighbor_id")
+      .join(full, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits.toDouble / full.count() >= 0.3,
+      s"IVFADC recall vs full ADC ${hits.toDouble / full.count()} too low")
+    // plan pinning: the candidate join is a broadcast equi-join on the
+    // bucket key — no cartesian/broadcast-nested-loop full scan per query
+    val plan = ivfadc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast hash join on bucket")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "IVFADC must not scan the full corpus per query")
+  }
+
   test("k-means-trained IVF keeps exact sims and sane recall") {
     val brute = Similarity.bruteCosineTopK(emb, nQueries = 10, k = 5)
       .select("query_id", "neighbor_id", "sim")
