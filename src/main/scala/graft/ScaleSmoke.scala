@@ -109,6 +109,12 @@ object ScaleSmoke {
     time("decontam")(graft.pipeline.Decontam.ngramOverlap(
       bigDocs, docs0.filter(col("doc_id") % 37 === 0)).count())
     time("repetition")(graft.pipeline.TextAnalysis.repetition(bigDocs).count())
+    // round-4 shapes: CC clustering cost tracks the PAIR set (mult× clone
+    // pairs), never the corpus; IVFADC trains on the bounded sample and
+    // searches via the bucket join — both must stay ~linear in mult
+    time("dedup_clusters")(graft.pipeline.ConnectedComponents
+      .clusters(graft.pipeline.Dedup.minhashPairs(bigDocs)).count())
+    time("sim_ivfadc")(graft.pipeline.Quantization.ivfAdcTopK(bigEmb).count())
     spark.stop()
   }
 }

@@ -152,6 +152,16 @@ object Mql {
     }
   }
 
+  /** `datasets_for_files` (webserver/data_handler.py:573-607,
+    * `DBDataset.datasets_for_files`): for each file of a file set, the
+    * datasets it belongs to — one row per (file, dataset) membership.
+    * One narrow equi-join against the membership table; the fid set is
+    * usually selective, so AQE broadcasts it. */
+  def datasetsForFiles(catalog: MetacatCatalog, fileSet: DataFrame): DataFrame =
+    fileSet.select("fid")
+      .join(catalog.filesDatasets, Seq("fid"))
+      .select(col("fid"), col("dataset_namespace"), col("dataset_name"))
+
   /** CLI `-x/--explain` parity (metacat_query.py:64-84): the three IRs —
     * parsed AST, resolved AST, Spark physical plan. */
   def explain(spark: SparkSession, catalog: MetacatCatalog, text: String,

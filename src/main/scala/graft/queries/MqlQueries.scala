@@ -147,6 +147,13 @@ object MqlQueries {
       Mql.datasetCounts(new DerivedCatalog(s, dir))),
     "mql_namespace_counts" -> ((s, dir) =>
       Mql.namespaceCounts(new DerivedCatalog(s, dir))),
+    // datasets_for_files endpoint (data_handler.py:573-607): memberships
+    // of a selective file set
+    "mql_datasets_for_files" -> ((s, dir) => {
+      val cat = new DerivedCatalog(s, dir)
+      Mql.datasetsForFiles(cat,
+        Mql.query(s, cat, "files from dsns:ds2 where core.run < 100"))
+    }),
     "mql_summary_kv" -> ((s, dir) =>
       Mql.summaryKeyValues(Mql.query(s, new DerivedCatalog(s, dir),
         "files from dsns:ds3 where core.run < 50"))))
@@ -274,6 +281,11 @@ object MqlQueries {
         " SELECT fa.*, COALESCE(cc.c, 0) AS child_count, COALESCE(pc.c, 0) AS parent_count" +
         " FROM fa LEFT JOIN cc ON fa.dataset_namespace = cc.ns AND fa.dataset_name = cc.n" +
         " LEFT JOIN pc ON fa.dataset_namespace = pc.ns AND fa.dataset_name = pc.n"),
+    "mql_datasets_for_files" ->
+      (s"WITH ${OracleCatalog.cte}, base AS (" +
+        "SELECT fid FROM mc_files WHERE NOT retired AND k % 5 = 2 AND m_run < 100) " +
+        "SELECT b.fid, fd.dataset_namespace, fd.dataset_name" +
+        " FROM base b JOIN mc_files_datasets fd ON fd.fid = b.fid"),
     "mql_namespace_counts" -> o(
       "SELECT namespace, 'owner' || CAST(CAST(substr(namespace, 3) AS INT) % 2 AS VARCHAR) AS owner_user," +
         " count(*) AS file_count, CAST(sum(size) AS BIGINT) AS total_size," +

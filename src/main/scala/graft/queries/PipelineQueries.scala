@@ -48,6 +48,13 @@ object PipelineQueries {
     // pair set (cluster id = component's minimum doc_id)
     "pipe_dedup_clusters" -> ((s, d) =>
       ConnectedComponents.clusters(Dedup.minhashPairs(docs(s, d)))),
+    // semantic (embedding-space) dedup groups: the same CC contraction
+    // over the SRP-LSH cosine pair set at the near-dup threshold
+    "pipe_dedup_emb_clusters" -> ((s, d) =>
+      ConnectedComponents
+        .clusters(Similarity.lshCosinePairs(emb(s, d), threshold = 0.45),
+          aCol = "id_a", bCol = "id_b")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))),
     // flagship composition: quality -> lang -> exact dedup -> near-dup
     // removal, all from the engine's own operators
     "pipe_corpus_clean" -> ((s, d) => CorpusClean.clean(docs(s, d))),
@@ -136,11 +143,12 @@ object PipelineQueries {
       "SELECT rc.id, cce.dst FROM reach rc JOIN cce ON cce.src = rc.r), " +
       "comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)"
 
-  /** banded SRP-LSH oracle: band keys generated from the SAME seeded
+  /** banded SRP-LSH CTE chain: band keys generated from the SAME seeded
     * plane constants as `Similarity.lshCosinePairs` (see lshBandKeySql),
-    * candidate pairs unioned across bands (UNION dedups), exact cosine +
-    * threshold on the distinct pairs. */
-  private def lshOracle(threshold: Double): String = {
+    * candidate pairs unioned across bands (UNION dedups), exact cosine
+    * on the distinct pairs (`p`). Shared by the pair oracles and the
+    * embedding-cluster oracle. */
+  private def lshCtes: String = {
     val keys = Similarity.lshBandKeySql()
     val keyCols = keys.zipWithIndex
       .map { case (k, t) => s"($k) AS k$t" }.mkString(", ")
@@ -148,12 +156,15 @@ object PipelineQueries {
       s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b" +
         s" ON a.k$t = b.k$t AND a.vec_id < b.vec_id"
     }.mkString(" UNION ")
-    s"WITH $EmbNorm, bk AS (SELECT vec_id, embedding, norm, $keyCols FROM n), " +
+    s"$EmbNorm, bk AS (SELECT vec_id, embedding, norm, $keyCols FROM n), " +
       s"cand AS ($bandJoins), " +
       s"p AS (SELECT id_a, id_b, ${dot("a", "b")} / (a.norm * b.norm) AS sim " +
-      "FROM cand JOIN bk a ON cand.id_a = a.vec_id JOIN bk b ON cand.id_b = b.vec_id) " +
-      s"SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE round(sim, 6) >= $threshold"
+      "FROM cand JOIN bk a ON cand.id_a = a.vec_id JOIN bk b ON cand.id_b = b.vec_id)"
   }
+
+  private def lshOracle(threshold: Double): String =
+    s"WITH $lshCtes " +
+      s"SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE round(sim, 6) >= $threshold"
 
   /** one PQ subspace in DuckDB: slice, one L2 Lloyd step from the shared
     * md5 init sample (ordered member folds, ties to lowest cid, empty
@@ -272,6 +283,16 @@ object PipelineQueries {
     "pipe_dedup_clusters" ->
       (s"WITH RECURSIVE $MinhashScored, $CcCtes " +
         "SELECT id AS doc_id, root AS cluster_id FROM comp"),
+
+    // the same closure over the >= 0.45 SRP-LSH cosine pair set
+    "pipe_dedup_emb_clusters" ->
+      (s"WITH RECURSIVE $lshCtes, " +
+        "lp AS (SELECT id_a, id_b FROM p WHERE round(sim, 6) >= 0.45), " +
+        "le AS (SELECT id_a AS src, id_b AS dst FROM lp UNION SELECT id_b, id_a FROM lp), " +
+        "ln AS (SELECT DISTINCT src AS id FROM le), " +
+        "lreach(id, r) AS (SELECT id, id FROM ln UNION " +
+        "SELECT rc.id, le.dst FROM lreach rc JOIN le ON le.src = rc.r) " +
+        "SELECT id AS vec_id, min(r) AS cluster_id FROM lreach GROUP BY id"),
 
     "pipe_sim_ivf_kmeans" ->
       (s"WITH $EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
