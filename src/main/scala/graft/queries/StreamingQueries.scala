@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.streaming.{DecontamStream, DedupStream, EventsStream}
+import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream}
 
 /** Structured Streaming entries for the correctness gate: each runs a real
   * incremental query (AvailableNow trigger) over the events files and is
@@ -26,7 +26,11 @@ object StreamingQueries {
     // two micro-batches, the eval set is static; numbers must equal the
     // batch operator's (shared oracle)
     "stream_decontam_docs" -> ((s, d) =>
-      DecontamStream.runToBatch(s, s"$d/documents.parquet", "v_stream_decontam")))
+      DecontamStream.runToBatch(s, s"$d/documents.parquet", "v_stream_decontam")),
+    // stateless ingest-time admission gate: quality + language +
+    // decontamination verdicts per arriving doc, one pass, zero state
+    "stream_corpus_gate" -> ((s, d) =>
+      CorpusGateStream.runToBatch(s, s"$d/documents.parquet", "v_stream_gate")))
 
   val oracles: Map[String, String] = Map(
     "stream_events_hourly" ->
@@ -45,5 +49,24 @@ object StreamingQueries {
     "stream_dedup_docs" ->
       "SELECT DISTINCT md5(text) AS fingerprint, n_chars FROM documents",
     "stream_neardup_docs" -> PipelineQueries.oracles("pipe_minhash_pairs"),
-    "stream_decontam_docs" -> PipelineQueries.oracles("pipe_decontam"))
+    "stream_decontam_docs" -> PipelineQueries.oracles("pipe_decontam"),
+    // batch recomputation of the admission verdicts (train side only);
+    // short docs carry no n-gram and gate as uncontaminated
+    "stream_corpus_gate" ->
+      ("WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents), " +
+        "ng AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
+        "i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks WHERE len(t) >= 5), " +
+        "ev AS (SELECT coalesce(list(DISTINCT ng), []) AS l FROM " +
+        "(SELECT unnest(g) AS ng FROM ng WHERE doc_id % 37 = 0)), " +
+        "m AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, " +
+        "round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(len(text), 1), 4) AS punct_ratio " +
+        "FROM toks), " +
+        "q AS (SELECT doc_id, round(least(1.0, n_tokens::DOUBLE / 50) * (1.0 - punct_ratio), 4) AS quality_score FROM m), " +
+        "lid AS (SELECT doc_id, CASE WHEN len(list_intersect(t, ['the','a','and','of','value','table'])) > 0 THEN 'en' ELSE 'unk' END AS predicted FROM toks), " +
+        "ct AS (SELECT tk.doc_id, CASE WHEN n.g IS NULL THEN false ELSE " +
+        "len(list_intersect(n.g, ev.l)) > 0 END AS contaminated " +
+        "FROM toks tk LEFT JOIN ng n USING (doc_id) CROSS JOIN ev) " +
+        "SELECT q.doc_id, q.quality_score, lid.predicted, ct.contaminated, " +
+        "(q.quality_score >= 0.5 AND lid.predicted = 'en' AND NOT ct.contaminated) AS admitted " +
+        "FROM q JOIN lid USING (doc_id) JOIN ct USING (doc_id) WHERE q.doc_id % 37 != 0"))
 }
