@@ -105,7 +105,8 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     */
   def declareFiles(rows: DataFrame,
       constraints: Seq[Validation.Constraint] = Nil,
-      dataset: Option[(String, String)] = None): Unit = {
+      dataset: Option[(String, String)] = None,
+      dryRun: Boolean = false): Unit = {
     val missing = RequiredDeclareCols.filterNot(rows.columns.contains)
     require(missing.isEmpty,
       s"declareFiles rows missing required columns: ${missing.mkString(", ")}")
@@ -144,6 +145,11 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       // unconditionally, data_handler.py:683)
       failOnCategoryViolations(batch)
       failOnViolations(batch, dsConstraints ++ constraints)
+
+      // dry_run (data_handler.py declare_files dry_run param): every
+      // check above ran — duplicate ids, dataset flags, categories,
+      // constraints — but nothing is written
+      if (dryRun) return
 
       // membership rows first: an orphan membership (no file row) is
       // invisible to every read path, whereas the reverse order could
@@ -486,12 +492,130 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     align(edges, ParentChildSchema)
       .write.mode(SaveMode.Append).parquet(path("parent_child"))
 
+  /** Attach a child dataset (`add_child_dataset`,
+    * data_handler.py:333-363): both datasets must exist, a circular
+    * connection is rejected (the child may not already be an ANCESTOR of
+    * the parent), and an existing edge is a no-op. The hierarchy table is
+    * dimension-sized, so the ancestor walk collects it and runs on the
+    * driver — the same posture as the reference's `ds.ancestors()`. */
   def addDatasetEdge(pNs: String, pName: String, cNs: String, cName: String): Unit = {
     import spark.implicits._
+    datasetRow(pNs, pName); datasetRow(cNs, cName) // both must exist
+    if ((pNs, pName) == ((cNs, cName)))
+      throw new IllegalArgumentException(
+        s"circular connection: $cNs:$cName cannot be its own subset")
+    val edges = readOr("datasets_parent_child", DsParentChildSchema).collect()
+      .map(r => ((r.getString(2), r.getString(3)), (r.getString(0), r.getString(1))))
+    if (edges.contains(((cNs, cName), (pNs, pName)))) return // already a child
+    val up: Map[(String, String), Seq[(String, String)]] =
+      edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var frontier = Set((pNs, pName))
+    var seen = frontier
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(n => up.getOrElse(n, Nil)) -- seen
+      seen ++= frontier
+    }
+    if (seen((cNs, cName)))
+      throw new IllegalArgumentException(
+        s"circular connection: $cNs:$cName is already an ancestor of $pNs:$pName")
     align(Seq((pNs, pName, cNs, cName))
       .toDF("parent_namespace", "parent_name", "child_namespace", "child_name"),
       DsParentChildSchema)
       .write.mode(SaveMode.Append).parquet(path("datasets_parent_child"))
+  }
+
+  /** Update ONE file's metadata / checksums / provenance / size
+    * (`update_file`, data_handler.py:1046-1149). mode "add-update"
+    * merges the metadata dict and the checksum map and ADDS provenance
+    * edges; "replace" swaps each given part wholesale (for provenance,
+    * the given side's edge set). Metadata validates against the category
+    * closure AND the `file_metadata_requirements` of every dataset the
+    * file belongs to (the reference's per-dataset re-validation);
+    * provenance endpoints must exist. */
+  def updateFile(fid: String, metadataJson: Option[String] = None,
+      checksums: Option[Map[String, String]] = None,
+      parents: Option[Seq[String]] = None, children: Option[Seq[String]] = None,
+      size: Option[Long] = None, mode: String = "add-update",
+      by: String = "graft"): Unit = {
+    require(mode == "add-update" || mode == "replace", s"bad mode $mode")
+    val raw = readOr("files", FilesSchema)
+    if (raw.filter(col("fid") === fid).limit(1).collect().isEmpty)
+      throw new IllegalArgumentException(s"file $fid not found")
+    metadataJson.foreach { mj =>
+      failOnCategoryViolations(spark.range(1)
+        .select(lit(fid).as("fid"), lit(mj).as("metadata_json")))
+    }
+    val refs = (parents.getOrElse(Nil) ++ children.getOrElse(Nil)).distinct
+    if (refs.nonEmpty) {
+      val found = raw.filter(col("fid").isin(refs: _*))
+        .select("fid").collect().map(_.getString(0)).toSet
+      refs.filterNot(found).headOption.foreach { missing =>
+        throw new IllegalArgumentException(s"file $missing not found")
+      }
+    }
+
+    val hit = col("fid") === fid
+    var updated = raw
+    metadataJson.foreach { mj =>
+      val merged = mode match {
+        case "replace" => lit(mj)
+        case _ =>
+          val orig = coalesce(
+            try_variant_get(parse_json(col("metadata_json")), "$", "map<string,variant>"),
+            map().cast("map<string,variant>"))
+          val patch = try_variant_get(parse_json(lit(mj)), "$", "map<string,variant>")
+          to_json(map_concat(
+            map_filter(orig, (k, _) => !map_contains_key(patch, k)), patch))
+      }
+      updated = updated.withColumn("metadata_json",
+        when(hit, merged).otherwise(col("metadata_json")))
+    }
+    checksums.foreach { cs =>
+      val lits = map(cs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val merged = mode match {
+        case "replace" => lits
+        case _ => map_concat(
+          map_filter(coalesce(col("checksums"), map().cast("map<string,string>")),
+            (k, _) => !k.isin(cs.keys.toSeq.map(x => x: Any): _*)), lits)
+      }
+      updated = updated.withColumn("checksums",
+        when(hit, merged).otherwise(col("checksums")))
+    }
+    size.foreach(sz => updated = updated.withColumn("size",
+      when(hit, lit(sz)).otherwise(col("size"))))
+    updated = updated
+      .withColumn("updated_by", when(hit, lit(by)).otherwise(col("updated_by")))
+      .withColumn("updated_timestamp",
+        when(hit, current_timestamp()).otherwise(col("updated_timestamp")))
+
+    // the MERGED metadata must satisfy every member dataset's contract
+    metadataJson.foreach { _ =>
+      val memberDs = readOr("files_datasets", FilesDatasetsSchema)
+        .filter(col("fid") === fid)
+        .select("dataset_namespace", "dataset_name")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val newRow = updated.filter(hit)
+      for ((ns, n) <- memberDs) {
+        val reqs = datasetRow(ns, n).requirements
+        if (reqs.nonEmpty) failOnViolations(newRow, reqs)
+      }
+    }
+    rewrite(updated, "files", FilesSchema, partitionCols = Seq("namespace"))
+
+    def writeEdges(given: Seq[String], asParents: Boolean): Unit = {
+      import spark.implicits._
+      val pc = readOr("parent_child", ParentChildSchema)
+      val fixedSide = if (asParents) "child_fid" else "parent_fid"
+      val keep = if (mode == "replace") pc.filter(col(fixedSide) =!= fid) else pc
+      val add = given.distinct
+        .map(p => if (asParents) (p, fid) else (fid, p))
+        .toDF("parent_fid", "child_fid")
+        .join(keep, Seq("parent_fid", "child_fid"), "left_anti")
+      rewrite(keep.unionByName(add), "parent_child", ParentChildSchema,
+        partitionCols = Nil)
+    }
+    parents.foreach(writeEdges(_, asParents = true))
+    children.foreach(writeEdges(_, asParents = false))
   }
 
   // ---- helpers ----

@@ -81,6 +81,11 @@ object WritePathQueries {
       cat.retireFiles((0 until 200 by 40).map(fidOf))
       cat.updateFileMeta((0 until 10).map(fidOf),
         """{"opt.mark":"X","core.run":777}""", mode = "update")
+      // single-file update_file: size set, checksum merged, a provenance
+      // edge added (size is the part visible in the gate's output)
+      cat.updateFile(fidOf(7), size = Some(7777L),
+        checksums = Some(Map("adler32" -> "deadbeef")),
+        parents = Some(Seq(fidOf(8))))
       cat.moveNamespace((140 until 150).map(fidOf), "wmoved")
 
       // hard delete (DBFile.delete analog): k 45..49 vanish from the
@@ -204,7 +209,7 @@ object WritePathQueries {
         "SELECT 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS fid," +
         " CASE WHEN k BETWEEN 140 AND 149 THEN 'wmoved' ELSE 'wraw' END AS namespace," +
         " 'w_' || CAST(k AS VARCHAR) || '.dat' AS name," +
-        " CAST(k * 10 AS BIGINT) AS size," +
+        " CAST(CASE WHEN k = 7 THEN 7777 ELSE k * 10 END AS BIGINT) AS size," +
         " 'u' || CAST(k % 3 AS VARCHAR) AS creator," +
         " CAST(epoch(ts) AS BIGINT) AS created_ts," +
         " false AS retired," +

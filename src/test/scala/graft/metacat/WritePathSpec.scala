@@ -319,6 +319,68 @@ class WritePathSpec extends SparkTestBase {
     assert(cat.parentChild.filter(col("parent_fid") === "X00000002").count() == 2)
   }
 
+  test("update file: size, checksum merge/replace, provenance add/set, validation") {
+    cat.updateFile("X00000010", checksums = Some(Map("adler32" -> "aa")),
+      size = Some(999L))
+    val r = cat.files.filter(col("fid") === "X00000010")
+      .select("size", "checksums").collect().head
+    assert(r.getLong(0) == 999L)
+    val merged = r.getMap[String, String](1)
+    assert(merged.size == 2 && merged("adler32") == "aa" && merged.contains("md5"))
+    // replace swaps the whole checksum map
+    cat.updateFile("X00000010", checksums = Some(Map("sha1" -> "bb")), mode = "replace")
+    val swapped = cat.files.filter(col("fid") === "X00000010")
+      .select("checksums").collect().head.getMap[String, String](0)
+    assert(swapped == Map("sha1" -> "bb"))
+    // provenance: add-update appends, replace swaps the given side
+    cat.updateFile("X00000010", parents = Some(Seq("X00000011")))
+    cat.updateFile("X00000010", parents = Some(Seq("X00000012")))
+    assert(cat.parentChild.filter(col("child_fid") === "X00000010").count() == 2)
+    cat.updateFile("X00000010", parents = Some(Seq("X00000012")), mode = "replace")
+    val ps = cat.parentChild.filter(col("child_fid") === "X00000010")
+      .select("parent_fid").collect().map(_.getString(0)).toSeq
+    assert(ps == Seq("X00000012"))
+    // unknown provenance endpoint and unknown file are rejected
+    assertThrows[IllegalArgumentException](
+      cat.updateFile("X00000010", parents = Some(Seq("NOPE"))))
+    assertThrows[IllegalArgumentException](cat.updateFile("NOPE", size = Some(1L)))
+    // merged metadata must satisfy every member dataset's contract
+    // (RX00000000 is in w:strict, which caps core.run at 100)
+    assertThrows[IllegalArgumentException](
+      cat.updateFile("RX00000000", metadataJson = Some("""{"core.run":5000}""")))
+    // a conforming patch passes and merges
+    cat.updateFile("RX00000000", metadataJson = Some("""{"core.run":42}"""))
+    val run = Mql.query(spark, cat, "fids RX00000000")
+      .select(expr("try_variant_get(metadata, \"$['core.run']\", 'long')"))
+      .collect().head.getLong(0)
+    assert(run == 42L)
+  }
+
+  test("declare dry_run validates everything but writes nothing") {
+    val before = cat.files.count()
+    cat.declareFiles(declared(2).withColumn("fid", concat(lit("DR"), col("fid"))),
+      dryRun = true)
+    assert(cat.files.count() == before, "dry run must not write")
+    // the checks still bind: re-declaring an existing id fails in dry run
+    assertThrows[IllegalArgumentException](
+      cat.declareFiles(declared(3), dryRun = true))
+  }
+
+  test("add_child_dataset: cycle reject, duplicate no-op, existence checks") {
+    cat.createDataset("w", "h1"); cat.createDataset("w", "h2")
+    cat.createDataset("w", "h3")
+    cat.addDatasetEdge("w", "h1", "w", "h2")
+    cat.addDatasetEdge("w", "h2", "w", "h3")
+    // h1 is an ancestor of h3 — attaching it as h3's child closes a cycle
+    assertThrows[IllegalArgumentException](cat.addDatasetEdge("w", "h3", "w", "h1"))
+    assertThrows[IllegalArgumentException](cat.addDatasetEdge("w", "h1", "w", "h1"))
+    // duplicate edge is a no-op, as in the reference
+    val n = cat.datasetsParentChild.count()
+    cat.addDatasetEdge("w", "h1", "w", "h2")
+    assert(cat.datasetsParentChild.count() == n)
+    assertThrows[IllegalArgumentException](cat.addDatasetEdge("w", "h1", "w", "nope"))
+  }
+
   test("namespace dimension: create, duplicate-reject, counts join") {
     cat.createNamespace("wn1", owner = "alice", description = "first")
     cat.createNamespace("wn2", owner = "bob")
