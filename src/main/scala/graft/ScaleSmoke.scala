@@ -115,6 +115,12 @@ object ScaleSmoke {
     time("dedup_clusters")(graft.pipeline.ConnectedComponents
       .clusters(graft.pipeline.Dedup.minhashPairs(bigDocs)).count())
     time("sim_ivfadc")(graft.pipeline.Quantization.ivfAdcTopK(bigEmb).count())
+    // late round-4 shapes: substring-window dedup explodes O(tokens)
+    // fingerprints (mult× linear; the clone shards make every window a
+    // duplicate — worst case for the semi-join back); top-ngrams is one
+    // keyed agg + TakeOrdered whose reduce side is k rows per partition
+    time("dedup_substring")(graft.pipeline.Dedup.duplicatedSpans(bigDocs).count())
+    time("text_topngrams")(graft.pipeline.TextAnalysis.topNgrams(bigDocs).count())
     spark.stop()
   }
 }

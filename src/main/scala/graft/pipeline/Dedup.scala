@@ -192,6 +192,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Exact duplicated-span detection (substring-level dedup — the
+    * granularity below document-level `exact`/`minhashPairs`): fingerprint
+    * every `l`-token window (md5 of the space-joined window), count corpus-
+    * wide occurrences per fingerprint, and report per document how many of
+    * its windows lie inside a span that occurs ≥2 times anywhere (including
+    * within-document repeats). This is the Spark-shaped analog of
+    * suffix-array substring dedup: the suffix array's "find repeated
+    * substrings of length ≥ L" phase becomes one hash-shuffle on the
+    * window fingerprint.
+    *
+    * Scale shape: only (doc_id, fp) ever crosses a shuffle — the window
+    * explode is computed per row and immediately hashed; the fingerprint
+    * count aggregates with map-side combine; the dup-marking is a
+    * semi-join back on fp; the final per-doc rollup shuffles (doc_id,
+    * 1)-sized rows. Window count per doc is n_tokens − l + 1, so total
+    * exploded volume is O(corpus tokens), not O(tokens²). */
+  def duplicatedSpans(docs: DataFrame, l: Int = 8): DataFrame = {
+    val base = docs
+      .withColumn("__t", toks)
+      .select(col("doc_id"), col("__t"),
+        greatest(size(col("__t")) - (l - 1), lit(0)).cast("long").as("n_windows"))
+      .filter(col("n_windows") > 0)
+    // slice() is 1-based; each window is hashed before leaving the row
+    val wins = base.select(col("doc_id"),
+      explode(expr(s"transform(sequence(1, cast(n_windows as int)), i -> " +
+        s"md5(array_join(slice(__t, i, $l), ' ')))")).as("fp"))
+    val dupFp = wins.groupBy("fp")
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("fp")
+    val perDoc = wins.join(dupFp, Seq("fp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
+    base.select(col("doc_id"), col("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        round(coalesce(col("dup_windows"), lit(0L)).cast("double") /
+          col("n_windows"), 4).as("dup_frac"))
+  }
+
   /** 60-bit SimHash over the token stream (term-frequency weighted):
     * bit j is set iff the sum over tokens of ±1 (by bit j of the token's
     * portable hash) is positive. Near-dups have small Hamming distance. */

@@ -201,6 +201,27 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** Recall@k of the k-means IVF index against exact brute force — the
+    * "measure, don't guess" gate for the approximate path: per query, the
+    * fraction of the true top-k that the probed search returns. Tuning
+    * nProbe/nCentroids without this number is blind; at scale this runs on
+    * a query sample while the index serves the full corpus.
+    *
+    * Shape: both sides end as tiny (nQueries·k)-row frames, so the hit
+    * join and the per-query rollup are negligible next to the two scans
+    * that produce them; nothing here adds a corpus-sized stage. */
+  def recallAtK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = bruteCosineTopK(emb, nQueries, k).select("query_id", "neighbor_id")
+    val approx = ivfKmeansTopK(emb, nQueries, k).select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / k, 4).as("recall"))
+  }
+
   /** the IVF "training" collect: (vec_id, embedding as doubles, norm) of
     * the `n` ids with the smallest md5("seed:vec_id"), id-ascending */
   private def centroidVectors(emb: DataFrame, n: Int, seed: Long): Seq[(Long, Array[Double], Double)] =

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token statistics,
@@ -133,5 +134,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
         round(col("__top").cast("double") / col("__nbg"), 4).as("top_bigram_frac"),
         round(col("__dup").cast("double") / col("__nbg"), 4).as("dup_bigram_frac"))
+  }
+
+  /** Corpus-wide most-frequent n-grams — the boilerplate detector (nav
+    * bars, cookie banners, license headers surface as high-doc-frequency
+    * n-grams; the usual pipeline action is to strip or downweight them).
+    *
+    * Shape: explode n-grams → one keyed aggregation (count with map-side
+    * combine; doc frequency as a two-phase distinct count) → global top-k.
+    * The top-k is a TakeOrdered over (gram, occ, n_docs) rows — k rows per
+    * partition to the driver, never a single-partition window. Ties break
+    * by gram so the cut is deterministic across engines. */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    val gramExpr = (0 until n).map(j => s"__t[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    val grams = docs.withColumn("__t", split(lower(col("text")), " "))
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(__t) - $n), i -> $gramExpr)")).as("gram"))
+    val counted = grams.groupBy("gram")
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("occ").desc, col("gram")).limit(k)
+    // rank the k survivors; the window runs on k rows, not the corpus
+    counted.withColumn("rk",
+      row_number().over(Window.orderBy(col("occ").desc, col("gram"))).cast("long"))
   }
 }

@@ -22,6 +22,8 @@ object PipelineQueries {
     "pipe_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
     "pipe_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d))),
     "pipe_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    // substring-level dedup: duplicated 8-token-span signals per doc
+    "pipe_dedup_substring" -> ((s, d) => Dedup.duplicatedSpans(docs(s, d))),
     "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
     "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d))),
     "pipe_sim_ivf" -> ((s, d) => Similarity.ivfCosineTopK(emb(s, d))),
@@ -35,6 +37,10 @@ object PipelineQueries {
     "pipe_text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "pipe_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "pipe_text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
+    // corpus-wide boilerplate n-grams (top-20 trigrams by occurrence)
+    "pipe_text_topngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d))),
+    // recall@5 of the kmeans-IVF index vs exact brute force
+    "pipe_sim_recall" -> ((s, d) => Similarity.recallAtK(emb(s, d))),
     "pipe_pack" -> ((s, d) => Packing.greedyPack(docs(s, d))),
     "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
     "pipe_mm_resize" -> ((s, d) => Multimodal.resized(s, docs(s, d))),
@@ -210,6 +216,31 @@ object PipelineQueries {
       s" FROM (SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec FROM cent$i c LEFT JOIN mv$i m ON m.cid = c.cid))"
   }
 
+  /** the full kmeans-IVF probe chain (train → assign → probe → rank into
+    * `r`), shared by the ivf_kmeans gate and the recall gate */
+  private def kmIvfChain: String =
+    s"$EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
+      " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
+      kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
+      "asg AS (SELECT vec_id, bucket FROM (" +
+      "SELECT v.vec_id, c.cid AS bucket, row_number() OVER (PARTITION BY v.vec_id" +
+      s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
+      " FROM n v, cent2 c) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM n WHERE vec_id < 10), " +
+      "probes AS (SELECT query_id, bucket FROM (" +
+      "SELECT q.query_id, c.cid AS bucket, row_number() OVER (PARTITION BY q.query_id" +
+      s" ORDER BY round(${dotQC("q", "c")} / (c.cnorm * q.q_norm), 6) DESC, c.cid) AS prk" +
+      " FROM q, cent2 c) WHERE prk <= 4), " +
+      "cand AS (SELECT q.query_id, v.vec_id, " +
+      "list_sum(list_transform(range(1, 65), k -> q.q_emb[k]::DOUBLE * v.embedding[k]::DOUBLE))" +
+      " / (v.norm * q.q_norm) AS sim" +
+      " FROM probes p JOIN q ON p.query_id = q.query_id" +
+      " JOIN asg a ON a.bucket = p.bucket JOIN n v ON v.vec_id = a.vec_id" +
+      " WHERE v.vec_id != q.query_id), " +
+      "r AS (SELECT query_id, vec_id AS neighbor_id, sim, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id) AS rk FROM cand)"
+
   val oracles: Map[String, String] = Map(
     "pipe_emb_pq" ->
       ("WITH samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
@@ -295,32 +326,52 @@ object PipelineQueries {
         "SELECT id AS vec_id, min(r) AS cluster_id FROM lreach GROUP BY id"),
 
     "pipe_sim_ivf_kmeans" ->
-      (s"WITH $EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
-        "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
-        " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
-        kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
-        "asg AS (SELECT vec_id, bucket FROM (" +
-        "SELECT v.vec_id, c.cid AS bucket, row_number() OVER (PARTITION BY v.vec_id" +
-        s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
-        " FROM n v, cent2 c) WHERE rn = 1), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM n WHERE vec_id < 10), " +
-        "probes AS (SELECT query_id, bucket FROM (" +
-        "SELECT q.query_id, c.cid AS bucket, row_number() OVER (PARTITION BY q.query_id" +
-        s" ORDER BY round(${dotQC("q", "c")} / (c.cnorm * q.q_norm), 6) DESC, c.cid) AS prk" +
-        " FROM q, cent2 c) WHERE prk <= 4), " +
-        "cand AS (SELECT q.query_id, v.vec_id, " +
-        "list_sum(list_transform(range(1, 65), k -> q.q_emb[k]::DOUBLE * v.embedding[k]::DOUBLE))" +
-        " / (v.norm * q.q_norm) AS sim" +
-        " FROM probes p JOIN q ON p.query_id = q.query_id" +
-        " JOIN asg a ON a.bucket = p.bucket JOIN n v ON v.vec_id = a.vec_id" +
-        " WHERE v.vec_id != q.query_id), " +
-        "r AS (SELECT query_id, vec_id AS neighbor_id, sim, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id) AS rk FROM cand) " +
+      (s"WITH $kmIvfChain " +
         "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM r WHERE rk <= 5"),
+
+    // recall@5 of the kmeans-IVF index vs exact brute force: replay both
+    // chains, count per query how many true neighbors the probed search
+    // returned (missing queries count 0 via the left join)
+    "pipe_sim_recall" ->
+      (s"WITH $kmIvfChain, " +
+        "aprx AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 5), " +
+        s"bj AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${dot("q", "c")} / (q.norm * c.norm) AS sim " +
+        "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
+        "br AS (SELECT query_id, neighbor_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rk FROM bj), " +
+        "ext AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 5), " +
+        "h AS (SELECT e.query_id, count(a.neighbor_id) AS hits FROM ext e " +
+        "LEFT JOIN aprx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id " +
+        "GROUP BY e.query_id) " +
+        "SELECT query_id, hits, round(hits / 5.0, 4) AS recall FROM h"),
 
     "pipe_dedup_exact" ->
       """SELECT doc_id, fp, (row_number() OVER (PARTITION BY fp ORDER BY doc_id)) > 1 AS is_dup
         |FROM (SELECT doc_id, md5(text) AS fp FROM documents)""".stripMargin,
+
+    // substring-level dedup signals: every 8-token window fingerprinted,
+    // a window is duplicated iff its fingerprint occurs >= 2 times corpus-
+    // wide (including within-doc repeats)
+    "pipe_dedup_substring" ->
+      (s"WITH $Toks, " +
+        "base AS (SELECT doc_id, t, greatest(len(t) - 7, 0)::BIGINT AS n_windows FROM toks), " +
+        "w AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS fp " +
+        "FROM (SELECT doc_id, t, unnest(range(1, n_windows + 1)) AS i FROM base WHERE n_windows > 0)), " +
+        "occ AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2), " +
+        "d AS (SELECT doc_id, count(*)::BIGINT AS dup_windows FROM w " +
+        "WHERE fp IN (SELECT fp FROM occ) GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n_windows, coalesce(d.dup_windows, 0)::BIGINT AS dup_windows, " +
+        "round(coalesce(d.dup_windows, 0)::DOUBLE / b.n_windows, 4) AS dup_frac " +
+        "FROM base b LEFT JOIN d USING (doc_id) WHERE b.n_windows > 0"),
+
+    // corpus-wide top-20 trigrams (boilerplate detector); ties cut by gram
+    "pipe_text_topngrams" ->
+      (s"WITH $Toks, " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM toks WHERE len(t) >= 3), " +
+        "c AS (SELECT gram, count(*) AS occ, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram), " +
+        "r AS (SELECT gram, occ, n_docs, row_number() OVER (ORDER BY occ DESC, gram) AS rk FROM c) " +
+        "SELECT gram, occ, n_docs, rk FROM r WHERE rk <= 20"),
 
     "pipe_minhash_sig" ->
       s"WITH $Sig SELECT doc_id, array_to_string(g, ',') AS sig FROM sig",

@@ -112,6 +112,59 @@ class PipelineSpec extends SparkTestBase {
     assert(got(2L).getAs[Double]("uniq_ratio") == 1.0)
   }
 
+  test("duplicated spans: shared 8-token windows flagged, unique text clean") {
+    import spark.implicits._
+    // doc 1 and 2 share a 10-token prefix (3 duplicated 8-windows each);
+    // doc 3 is unique; doc 4 is too short to have any window
+    val shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val df = Seq(
+      (1L, s"$shared u1 u2"), (2L, s"$shared v1 v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+      (4L, "x1 x2 x3")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got.contains(4L)) // no 8-token window
+    assert(got(1L).getAs[Long]("n_windows") == 5 &&
+      got(1L).getAs[Long]("dup_windows") == 3)
+    assert(got(2L).getAs[Long]("dup_windows") == 3)
+    assert(got(3L).getAs[Long]("dup_windows") == 0 &&
+      got(3L).getAs[Double]("dup_frac") == 0.0)
+    // within-doc repeat counts too: the same window twice in one doc
+    val selfRep = Seq((9L, s"$shared z $shared")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(selfRep).head().getAs[Long]("dup_windows") >= 6)
+  }
+
+  test("top n-grams: counts, doc frequency and deterministic tie ranking") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c"), // "a b c" x2, "b c a", "c a b"
+      (2L, "a b c d"), (3L, "z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(df, n = 3, k = 10).collect()
+    val byGram = got.map(r => r.getAs[String]("gram") -> r).toMap
+    assert(byGram("a b c").getAs[Long]("occ") == 3 &&
+      byGram("a b c").getAs[Long]("n_docs") == 2)
+    assert(byGram("a b c").getAs[Long]("rk") == 1)
+    assert(!byGram.contains("z z")) // doc 3 has no trigram
+    // ties (occ=1) rank by gram ascending
+    val ties = got.filter(_.getAs[Long]("occ") == 1).sortBy(_.getAs[Long]("rk"))
+    assert(ties.map(_.getAs[String]("gram")).toSeq == ties.map(_.getAs[String]("gram")).toSeq.sorted)
+  }
+
+  test("recall@k is 1.0 when probes cover everything, in [0,1] on real data") {
+    val r = Similarity.recallAtK(emb).collect()
+    assert(r.length == 10)
+    assert(r.forall { row =>
+      val rec = row.getAs[Double]("recall")
+      rec >= 0.0 && rec <= 1.0 &&
+        rec == row.getAs[Long]("hits").toDouble / 5
+    })
+    // with nProbe = nCentroids the probed search IS brute force
+    val full = Similarity.ivfKmeansTopK(emb, nProbe = 16)
+      .select("query_id", "neighbor_id")
+    val exact = Similarity.bruteCosineTopK(emb).select("query_id", "neighbor_id")
+    assert(exact.exceptAll(full).count() == 0)
+  }
+
   test("connected components: chains collapse to the component minimum") {
     import spark.implicits._
     // component {1,2,3} as a chain 1-2, 2-3 (no 1-3 edge), a separate
