@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, lpad}
-import graft.pipeline.{ConnectedComponents, CorpusClean, Decontam, Dedup, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{ConnectedComponents, CorpusClean, Decontam, Dedup, Multimodal, Packing, Quantization, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) over the driver's `documents` and `embeddings` tables, each
@@ -41,6 +41,8 @@ object PipelineQueries {
     "pipe_text_topngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d))),
     // recall@5 of the kmeans-IVF index vs exact brute force
     "pipe_sim_recall" -> ((s, d) => Similarity.recallAtK(emb(s, d))),
+    // KMV distinct-token sketch per source vs the exact count
+    "pipe_sketch_kmv" -> ((s, d) => Sketches.distinctTokenKmv(docs(s, d))),
     "pipe_pack" -> ((s, d) => Packing.greedyPack(docs(s, d))),
     "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
     "pipe_mm_resize" -> ((s, d) => Multimodal.resized(s, docs(s, d))),
@@ -363,6 +365,20 @@ object PipelineQueries {
         "SELECT b.doc_id, b.n_windows, coalesce(d.dup_windows, 0)::BIGINT AS dup_windows, " +
         "round(coalesce(d.dup_windows, 0)::DOUBLE / b.n_windows, 4) AS dup_frac " +
         "FROM base b LEFT JOIN d USING (doc_id) WHERE b.n_windows > 0"),
+
+    // KMV distinct sketch: the k minima are order-independent so DuckDB
+    // replays the estimator bit-for-bit ((k-1)·2^60 / kth-smallest-hash,
+    // one IEEE division); fewer than k distinct values => exact count
+    "pipe_sketch_kmv" ->
+      ("WITH tw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+        s"h AS (SELECT DISTINCT source, ${Hex60("w")} AS h FROM tw), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
+        "s AS (SELECT source, count(*)::BIGINT AS n_distinct, " +
+        "count(*) FILTER (rn <= 16)::BIGINT AS k_used, " +
+        "max(CASE WHEN rn <= 16 THEN h END) AS hk FROM r GROUP BY source) " +
+        "SELECT source, n_distinct, k_used, " +
+        "round(CASE WHEN k_used < 16 THEN k_used::DOUBLE " +
+        "ELSE (15.0 * 1152921504606846976.0) / hk END, 4) AS kmv_est FROM s"),
 
     // corpus-wide top-20 trigrams (boilerplate detector); ties cut by gram
     "pipe_text_topngrams" ->

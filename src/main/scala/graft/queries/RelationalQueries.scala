@@ -226,6 +226,23 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(avg(col("value")), 2).as("avg_value"))
+    }),
+
+    // as-of join: each purchase matched to the user's most recent click at
+    // or before it (graft.operators.AsOfJoin — one keyed window, no range
+    // explosion); clicks pre-deduped per (user, µs) so ties have a defined
+    // "latest". Times as epoch micros on both engines (events.ts is
+    // TIMESTAMP(NANOS); Spark truncates to µs on load, the oracle divides).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "us")
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+          col("r_click_id").as("click_id"), (col("us") - col("r_us")).as("gap_us"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -341,5 +358,13 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-        |GROUP BY event_type""".stripMargin)
+        |GROUP BY event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us AS purchase_us, c.click_id,
+        |       p.us - c.us AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin)
 }
