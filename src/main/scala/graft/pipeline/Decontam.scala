@@ -47,4 +47,51 @@ object Decontam {
       .withColumn("contam_frac", round(col("hits").cast("double") / col("n_ngrams"), 4))
       .withColumn("contaminated", col("hits") > 0)
   }
+
+  /** [[ngramOverlap]] for eval sets too large to broadcast as a hash set
+    * (a full eval-suite n-gram inventory reaches 10⁸+): identical output,
+    * different membership machinery —
+    *
+    *  1. build a deterministic Bloom bitset over the eval n-grams as a
+    *     distributed OR-aggregate ([[graft.functions.BloomSketch]]);
+    *     broadcast size = bits/8 bytes (2 MiB at the 2^24 default),
+    *     INDEPENDENT of the eval set's size;
+    *  2. probe every train n-gram against the broadcast bitset — no
+    *     false negatives, so non-survivors are guaranteed misses and the
+    *     per-doc n-gram totals come from a narrow no-join pass;
+    *  3. exact-confirm only the Bloom survivors (a false-positive-rate-
+    *     sized fraction) through a plain semi-join with the DISTRIBUTED
+    *     eval n-gram set — the one join that remains never sees a
+    *     non-candidate row, and the eval side never needs to fit in one
+    *     executor.
+    *
+    * Results are row-identical to [[ngramOverlap]] (the gate reuses its
+    * oracle verbatim); false positives cost only wasted confirm-join
+    * rows, never wrong output. */
+  def ngramOverlapBloom(train: DataFrame, eval: DataFrame, n: Int = 5,
+      bits: Int = 1 << 24, numHash: Int = 4): DataFrame = {
+    import graft.functions.BloomSketch
+    val evalNg = ngrams(eval, n).select(explode(col("g")).as("ng")).distinct()
+    val bitset = evalNg
+      .select(explode(array((0 until numHash).map(j =>
+        Dedup.hex60(concat(lit(s"$j:"), col("ng"))) % bits): _*)).as("pos"))
+      .agg(BloomSketch.bitsetAgg(col("pos"), bits).as("bs"))
+      .head().getSeq[Long](0).toArray
+    val bc = train.sparkSession.sparkContext.broadcast(bitset)
+    val probe = udf((ng: String) => BloomSketch.mightContain(bc.value, ng, bits, numHash))
+
+    val base = ngrams(train, n)
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_ngrams"))
+    val hits = ngrams(train, n)
+      .select(col("doc_id"), explode(col("g")).as("ng"))
+      .filter(probe(col("ng")))
+      .join(evalNg, Seq("ng"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_ngrams"), 4)
+          .as("contam_frac"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

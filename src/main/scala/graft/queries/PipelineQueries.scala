@@ -74,6 +74,16 @@ object PipelineQueries {
         all.filter(col("doc_id") % 37 =!= 0),
         all.filter(col("doc_id") % 37 === 0))
     }),
+    // same computation, Bloom-prefiltered membership: broadcast is the
+    // fixed-size bitset, exact confirm joins only the survivors — the
+    // path for eval sets too large to broadcast as a hash set. Output is
+    // row-identical to pipe_decontam (oracle reused verbatim).
+    "pipe_decontam_bloom" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontam.ngramOverlapBloom(
+        all.filter(col("doc_id") % 37 =!= 0),
+        all.filter(col("doc_id") % 37 === 0))
+    }),
     // the whole flow: clean -> repetition gate -> decontaminate against
     // the eval stand-in -> pack survivors into 512-token bins. Train side
     // is the FULL corpus, so the eval docs themselves (self-overlap) are
@@ -540,6 +550,18 @@ object PipelineQueries {
     // inclusive, so t[i:i+4] is the same 5-token window as Spark's
     // slice(__t, i+1, 5)
     "pipe_decontam" ->
+      ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+        "ng AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
+        "i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks WHERE len(t) >= 5), " +
+        "ev AS (SELECT coalesce(list(DISTINCT ng), []) AS evl FROM " +
+        "(SELECT unnest(g) AS ng FROM ng WHERE doc_id % 37 = 0)), " +
+        "tr AS (SELECT n.doc_id, n.g, len(list_intersect(n.g, ev.evl)) AS hits " +
+        "FROM ng n CROSS JOIN ev WHERE n.doc_id % 37 != 0) " +
+        "SELECT doc_id, len(g)::BIGINT AS n_ngrams, hits::BIGINT AS hits, " +
+        "round(hits::DOUBLE / len(g), 4) AS contam_frac, hits > 0 AS contaminated FROM tr"),
+
+    // the Bloom path must produce the identical rows — same oracle
+    "pipe_decontam_bloom" ->
       ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
         "ng AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
         "i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks WHERE len(t) >= 5), " +

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream}
+import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream, SketchStream}
 
 /** Structured Streaming entries for the correctness gate: each runs a real
   * incremental query (AvailableNow trigger) over the events files and is
@@ -30,7 +30,11 @@ object StreamingQueries {
     // stateless ingest-time admission gate: quality + language +
     // decontamination verdicts per arriving doc, one pass, zero state
     "stream_corpus_gate" -> ((s, d) =>
-      CorpusGateStream.runToBatch(s, s"$d/documents.parquet", "v_stream_gate")))
+      CorpusGateStream.runToBatch(s, s"$d/documents.parquet", "v_stream_gate")),
+    // running per-source distinct-token KMV sketch: order-independent
+    // minima make the post-stream state equal the batch sketch exactly
+    "stream_kmv_vocab" -> ((s, d) =>
+      SketchStream.runToBatch(s, s"$d/documents.parquet", "v_stream_kmv")))
 
   val oracles: Map[String, String] = Map(
     "stream_events_hourly" ->
@@ -68,5 +72,16 @@ object StreamingQueries {
         "FROM toks tk LEFT JOIN ng n USING (doc_id) CROSS JOIN ev) " +
         "SELECT q.doc_id, q.quality_score, lid.predicted, ct.contaminated, " +
         "(q.quality_score >= 0.5 AND lid.predicted = 'en' AND NOT ct.contaminated) AS admitted " +
-        "FROM q JOIN lid USING (doc_id) JOIN ct USING (doc_id) WHERE q.doc_id % 37 != 0"))
+        "FROM q JOIN lid USING (doc_id) JOIN ct USING (doc_id) WHERE q.doc_id % 37 != 0"),
+    // the batch KMV oracle minus the exact count (streaming cannot hold
+    // the distinct set — that asymmetry is the sketch's point)
+    "stream_kmv_vocab" ->
+      ("WITH tw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "h AS (SELECT DISTINCT source, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tw), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
+        "s AS (SELECT source, count(*) FILTER (rn <= 16)::BIGINT AS k_used, " +
+        "max(CASE WHEN rn <= 16 THEN h END) AS hk FROM r GROUP BY source) " +
+        "SELECT source, k_used, " +
+        "round(CASE WHEN k_used < 16 THEN k_used::DOUBLE " +
+        "ELSE (15.0 * 1152921504606846976.0) / hk END, 4) AS kmv_est FROM s"))
 }
