@@ -26,7 +26,7 @@ object Similarity {
 
   import graft.functions.DotProductExpr.dotProduct
 
-  private[pipeline] def norm(e: Column): Column = sqrt(dotProduct(e, e))
+  private[graft] def norm(e: Column): Column = sqrt(dotProduct(e, e))
 
   /** exact top-k cosine neighbors for query vectors (vec_id < nQueries),
     * excluding self-matches.
@@ -152,7 +152,7 @@ object Similarity {
     * order is pinned (ascending), the norms' multiplication order is
     * irrelevant (IEEE multiplication commutes), so any engine derives
     * identical buckets. Expects a `norm` column on the input. */
-  private[pipeline] def bestCentroidExpr(centroids: Seq[(Long, Array[Double], Double)]): Column = {
+  private[graft] def bestCentroidExpr(centroids: Seq[(Long, Array[Double], Double)]): Column = {
     val scored = centroids.map { case (cid, vec, cn) =>
       struct(round(dotProduct(typedLit(vec.toSeq), col("embedding")) /
         (col("norm") * cn), 6).as("sim"), lit(-cid).as("negCid"))

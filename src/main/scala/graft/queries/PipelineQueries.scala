@@ -230,7 +230,7 @@ object PipelineQueries {
 
   /** the full kmeans-IVF probe chain (train → assign → probe → rank into
     * `r`), shared by the ivf_kmeans gate and the recall gate */
-  private def kmIvfChain: String =
+  private[queries] def kmIvfChain: String =
     s"$EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
       "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
       " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream, SketchStream}
+import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream, IvfAssignStream, SketchStream}
 
 /** Structured Streaming entries for the correctness gate: each runs a real
   * incremental query (AvailableNow trigger) over the events files and is
@@ -34,7 +34,12 @@ object StreamingQueries {
     // running per-source distinct-token KMV sketch: order-independent
     // minima make the post-stream state equal the batch sketch exactly
     "stream_kmv_vocab" -> ((s, d) =>
-      SketchStream.runToBatch(s, s"$d/documents.parquet", "v_stream_kmv")))
+      SketchStream.runToBatch(s, s"$d/documents.parquet", "v_stream_kmv")),
+    // online IVF ingestion: centroids trained offline on the static
+    // table, arriving vectors assigned statelessly (centroid literals);
+    // streamed assignment must equal the batch k-means assignment
+    "stream_ivf_assign" -> ((s, d) =>
+      IvfAssignStream.runToBatch(s, s"$d/embeddings.parquet", "v_stream_ivf")))
 
   val oracles: Map[String, String] = Map(
     "stream_events_hourly" ->
@@ -83,5 +88,9 @@ object StreamingQueries {
         "max(CASE WHEN rn <= 16 THEN h END) AS hk FROM r GROUP BY source) " +
         "SELECT source, k_used, " +
         "round(CASE WHEN k_used < 16 THEN k_used::DOUBLE " +
-        "ELSE (15.0 * 1152921504606846976.0) / hk END, 4) AS kmv_est FROM s"))
+        "ELSE (15.0 * 1152921504606846976.0) / hk END, 4) AS kmv_est FROM s"),
+    // batch k-means assignment of every vector (the asg CTE of the
+    // shared ivf_kmeans chain) — streamed stateless assignment must agree
+    "stream_ivf_assign" ->
+      (s"WITH ${PipelineQueries.kmIvfChain} SELECT vec_id, bucket FROM asg"))
 }
