@@ -121,6 +121,11 @@ object ScaleSmoke {
     // keyed agg + TakeOrdered whose reduce side is k rows per partition
     time("dedup_substring")(graft.pipeline.Dedup.duplicatedSpans(bigDocs).count())
     time("text_topngrams")(graft.pipeline.TextAnalysis.topNgrams(bigDocs).count())
+    // chunking is a shuffle-free explode (output ~1.3x corpus tokens);
+    // tf-idf's df side is vocab-sized, so the clone corpus (same vocab,
+    // mult x tf rows) isolates the term-join's scaling
+    time("chunk")(graft.pipeline.Packing.chunk(bigDocs).count())
+    time("text_tfidf")(graft.pipeline.TextAnalysis.tfidfTopTerms(bigDocs).count())
     spark.stop()
   }
 }

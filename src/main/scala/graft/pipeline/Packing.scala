@@ -28,4 +28,27 @@ object Packing {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         floor(col("__cb") / budget).cast("long").as("bin"))
   }
+
+  /** Strided document chunking — the other sequence-prep primitive (RAG
+    * indexing / long-doc training): fixed `size`-token windows every
+    * `stride` tokens (overlap = size − stride), the trailing chunk
+    * short. Embarrassingly parallel per row, chunk count ⌈n/stride⌉, so
+    * output volume is ~(size/stride)× the corpus tokens — no shuffle at
+    * all; the fingerprint lets downstream exact-dedup run at chunk
+    * granularity. */
+  def chunk(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size)
+    docs
+      .withColumn("__t", split(lower(col("text")), " "))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__t")).cast("long"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__n"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(__n / $stride.0) as int) - 1),
+             |  i -> md5(array_join(slice(__t, i * $stride + 1, $size), ' ')))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        least(lit(size.toLong), col("__n") - col("pos") * stride).as("chunk_len"),
+        col("col").as("chunk_fp"))
+  }
 }

@@ -136,6 +136,44 @@ object TextAnalysis {
         round(col("__dup").cast("double") / col("__nbg"), 4).as("dup_bigram_frac"))
   }
 
+  /** Per-document top-k tf-idf terms — keyword extraction for corpus
+    * exploration and topic-balance audits.
+    *
+    * Determinism: idf = round(ln N − ln df, 6) with both logs over
+    * INTEGER arguments (JVM Math.log and DuckDB ln agree bit-for-bit on
+    * integers across the tested range; the 6-dec rounding absorbs the
+    * rare last-ulp stragglers), score = round(tf · idf, 6), ties rank by
+    * term — the same pinning discipline as the cosine operators.
+    *
+    * Scale shape: one shuffle on (doc_id, term) for tf (doc length rides
+    * along), one keyed agg on term for df, a term-keyed join back
+    * (AQE-broadcast when vocab is small), and the top-k per doc is the
+    * partial-WindowGroupLimit shape — nothing corpus-sized is collected
+    * anywhere. `nDocs` is one count job (a driver scalar, any scale). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = docs.count()
+    val toks = docs.withColumn("__t", split(lower(col("text")), " "))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tc"), first(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("__idf",
+        round(log(lit(nDocs.toDouble)) - log(col("df").cast("double")), 6))
+      .withColumn("__raw", col("tc").cast("double") / col("dl") * col("__idf"))
+    // rank on the 6-dec rounding (absorbs ulp noise), but emit the 4-dec
+    // rounding of the RAW score — rounding an already-rounded value
+    // manufactures exact .5 boundaries where decimal-HALF_UP (Spark) and
+    // binary rounding (other engines) disagree
+    val w = Window.partitionBy("doc_id")
+      .orderBy(round(col("__raw"), 6).desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"),
+        round(col("__raw"), 4).as("tfidf"), col("rk").cast("long").as("rk"))
+  }
+
   /** Corpus-wide most-frequent n-grams — the boilerplate detector (nav
     * bars, cookie banners, license headers surface as high-doc-frequency
     * n-grams; the usual pipeline action is to strip or downweight them).

@@ -43,6 +43,10 @@ object PipelineQueries {
     "pipe_sim_recall" -> ((s, d) => Similarity.recallAtK(emb(s, d))),
     // KMV distinct-token sketch per source vs the exact count
     "pipe_sketch_kmv" -> ((s, d) => Sketches.distinctTokenKmv(docs(s, d))),
+    // per-doc top-3 tf-idf keywords
+    "pipe_text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
+    // strided 64/48 chunking with per-chunk fingerprints
+    "pipe_chunk" -> ((s, d) => Packing.chunk(docs(s, d))),
     "pipe_pack" -> ((s, d) => Packing.greedyPack(docs(s, d))),
     "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
     "pipe_mm_resize" -> ((s, d) => Multimodal.resized(s, docs(s, d))),
@@ -389,6 +393,31 @@ object PipelineQueries {
         "SELECT source, n_distinct, k_used, " +
         "round(CASE WHEN k_used < 16 THEN k_used::DOUBLE " +
         "ELSE (15.0 * 1152921504606846976.0) / hk END, 4) AS kmv_est FROM s"),
+
+    // tf-idf: idf = round(ln N - ln df, 6), both logs over integer
+    // arguments (bit-identical across engines; rounding absorbs last-ulp
+    // stragglers), score = round(tf * idf, 6), ties rank by term
+    "pipe_text_tfidf" ->
+      (s"WITH $Toks, " +
+        "tw AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks), " +
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tc, max(dl) AS dl FROM tw GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1), " +
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+        "sc AS (SELECT doc_id, term, " +
+        "(tc::DOUBLE / dl) * round(ln(n) - ln(df::DOUBLE), 6) AS raw " +
+        "FROM tf JOIN dfq USING (term) CROSS JOIN nn), " +
+        "r AS (SELECT doc_id, term, raw, row_number() OVER (" +
+        "PARTITION BY doc_id ORDER BY round(raw, 6) DESC, term) AS rk FROM sc) " +
+        "SELECT doc_id, term, round(raw, 4) AS tfidf, rk FROM r WHERE rk <= 3"),
+
+    // strided chunking: windows of 64 tokens every 48, trailing chunk
+    // short; fingerprint = md5 of the space-joined chunk
+    "pipe_chunk" ->
+      (s"WITH $Toks, " +
+        "c AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks WHERE len(t) > 0), " +
+        "e AS (SELECT doc_id, t, n, unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS i FROM c) " +
+        "SELECT doc_id, i AS chunk_idx, least(64, n - i * 48) AS chunk_len, " +
+        "md5(array_to_string(t[i*48+1 : least(i*48+64, n)], ' ')) AS chunk_fp FROM e"),
 
     // corpus-wide top-20 trigrams (boilerplate detector); ties cut by gram
     "pipe_text_topngrams" ->

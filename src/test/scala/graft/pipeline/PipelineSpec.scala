@@ -150,6 +150,48 @@ class PipelineSpec extends SparkTestBase {
     assert(ties.map(_.getAs[String]("gram")).toSeq == ties.map(_.getAs[String]("gram")).toSeq.sorted)
   }
 
+  test("strided chunking: counts, lengths and overlap are exact") {
+    import spark.implicits._
+    // 100 tokens, size 64 / stride 48 -> chunks at 0, 48, 96 with lens 64, 52, 4
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val got = Packing.chunk(Seq((1L, text)).toDF("doc_id", "text"))
+      .orderBy("chunk_idx").collect()
+    assert(got.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L))
+    assert(got.map(_.getAs[Long]("chunk_len")).toSeq == Seq(64L, 52L, 4L))
+    // overlap: chunk 1 starts at token 49 (1-based), so chunks 0 and 1
+    // share tokens 49..64 — verify via recomputed fingerprints
+    val toks = text.toLowerCase.split(" ")
+    def fp(from: Int, n: Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(toks.slice(from, from + n).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(got(0).getAs[String]("chunk_fp") == fp(0, 64))
+    assert(got(2).getAs[String]("chunk_fp") == fp(96, 4))
+    // a doc shorter than one stride still yields its single short chunk
+    val short = Packing.chunk(Seq((2L, "a b c")).toDF("doc_id", "text")).collect()
+    assert(short.length == 1 && short.head.getAs[Long]("chunk_len") == 3)
+  }
+
+  test("tf-idf top terms: corpus-wide terms score zero, rare terms rank first") {
+    import spark.implicits._
+    // "common" is in every doc (idf = 0); each doc has one unique term
+    val df = Seq(
+      (1L, "common rare1 rare1 filler"),
+      (2L, "common rare2 filler filler"),
+      (3L, "common filler filler filler")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(got(1L).minBy(_.getAs[Long]("rk")).getAs[String]("term") == "rare1")
+    assert(got(2L).minBy(_.getAs[Long]("rk")).getAs[String]("term") == "rare2")
+    val common = got(1L).find(_.getAs[String]("term") == "common")
+    assert(common.forall(_.getAs[Double]("tfidf") == 0.0))
+    // every doc gets at most k rows, ranks are 1..k without gaps
+    got.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("recall@k is 1.0 when probes cover everything, in [0,1] on real data") {
     val r = Similarity.recallAtK(emb).collect()
     assert(r.length == 10)
