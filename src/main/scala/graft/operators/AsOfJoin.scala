@@ -29,7 +29,14 @@ object AsOfJoin {
     * are dropped (inner as-of semantics). */
   def asOf(left: DataFrame, right: DataFrame, key: String, ord: String,
       rightPrefix: String = "r_"): DataFrame = {
+    val reserved = Set("__k", "__o", "__side", "__r", "__m")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty, s"asOf reserves ${clash.mkString(", ")}")
     val rValueCols = right.columns.filter(_ != key).toSeq
+    val prefClash = left.columns.toSet
+      .intersect(rValueCols.map(rightPrefix + _).toSet)
+    require(prefClash.isEmpty,
+      s"left columns collide with prefixed right outputs: ${prefClash.mkString(", ")}")
     val rPayload = struct(rValueCols.map(col): _*)
     val rType = right.select(rPayload).schema.head.dataType
     val lPayloadCols = left.columns.filter(c => c != key && c != ord).toSeq

@@ -56,14 +56,16 @@ object Decontam {
     *     distributed OR-aggregate ([[graft.functions.BloomSketch]]);
     *     broadcast size = bits/8 bytes (2 MiB at the 2^24 default),
     *     INDEPENDENT of the eval set's size;
-    *  2. probe every train n-gram against the broadcast bitset — no
-    *     false negatives, so non-survivors are guaranteed misses and the
-    *     per-doc n-gram totals come from a narrow no-join pass;
+    *  2. probe each doc's n-gram ARRAY against the broadcast bitset in
+    *     one UDF call per row — no false negatives, so non-survivors are
+    *     guaranteed misses and never explode past their own row;
     *  3. exact-confirm only the Bloom survivors (a false-positive-rate-
     *     sized fraction) through a plain semi-join with the DISTRIBUTED
     *     eval n-gram set — the one join that remains never sees a
     *     non-candidate row, and the eval side never needs to fit in one
-    *     executor.
+    *     executor. The n-gram projection runs under two exchanges (stats
+    *     + confirm) rather than being checkpointed — at corpus scale
+    *     recomputing a projection beats materializing it.
     *
     * Results are row-identical to [[ngramOverlap]] (the gate reuses its
     * oracle verbatim); false positives cost only wasted confirm-join
@@ -78,16 +80,23 @@ object Decontam {
       .agg(BloomSketch.bitsetAgg(col("pos"), bits).as("bs"))
       .head().getSeq[Long](0).toArray
     val bc = train.sparkSession.sparkContext.broadcast(bitset)
-    val probe = udf((ng: String) => BloomSketch.mightContain(bc.value, ng, bits, numHash))
+    // one UDF call per ROW filters the doc's n-gram array down to the
+    // Bloom survivors — only the false-positive-rate-sized remainder is
+    // ever exploded into the confirm join
+    val survivors = udf((g: Seq[String]) =>
+      g.filter(BloomSketch.mightContain(bc.value, _, bits, numHash)))
 
-    val base = ngrams(train, n)
-      .select(col("doc_id"), size(col("g")).cast("long").as("n_ngrams"))
-    val hits = ngrams(train, n)
-      .select(col("doc_id"), explode(col("g")).as("ng"))
-      .filter(probe(col("ng")))
+    val perDoc = ngrams(train, n)
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_ngrams"),
+        survivors(col("g")).as("__cand"))
+    // zero-survivor docs keep their row via the left join + null-safe
+    // counts; the exact confirm only ever sees Bloom survivors
+    val confirmed = perDoc
+      .select(col("doc_id"), explode(col("__cand")).as("ng"))
       .join(evalNg, Seq("ng"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-    base.join(hits, Seq("doc_id"), "left")
+    perDoc.select(col("doc_id"), col("n_ngrams"))
+      .join(confirmed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_ngrams"), 4)

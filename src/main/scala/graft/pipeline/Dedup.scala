@@ -205,29 +205,29 @@ object Dedup {
     * Scale shape: only (doc_id, fp) ever crosses a shuffle — the window
     * explode is computed per row and immediately hashed; the fingerprint
     * count aggregates with map-side combine; the dup-marking is a
-    * semi-join back on fp; the final per-doc rollup shuffles (doc_id,
-    * 1)-sized rows. Window count per doc is n_tokens − l + 1, so total
-    * exploded volume is O(corpus tokens), not O(tokens²). */
+    * semi-join back on fp whose per-doc rollup ALSO recovers n_windows
+    * (count of the left-marked rows), so the tokenize+hash projection
+    * runs twice (once under each exchange), never three times, and the
+    * corpus-tokens-sized intermediate is never materialized — at 100 TB
+    * recomputing a projection beats checkpointing it. Window count per
+    * doc is n_tokens − l + 1, so exploded volume is O(corpus tokens). */
   def duplicatedSpans(docs: DataFrame, l: Int = 8): DataFrame = {
-    val base = docs
-      .withColumn("__t", toks)
-      .select(col("doc_id"), col("__t"),
-        greatest(size(col("__t")) - (l - 1), lit(0)).cast("long").as("n_windows"))
-      .filter(col("n_windows") > 0)
     // slice() is 1-based; each window is hashed before leaving the row
-    val wins = base.select(col("doc_id"),
-      explode(expr(s"transform(sequence(1, cast(n_windows as int)), i -> " +
-        s"md5(array_join(slice(__t, i, $l), ' ')))")).as("fp"))
+    val wins = docs
+      .withColumn("__t", toks)
+      .withColumn("__nw", greatest(size(col("__t")) - (l - 1), lit(0)).cast("long"))
+      .filter(col("__nw") > 0)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, cast(__nw as int)), i -> " +
+          s"md5(array_join(slice(__t, i, $l), ' ')))")).as("fp"))
     val dupFp = wins.groupBy("fp")
       .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("fp")
-    val perDoc = wins.join(dupFp, Seq("fp"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
-    base.select(col("doc_id"), col("n_windows"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
-        round(coalesce(col("dup_windows"), lit(0L)).cast("double") /
-          col("n_windows"), 4).as("dup_frac"))
+    wins.join(dupFp.withColumn("__dup", lit(1)), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long").as("dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+        round(col("dup_windows").cast("double") / col("n_windows"), 4).as("dup_frac"))
   }
 
   /** 60-bit SimHash over the token stream (term-frequency weighted):

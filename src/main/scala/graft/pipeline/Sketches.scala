@@ -1,12 +1,22 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.KmvSketch
 
 /** Sketch-based corpus statistics — bounded-state estimators for numbers
   * that are exact-shuffle-sized to compute precisely at 100 TB. */
 object Sketches {
+
+  /** the KMV estimate from a sorted ≤k-minima buffer: (k−1)·2^60 divided
+    * by the kth minimum (one IEEE division — bit-replayable), or the
+    * buffer size when fewer than k distinct values exist. ONE definition
+    * shared by the batch and streaming operators so the two gates cannot
+    * drift. */
+  def kmvEstimate(mins: Column, k: Int): Column =
+    round(when(size(mins) < k, size(mins).cast("double"))
+      .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
+        element_at(mins, k)), 4)
 
   /** Per-source distinct-token cardinality: exact `countDistinct` next to
     * the KMV estimate ([[graft.functions.KmvSketch]]) from the same
@@ -27,9 +37,6 @@ object Sketches {
         KmvSketch.kMinValues(col("h"), k).as("__mins"))
       .select(col("source"), col("n_distinct"),
         size(col("__mins")).cast("long").as("k_used"),
-        // fewer than k distinct values ⇒ the buffer IS the value set
-        round(when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
-          .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
-            element_at(col("__mins"), k)), 4).as("kmv_est"))
+        kmvEstimate(col("__mins"), k).as("kmv_est"))
   }
 }

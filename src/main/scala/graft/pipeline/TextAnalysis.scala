@@ -146,10 +146,10 @@ object TextAnalysis {
     * term — the same pinning discipline as the cosine operators.
     *
     * Scale shape: one shuffle on (doc_id, term) for tf (doc length rides
-    * along), one keyed agg on term for df, a term-keyed join back
-    * (AQE-broadcast when vocab is small), and the top-k per doc is the
-    * partial-WindowGroupLimit shape — nothing corpus-sized is collected
-    * anywhere. `nDocs` is one count job (a driver scalar, any scale). */
+    * along), df as a count-over-window on the same frame (one term-keyed
+    * exchange, no self-join recomputing the tokenize), and the top-k per
+    * doc is the partial-WindowGroupLimit shape — nothing corpus-sized is
+    * collected anywhere. `nDocs` is one count job (a driver scalar). */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val nDocs = docs.count()
     val toks = docs.withColumn("__t", split(lower(col("text")), " "))
@@ -157,8 +157,11 @@ object TextAnalysis {
         explode(col("__t")).as("term"))
     val tf = toks.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tc"), first(col("dl")).as("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
+    // df as a count-over-window on the SAME tf frame: the tokenize +
+    // (doc_id, term) aggregation runs once, not once per side of a
+    // tf-joins-df self-join; costs one extra term-keyed exchange
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("__idf",
         round(log(lit(nDocs.toDouble)) - log(col("df").cast("double")), 6))
       .withColumn("__raw", col("tc").cast("double") / col("dl") * col("__idf"))

@@ -232,6 +232,37 @@ object PipelineQueries {
       s" FROM (SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec FROM cent$i c LEFT JOIN mv$i m ON m.cid = c.cid))"
   }
 
+  /** decontamination oracle — ONE string shared by the hash-set gate, the
+    * Bloom gate and (via StreamingQueries) the streaming gate: all three
+    * implementations must produce identical rows */
+  private[queries] val DecontamOracleSql: String =
+    "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
+      "ng AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
+      "i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks WHERE len(t) >= 5), " +
+      "ev AS (SELECT coalesce(list(DISTINCT ng), []) AS evl FROM " +
+      "(SELECT unnest(g) AS ng FROM ng WHERE doc_id % 37 = 0)), " +
+      "tr AS (SELECT n.doc_id, n.g, len(list_intersect(n.g, ev.evl)) AS hits " +
+      "FROM ng n CROSS JOIN ev WHERE n.doc_id % 37 != 0) " +
+      "SELECT doc_id, len(g)::BIGINT AS n_ngrams, hits::BIGINT AS hits, " +
+      "round(hits::DOUBLE / len(g), 4) AS contam_frac, hits > 0 AS contaminated FROM tr"
+
+  /** the KMV sketch oracle: CTE chain + final projection, with or without
+    * the exact countDistinct column (the streaming gate must omit it —
+    * holding the distinct set is exactly what the sketch avoids) */
+  private[queries] def kmvOracleSql(withExact: Boolean): String = {
+    val exactCol = if (withExact) "n_distinct, " else ""
+    val exactAgg = if (withExact) "count(*)::BIGINT AS n_distinct, " else ""
+    "WITH tw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+      s"h AS (SELECT DISTINCT source, ${Hex60("w")} AS h FROM tw), " +
+      "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
+      s"s AS (SELECT source, $exactAgg" +
+      "count(*) FILTER (rn <= 16)::BIGINT AS k_used, " +
+      "max(CASE WHEN rn <= 16 THEN h END) AS hk FROM r GROUP BY source) " +
+      s"SELECT source, ${exactCol}k_used, " +
+      "round(CASE WHEN k_used < 16 THEN k_used::DOUBLE " +
+      "ELSE (15.0 * 1152921504606846976.0) / hk END, 4) AS kmv_est FROM s"
+  }
+
   /** the full kmeans-IVF probe chain (train → assign → probe → rank into
     * `r`), shared by the ivf_kmeans gate and the recall gate */
   private[queries] def kmIvfChain: String =
@@ -383,16 +414,7 @@ object PipelineQueries {
     // KMV distinct sketch: the k minima are order-independent so DuckDB
     // replays the estimator bit-for-bit ((k-1)·2^60 / kth-smallest-hash,
     // one IEEE division); fewer than k distinct values => exact count
-    "pipe_sketch_kmv" ->
-      ("WITH tw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
-        s"h AS (SELECT DISTINCT source, ${Hex60("w")} AS h FROM tw), " +
-        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
-        "s AS (SELECT source, count(*)::BIGINT AS n_distinct, " +
-        "count(*) FILTER (rn <= 16)::BIGINT AS k_used, " +
-        "max(CASE WHEN rn <= 16 THEN h END) AS hk FROM r GROUP BY source) " +
-        "SELECT source, n_distinct, k_used, " +
-        "round(CASE WHEN k_used < 16 THEN k_used::DOUBLE " +
-        "ELSE (15.0 * 1152921504606846976.0) / hk END, 4) AS kmv_est FROM s"),
+    "pipe_sketch_kmv" -> kmvOracleSql(withExact = true),
 
     // tf-idf: idf = round(ln N - ln df, 6), both logs over integer
     // arguments (bit-identical across engines; rounding absorbs last-ulp
@@ -578,28 +600,11 @@ object PipelineQueries {
     // against the eval stand-in (doc_id % 37 == 0); DuckDB slicing is
     // inclusive, so t[i:i+4] is the same 5-token window as Spark's
     // slice(__t, i+1, 5)
-    "pipe_decontam" ->
-      ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
-        "ng AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
-        "i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks WHERE len(t) >= 5), " +
-        "ev AS (SELECT coalesce(list(DISTINCT ng), []) AS evl FROM " +
-        "(SELECT unnest(g) AS ng FROM ng WHERE doc_id % 37 = 0)), " +
-        "tr AS (SELECT n.doc_id, n.g, len(list_intersect(n.g, ev.evl)) AS hits " +
-        "FROM ng n CROSS JOIN ev WHERE n.doc_id % 37 != 0) " +
-        "SELECT doc_id, len(g)::BIGINT AS n_ngrams, hits::BIGINT AS hits, " +
-        "round(hits::DOUBLE / len(g), 4) AS contam_frac, hits > 0 AS contaminated FROM tr"),
+    "pipe_decontam" -> DecontamOracleSql,
 
-    // the Bloom path must produce the identical rows — same oracle
-    "pipe_decontam_bloom" ->
-      ("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), " +
-        "ng AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
-        "i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks WHERE len(t) >= 5), " +
-        "ev AS (SELECT coalesce(list(DISTINCT ng), []) AS evl FROM " +
-        "(SELECT unnest(g) AS ng FROM ng WHERE doc_id % 37 = 0)), " +
-        "tr AS (SELECT n.doc_id, n.g, len(list_intersect(n.g, ev.evl)) AS hits " +
-        "FROM ng n CROSS JOIN ev WHERE n.doc_id % 37 != 0) " +
-        "SELECT doc_id, len(g)::BIGINT AS n_ngrams, hits::BIGINT AS hits, " +
-        "round(hits::DOUBLE / len(g), 4) AS contam_frac, hits > 0 AS contaminated FROM tr"),
+    // the Bloom path must produce the identical rows — ONE shared string,
+    // so an oracle edit cannot drift the two gates apart
+    "pipe_decontam_bloom" -> DecontamOracleSql,
 
     // corpus clean = quality >= 0.5 AND predicted 'en' AND canonical copy
     // AND the minimum doc_id of its near-dup connected component

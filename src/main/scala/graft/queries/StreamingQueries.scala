@@ -80,15 +80,7 @@ object StreamingQueries {
         "FROM q JOIN lid USING (doc_id) JOIN ct USING (doc_id) WHERE q.doc_id % 37 != 0"),
     // the batch KMV oracle minus the exact count (streaming cannot hold
     // the distinct set — that asymmetry is the sketch's point)
-    "stream_kmv_vocab" ->
-      ("WITH tw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
-        "h AS (SELECT DISTINCT source, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tw), " +
-        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
-        "s AS (SELECT source, count(*) FILTER (rn <= 16)::BIGINT AS k_used, " +
-        "max(CASE WHEN rn <= 16 THEN h END) AS hk FROM r GROUP BY source) " +
-        "SELECT source, k_used, " +
-        "round(CASE WHEN k_used < 16 THEN k_used::DOUBLE " +
-        "ELSE (15.0 * 1152921504606846976.0) / hk END, 4) AS kmv_est FROM s"),
+    "stream_kmv_vocab" -> PipelineQueries.kmvOracleSql(withExact = false),
     // batch k-means assignment of every vector (the asg CTE of the
     // shared ivf_kmeans chain) — streamed stateless assignment must agree
     "stream_ivf_assign" ->

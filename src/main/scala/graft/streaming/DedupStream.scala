@@ -108,25 +108,30 @@ object DedupStream {
       out.iterator
     }
 
-  /** stage the corpus as two micro-batches split by doc_id parity, so
-    * near-dup pairs spanning the halves can only be found by state that
-    * survives across batches */
-  private[streaming] def stageParitySplit(spark: SparkSession, docFile: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val d = Files.createTempDirectory("graft-neardup-stream-")
+  /** stage a table as two micro-batches split by `keyCol` parity, so
+    * cross-half results can only be found by state that survives across
+    * batches (generic over the id column: documents use doc_id,
+    * embeddings vec_id) */
+  private[streaming] def stageParitySplit(spark: SparkSession, file: String,
+      keyCol: String = "doc_id"): String = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-stream-split-")
     graft.TempDirs.register(d)
-    val docs = spark.read.parquet(docFile)
+    val rows = spark.read.parquet(file)
     for ((par, tag) <- Seq(0 -> "even", 1 -> "odd")) {
       val sub = d.resolve(s"__stage_$tag")
-      docs.filter(col("doc_id") % 2 === par).coalesce(1)
+      rows.filter(col(keyCol) % 2 === par).coalesce(1)
         .write.parquet(sub.toString)
-      val part = Files.list(sub).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val ls = Files.list(sub)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
       Files.move(part, d.resolve(s"${par}_$tag.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
       // drop the staging droppings so the file source sees only the data
-      Files.walk(sub).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(sub)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { Files.delete(p); () })
+      finally walk.close()
     }
     d.toString
   }

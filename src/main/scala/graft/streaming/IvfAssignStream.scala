@@ -35,22 +35,10 @@ object IvfAssignStream {
   /** embeddings staged as two parity micro-batches; centroids trained on
     * the static file (train offline, assign online) */
   def runToBatch(spark: SparkSession, embFile: String, name: String): DataFrame = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val d = Files.createTempDirectory("graft-ivf-stream-")
-    graft.TempDirs.register(d)
-    val emb = spark.read.parquet(embFile)
-    for ((par, tag) <- Seq(0 -> "even", 1 -> "odd")) {
-      val sub = d.resolve(s"__stage_$tag")
-      emb.filter(col("vec_id") % 2 === par).coalesce(1).write.parquet(sub.toString)
-      val part = Files.list(sub).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, d.resolve(s"${par}_$tag.parquet"), StandardCopyOption.ATOMIC_MOVE)
-      Files.walk(sub).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
-    val centroids = Similarity.kmeansCentroids(emb)
+    val dir = DedupStream.stageParitySplit(spark, embFile, keyCol = "vec_id")
+    val centroids = Similarity.kmeansCentroids(spark.read.parquet(embFile))
     val stream = spark.readStream.schema(embSchema)
-      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
     val q = assign(stream, centroids)
       .writeStream
       .outputMode("append")

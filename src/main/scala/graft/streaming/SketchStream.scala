@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.functions.KmvSketch
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Sketches}
 
 /** Streaming KMV vocabulary tracking — a running distinct-token estimate
   * per source over a document stream.
@@ -29,9 +29,7 @@ object SketchStream {
       .agg(KmvSketch.kMinValues(col("h"), k).as("__mins"))
       .select(col("source"),
         size(col("__mins")).cast("long").as("k_used"),
-        round(when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
-          .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
-            element_at(col("__mins"), k)), 4).as("kmv_est"))
+        Sketches.kmvEstimate(col("__mins"), k).as("kmv_est"))
 
   /** corpus staged as two parity micro-batches; the final complete-mode
     * table must equal the batch sketch over the whole corpus */
