@@ -26,9 +26,12 @@ object AsOfJoin {
   /** `left` gains `right`'s non-key columns (each aliased
     * `rightPrefix + name`, the matched ordering value included) from the
     * matched as-of row; unmatched left rows (no right row at or before)
-    * are dropped (inner as-of semantics). */
+    * are dropped (inner as-of semantics). With `tolerance`, a match
+    * further than `tolerance` ordering units in the past counts as no
+    * match (the pandas merge_asof contract) — a post-filter, since the
+    * carried payload is already the closest one. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ord: String,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_", tolerance: Option[Long] = None): DataFrame = {
     val reserved = Set("__k", "__o", "__side", "__r", "__m")
     val clash = (left.columns ++ right.columns).filter(reserved)
     require(clash.isEmpty, s"asOf reserves ${clash.mkString(", ")}")
@@ -54,6 +57,10 @@ object AsOfJoin {
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1 && col("__m").isNotNull)
+      .filter(tolerance match {
+        case Some(t) => col("__o") - col("__m").getField(ord) <= t
+        case None => lit(true)
+      })
 
     val out = col("__k").as(key) +: col("__o").as(ord) +:
       (lPayloadCols.map(col) ++

@@ -47,6 +47,23 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("tolerance drops matches further than t in the past, keeps boundary") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, "p"), (1L, 30L, "q")).toDF("k", "o", "lv")
+    val right = Seq((1L, 10L, "a")).toDF("k", "o", "rv")
+    // gaps: 10 and 20; tolerance 10 keeps the boundary match only
+    val got = AsOfJoin.asOf(left, right, "k", "o", tolerance = Some(10L))
+      .collect().map(r => (r.getAs[Long]("o"), r.getAs[String]("r_rv"))).toSet
+    assert(got == Set((20L, "a")))
+    // reserved-name collision fails fast
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left.withColumnRenamed("lv", "__side"), right, "k", "o")
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left.withColumnRenamed("lv", "r_rv"), right, "k", "o")
+    }
+  }
+
   test("asOf plan is one keyed window, not a range join") {
     import spark.implicits._
     val plan = AsOfJoin.asOf(
