@@ -17,8 +17,11 @@ import org.apache.spark.sql.SparkSession
   * first-touch run is usually the sample max, the n=3 median also
   * measures the PLAN rather than scheduling order. Failed runs are
   * dropped from the sample and surfaced as `failed_runs`.
-  * `SPARK_GRAFT_BENCH_WARMUP` (default 0) adds untimed warmup
-  * executions per query for full isolation from first-touch effects. */
+  * `SPARK_GRAFT_BENCH_WARMUP` (default 1) adds untimed warmup
+  * executions per query for full isolation from first-touch effects —
+  * on by default so the driver's default-env artifact carries the same
+  * methodology the docs describe (timed samples measure the plan, not
+  * run-order cold-touch). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,7 +48,7 @@ object Bench {
     val n = sys.env.get("SPARK_GRAFT_BENCH_N").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
     val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").flatMap(_.toIntOption)
-      .filter(_ >= 0).getOrElse(0)
+      .filter(_ >= 0).getOrElse(1)
     var failedRuns = 0
     val results = selected.map { case (name, fn) =>
       (1 to warmup).foreach { _ =>

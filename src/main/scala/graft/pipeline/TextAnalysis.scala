@@ -60,20 +60,30 @@ object TextAnalysis {
 
   /** n-gram-free language-ID heuristic: score = stopword-marker hits per
     * candidate language (the production version would use char n-gram
-    * profiles; the mechanism — score columns + argmax — is identical). */
+    * profiles; the mechanism — score columns + argmax — is identical).
+    * `predicted` is the true argmax over all four scores: array_max on
+    * (score, -rank) structs (lexicographic struct comparison — max score,
+    * ties to the alphabetically-first language, the [[Similarity.bestCentroidExpr]]
+    * pattern), "unk" only when every score is zero. */
   def langId(docs: DataFrame): DataFrame = {
     val markers = Map(
       "en" -> Seq("the", "a", "and", "of", "value", "table"),
       "de" -> Seq("der", "die", "das", "und"),
       "fr" -> Seq("le", "la", "et", "les"),
       "es" -> Seq("el", "la", "y", "de"))
+    val ordered = markers.keys.toSeq.sorted
     var out = docs.withColumn("__t", split(lower(col("text")), " "))
     for ((l, ws) <- markers.toSeq.sortBy(_._1))
       out = out.withColumn(s"score_$l",
         size(array_intersect(col("__t"), array(ws.map(lit): _*))).cast("long"))
+    val best = array_max(array(ordered.zipWithIndex.map { case (l, i) =>
+      struct(col(s"score_$l").as("s"), lit(-i).as("nr"))
+    }: _*))
+    val predLang = element_at(array(ordered.map(lit): _*),
+      (-best.getField("nr") + 1).cast("int"))
     out.select(col("doc_id"), col("lang"),
       col("score_de"), col("score_en"), col("score_es"), col("score_fr"),
-      when(col("score_en") > 0, "en").otherwise("unk").as("predicted"))
+      when(best.getField("s") > 0, predLang).otherwise("unk").as("predicted"))
   }
 
   /** normalized-content fingerprints: md5 of the canonical form plus a
@@ -146,9 +156,12 @@ object TextAnalysis {
     * term — the same pinning discipline as the cosine operators.
     *
     * Scale shape: one shuffle on (doc_id, term) for tf (doc length rides
-    * along), df as a count-over-window on the same frame (one term-keyed
-    * exchange, no self-join recomputing the tokenize), and the top-k per
-    * doc is the partial-WindowGroupLimit shape — nothing corpus-sized is
+    * along); the tf frame is localCheckpoint'ed so the tokenize+agg run
+    * ONCE, then df is a plain `groupBy(term).count()` — map-side combine,
+    * no skew: a stopword's partial counts merge tree-wise instead of
+    * funnelling every posting row through one window partition. The df
+    * table is vocab-sized, so the join back is broadcast. Top-k per doc
+    * is the partial-WindowGroupLimit shape — nothing corpus-sized is
     * collected anywhere. `nDocs` is one count job (a driver scalar). */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val nDocs = docs.count()
@@ -157,11 +170,10 @@ object TextAnalysis {
         explode(col("__t")).as("term"))
     val tf = toks.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tc"), first(col("dl")).as("dl"))
-    // df as a count-over-window on the SAME tf frame: the tokenize +
-    // (doc_id, term) aggregation runs once, not once per side of a
-    // tf-joins-df self-join; costs one extra term-keyed exchange
+      .localCheckpoint()
+    val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(dfTable), "term")
       .withColumn("__idf",
         round(log(lit(nDocs.toDouble)) - log(col("df").cast("double")), 6))
       .withColumn("__raw", col("tc").cast("double") / col("dl") * col("__idf"))

@@ -524,14 +524,20 @@ object PipelineQueries {
         "FROM toks), q AS (SELECT *, round(least(1.0, n_tokens::DOUBLE / 50) * (1.0 - punct_ratio), 4) AS quality_score FROM m) " +
         "SELECT doc_id, n_tokens, punct_ratio, stop_ratio, quality_score, quality_score >= 0.5 AS passes FROM q"),
 
+    // predicted = argmax over all four scores, ties to the alphabetically
+    // first language ('unk' only when every score is zero) — the chained
+    // >= CASE implements exactly the engine's (score, -rank) struct-max
     "pipe_text_langid" ->
-      (s"WITH $Toks SELECT doc_id, lang, " +
+      (s"WITH $Toks, sc AS (SELECT doc_id, lang, " +
         "len(list_intersect(t, ['der','die','das','und'])) AS score_de, " +
         "len(list_intersect(t, ['the','a','and','of','value','table'])) AS score_en, " +
         "len(list_intersect(t, ['el','la','y','de'])) AS score_es, " +
-        "len(list_intersect(t, ['le','la','et','les'])) AS score_fr, " +
-        "CASE WHEN len(list_intersect(t, ['the','a','and','of','value','table'])) > 0 THEN 'en' ELSE 'unk' END AS predicted " +
-        "FROM toks"),
+        "len(list_intersect(t, ['le','la','et','les'])) AS score_fr FROM toks) " +
+        "SELECT doc_id, lang, score_de, score_en, score_es, score_fr, " +
+        "CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unk' " +
+        "WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de' " +
+        "WHEN score_en >= score_es AND score_en >= score_fr THEN 'en' " +
+        "WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS predicted FROM sc"),
 
     "pipe_text_fingerprint" ->
       ("WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents) " +

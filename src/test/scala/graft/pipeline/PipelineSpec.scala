@@ -366,6 +366,21 @@ class PipelineSpec extends SparkTestBase {
       text.getBytes("UTF-8").take(4).map(b => (b & 0xff).toString).mkString(","))
   }
 
+  test("langid predicts the argmax language, not just any-English-hit") {
+    import spark.implicits._
+    val mixed = Seq(
+      (0L, "der die das und a test", "de"),    // German outweighs one English stopword
+      (1L, "le la et les the", "fr"),          // French outweighs one English stopword
+      (2L, "the value of a table and", "en"),
+      (3L, "zzz qqq xxx", "unk"),              // no markers at all
+      (4L, "der the", "de"))                   // 1-1 tie -> alphabetically first
+    val in = mixed.toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(in).select("doc_id", "predicted")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = mixed.map { case (id, _, exp) => id -> exp }.toMap
+    assert(got == want)
+  }
+
   test("text analysis langid/quality/fingerprint are deterministic and complete") {
     assert(TextAnalysis.langId(docs).count() == docs.count())
     assert(TextAnalysis.quality(docs).filter(col("quality_score") < 0).count() == 0)
