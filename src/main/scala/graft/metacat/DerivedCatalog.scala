@@ -107,13 +107,24 @@ class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCatalog {
   private def ordersSpread: DataFrame =
     orders.repartition(spark.sparkContext.defaultParallelism)
 
-  /** The derived `files` table is cached per (session, dir): a catalog is a
-    * long-lived service and every query scans it. In a production layout
-    * this materialization IS the stored files table (parquet, partitioned
-    * by namespace, Variant metadata shredded for hot keys); here the cache
-    * plays that role so per-query cost is a columnar scan, not a re-parse
-    * of the JSON derivation. */
-  override lazy val files: DataFrame = cachedFiles(spark, dir, buildFiles)
+  /** The derived `files` table, served from a PHYSICALLY SHREDDED store:
+    * the JSON→Variant derivation (the "ingest") runs once per source
+    * fingerprint and is persisted to parquet with the Variant column and
+    * the typed shred columns stored physically — the posture of the
+    * reference's always-on GIN indexes (`schema.sql:69-70`): pay the
+    * parse at WRITE, never at read. Catalog open in every later session
+    * is a columnar scan of typed pages — zero JSON parsed. The session
+    * cache on top makes repeat queries memory-speed; set
+    * `SPARK_GRAFT_CATALOG_STORE=off` to force the old parse-per-session
+    * in-memory build (the A/B knob for the two postures). */
+  override lazy val files: DataFrame = cachedFiles(spark, dir, loadOrIngest)
+
+  private def loadOrIngest: Either[DataFrame, DataFrame] = {
+    val store = sys.env.getOrElse("SPARK_GRAFT_CATALOG_STORE", "/tmp/graft-catalog-store")
+    if (store == "off") return Left(buildFiles)
+    try Right(materializedFiles(spark, dir, store, buildFiles))
+    catch { case _: Throwable => Left(buildFiles) } // unwritable store ⇒ old path
+  }
 
   private def buildFiles: DataFrame = {
     val k = col("o_orderkey")
@@ -256,10 +267,70 @@ object DerivedCatalog {
   private val filesCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Left = in-memory build (must persist: re-deriving per query would
+    * re-parse the JSON every time); Right = served from the shredded
+    * parquet store — NOT persisted by default: per-query cost is a pruned
+    * columnar scan of typed pages, the same plan shape that holds when
+    * the files table no longer fits in memory.
+    * `SPARK_GRAFT_CATALOG_PERSIST=1` additionally caches the store read
+    * (small-deployment mode: catalog open pays the cache build). */
   private def cachedFiles(spark: SparkSession, dir: String,
-      build: => DataFrame): DataFrame =
+      build: => Either[DataFrame, DataFrame]): DataFrame =
     filesCache.getOrElseUpdate((System.identityHashCode(spark).toString, dir),
-      build.persist())
+      build.fold(_.persist(),
+        df => if (sys.env.get("SPARK_GRAFT_CATALOG_PERSIST").contains("1"))
+          df.persist() else df))
+
+  /** seconds the last [[materializedFiles]] call spent building + writing
+    * the store (0 when it was already warm) — lets Bench report the
+    * one-time ingest separately from the per-session open */
+  @volatile var lastIngestSecs: Double = 0.0
+
+  /** Serve `files` from an on-disk shredded store keyed by the source
+    * directory and fingerprinted by the source parquet's (length, mtime):
+    * warm ⇒ read back (no parse anywhere); cold/stale ⇒ run `build`, write
+    * it (Variant + shred columns stored physically), atomically swap in,
+    * read back. Write-to-temp + rename keeps a concurrent reader safe on
+    * any rename-atomic store. */
+  private def materializedFiles(spark: SparkSession, dir: String,
+      store: String, build: => DataFrame): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
+    val sfs = src.getFileSystem(hconf)
+    val st = sfs.getFileStatus(src)
+    // v2: derivation logic version — bump when buildFiles changes shape
+    val fp = s"v2:${st.getLen}:${st.getModificationTime}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dst = new org.apache.hadoop.fs.Path(s"$store/files-$key")
+    val fpFile = new org.apache.hadoop.fs.Path(dst, "_FINGERPRINT")
+    val fs = dst.getFileSystem(hconf)
+
+    def readFp(): Option[String] =
+      if (!fs.exists(fpFile)) None
+      else {
+        val in = fs.open(fpFile)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+      }
+
+    lastIngestSecs = 0.0
+    if (!readFp().contains(fp)) {
+      val t0 = System.nanoTime()
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$store/files-$key.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_FINGERPRINT"), true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst)) { // concurrent builder won the rename
+        fs.delete(tmp, true)
+        if (!readFp().contains(fp))
+          throw new java.io.IOException(s"cannot install catalog store $dst")
+      }
+      lastIngestSecs = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+    }
+    spark.read.parquet(dst.toString)
+  }
 
   private def fid(k: Column): Column =
     concat(lit("F"), lpad(k.cast("string"), 8, "0"))

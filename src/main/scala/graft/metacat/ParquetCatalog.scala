@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   *
   * Layout under `root/`:
   * {{{
-  *   files/               partitioned by namespace; metadata as JSON text
+  *   files/               partitioned by namespace; metadata as PHYSICAL
+  *                        Variant + typed shred columns (see below)
   *   files_datasets/      (fid, dataset_namespace, dataset_name)
   *   datasets/ queries/ parent_child/ datasets_parent_child/
   * }}}
@@ -19,19 +20,32 @@ import org.apache.spark.sql.types._
   * Scale notes: `files` is partitioned by namespace so DID lookups and
   * namespace-scoped queries prune; at 100 TB you would additionally
   * bucket by `fid` (co-locates every id-join in the engine: set ops,
-  * provenance hops, membership semi-joins) and shred hot metadata keys
-  * into typed columns. Metadata is STORED as JSON text (portable,
-  * appendable) and exposed to the engine as Variant via `parse_json` at
-  * read time; a production deployment on Spark 4 parquet would store
-  * VariantType physically (with shredding) — same engine code either way.
+  * provenance hops, membership semi-joins). Metadata is parsed ONCE at
+  * write time and stored as a physical parquet VariantType column, with
+  * the hot keys of `fileShredding` additionally shredded into typed
+  * columns (readable with parquet min/max stats) — the posture of the
+  * reference's always-on GIN indexes (`schema.sql:69-70`): indexing cost
+  * at write, zero JSON parsed at read. The declare/update APIs still
+  * accept JSON text (portable wire format); v1 stores (JSON text at
+  * rest) are upgraded in place by [[migrateV1Files]]. The dimension
+  * tables (`datasets`, `queries`) keep JSON at rest — they are
+  * broadcast-sized, so their read-time parse is nil by construction.
   *
   * Writes are append-only parquet followed by compacting rewrites for
   * updates — mirroring how a lakehouse table (Delta/Iceberg) would do it,
   * without requiring those libraries in this environment.
   */
-final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCatalog {
+final class ParquetCatalog(spark: SparkSession, root: String,
+    fileShredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = Map.empty)
+  extends MetacatCatalog {
 
   import ParquetCatalog._
+
+  /** predicates on these keys compile to the typed stored columns */
+  override def shredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] =
+    fileShredding
+
+  private val storedSchema = filesStoredSchema(fileShredding)
 
   private def path(t: String) = s"$root/$t"
 
@@ -53,13 +67,28 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
 
   // ---- MetacatCatalog (read side) ----
 
-  override def files: DataFrame =
-    readOr("files", FilesSchema)
-      .withColumn("metadata", parse_json(col("metadata_json")))
+  // one-time layout probe: opening a v1 store (JSON text at rest) with a
+  // fixed v2 schema would silently read every metadata as null — fail
+  // loudly and point at the migration instead
+  @volatile private var layoutChecked = false
+  private def requireV2Layout(): Unit = {
+    if (layoutChecked) return
+    val p = hPath("files")
+    val fs = fsOf(p)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory && fs.listStatus(p).nonEmpty &&
+        spark.read.parquet(path("files")).columns.contains("metadata_json"))
+      throw new IllegalStateException(
+        s"$root/files holds the v1 JSON-text layout; run migrateV1Files() first")
+    layoutChecked = true
+  }
+
+  override def files: DataFrame = {
+    requireV2Layout()
+    readOr("files", storedSchema)
       // a row ingested with null retired must not vanish from default
       // queries (Planner filters on !retired, which is null-out for null)
       .withColumn("retired", coalesce(col("retired"), lit(false)))
-      .drop("metadata_json")
+  }
 
   override def filesDatasets: DataFrame = readOr("files_datasets", FilesDatasetsSchema)
 
@@ -114,14 +143,15 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     // pin the batch: validation, the files append and the membership
     // append must all see the SAME row set even if the caller's plan is
     // nondeterministic (limit/sample/shuffle-ordered input)
-    val batch = withDeclareDefaults(rows, FilesSchema).persist()
+    val batch = withDeclareDefaults(rows, FilesDeclareSchema).persist()
     try {
       // re-declaring an existing id — or declaring the same id twice in
       // one batch — is an error, as in the reference (data_handler.py
       // declare: 'already exists'); silently appending would duplicate
       // rows in both tables
+      requireV2Layout()
       val dup = batch.select("fid")
-        .join(readOr("files", FilesSchema).select("fid"), Seq("fid"), "left_semi")
+        .join(readOr("files", storedSchema).select("fid"), Seq("fid"), "left_semi")
         .limit(1).collect()
       if (dup.nonEmpty)
         throw new IllegalArgumentException(
@@ -161,7 +191,10 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
           .withColumn("dataset_name", lit(n))
           .write.mode(SaveMode.Append).parquet(path("files_datasets"))
       }
-      batch.write.mode(SaveMode.Append).partitionBy("namespace").parquet(path("files"))
+      // the ONE JSON parse in a file row's life: text → stored Variant +
+      // typed shred columns, at declare time
+      toStored(batch).write.mode(SaveMode.Append)
+        .partitionBy("namespace").parquet(path("files"))
     } finally { batch.unpersist(); () }
   }
 
@@ -181,6 +214,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       s"bad mode $metadataMode")
     datasetRow(namespace, name) // existence check — throws if missing
     metadataJson.foreach { mj =>
+      requireJsonObject(mj)
       // the handler rejects any post-merge key without a '.' category
       // prefix (data_handler.py:317-319); pre-existing keys were already
       // checked when they were written, so checking the patch suffices
@@ -248,8 +282,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       "parent_child", ParentChildSchema, partitionCols = Nil)
     rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!hit),
       "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
-    rewrite(readOr("files", FilesSchema).filter(!hit),
-      "files", FilesSchema, partitionCols = Seq("namespace"))
+    rewriteFiles(storedFiles().filter(!hit))
   }
 
   /** Create a namespace (`create_namespace`, data_handler.py:119-150;
@@ -343,7 +376,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
   /** retire files by id (data_handler.py retire path; schema.sql:63-65) —
     * compacting rewrite of the affected rows. */
   def retireFiles(fids: Seq[String], by: String = "graft"): Unit = {
-    val raw = readOr("files", FilesSchema)
+    val raw = storedFiles()
     val updated = raw
       .withColumn("__hit", col("fid").isin(fids: _*))
       .withColumn("retired", when(col("__hit"), lit(true)).otherwise(col("retired")))
@@ -351,7 +384,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
         when(col("__hit"), current_timestamp()).otherwise(col("retired_timestamp")))
       .withColumn("retired_by", when(col("__hit"), lit(by)).otherwise(col("retired_by")))
       .drop("__hit")
-    rewrite(updated, "files", FilesSchema, partitionCols = Seq("namespace"))
+    rewriteFiles(updated)
   }
 
   /** bulk metadata update, modes per `update_file_meta`
@@ -360,39 +393,31 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
   def updateFileMeta(fids: Seq[String], patchJson: String, mode: String = "update",
       by: String = "graft"): Unit = {
     require(mode == "update" || mode == "replace", s"bad mode $mode")
+    requireJsonObject(patchJson)
     // the incoming metadata dict validates against the category closure,
     // as in the reference's update path (data_handler.py:932)
     failOnCategoryViolations(
       spark.range(1).select(lit("patch").as("fid"), lit(patchJson).as("metadata_json")))
-    val raw = readOr("files", FilesSchema)
+    val raw = storedFiles()
     val merged = mode match {
-      case "replace" => lit(patchJson)
-      case "update" =>
-        // JSON-level merge of top-level keys; patch wins on conflict.
-        // Colliding original keys are dropped before the concat so no
-        // session-wide mapKeyDedupPolicy setting is needed.
-        val orig = coalesce(
-          try_variant_get(parse_json(col("metadata_json")), "$", "map<string,variant>"),
-          map().cast("map<string,variant>"))
-        val patch = try_variant_get(parse_json(lit(patchJson)), "$", "map<string,variant>")
-        to_json(map_concat(
-          map_filter(orig, (k, _) => !map_contains_key(patch, k)), patch))
+      case "replace" => parse_json(lit(patchJson))
+      case "update" => mergedVariant(col("metadata"), patchJson)
     }
     val updated = raw
       .withColumn("__hit", col("fid").isin(fids: _*))
-      .withColumn("metadata_json", when(col("__hit"), merged).otherwise(col("metadata_json")))
+      .withColumn("metadata", when(col("__hit"), merged).otherwise(col("metadata")))
       .withColumn("updated_by", when(col("__hit"), lit(by)).otherwise(col("updated_by")))
       .withColumn("updated_timestamp",
         when(col("__hit"), current_timestamp()).otherwise(col("updated_timestamp")))
       .drop("__hit")
-    rewrite(updated, "files", FilesSchema, partitionCols = Seq("namespace"))
+    rewriteFiles(updated)
   }
 
   /** move files between namespaces (data_handler.py move-namespace
     * connector): rewrites the affected rows; DIDs change, fids do not, so
     * dataset memberships and provenance stay valid. */
   def moveNamespace(fids: Seq[String], toNamespace: String, by: String = "graft"): Unit = {
-    val raw = readOr("files", FilesSchema)
+    val raw = storedFiles()
     val updated = raw
       .withColumn("__hit", col("fid").isin(fids: _*))
       .withColumn("namespace",
@@ -401,7 +426,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       .withColumn("updated_timestamp",
         when(col("__hit"), current_timestamp()).otherwise(col("updated_timestamp")))
       .drop("__hit")
-    rewrite(updated, "files", FilesSchema, partitionCols = Seq("namespace"))
+    rewriteFiles(updated)
   }
 
   def saveNamedQuery(namespace: String, name: String, source: String,
@@ -464,7 +489,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       .withColumn("file_count", coalesce(col("__fc"), lit(0L)))
       .drop("__fc")
     rewrite(updated, "datasets", DatasetsSchema, partitionCols = Nil)
-    val nsCounts = readOr("files", FilesSchema)
+    val nsCounts = storedFiles()
       .groupBy(col("namespace"))
       .agg(count(lit(1)).as("file_count"))
       .withColumn("refreshed_timestamp", current_timestamp())
@@ -538,12 +563,19 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
       size: Option[Long] = None, mode: String = "add-update",
       by: String = "graft"): Unit = {
     require(mode == "add-update" || mode == "replace", s"bad mode $mode")
-    val raw = readOr("files", FilesSchema)
+    val raw = storedFiles()
     if (raw.filter(col("fid") === fid).limit(1).collect().isEmpty)
       throw new IllegalArgumentException(s"file $fid not found")
     metadataJson.foreach { mj =>
+      requireJsonObject(mj)
       failOnCategoryViolations(spark.range(1)
         .select(lit(fid).as("fid"), lit(mj).as("metadata_json")))
+    }
+    // a file cannot be its own parent or child — a self-edge would read
+    // back as a provenance cycle of length 1
+    (parents.getOrElse(Nil) ++ children.getOrElse(Nil)).find(_ == fid).foreach { _ =>
+      throw new IllegalArgumentException(
+        s"file $fid cannot appear in its own parents/children")
     }
     val refs = (parents.getOrElse(Nil) ++ children.getOrElse(Nil)).distinct
     if (refs.nonEmpty) {
@@ -558,17 +590,11 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
     var updated = raw
     metadataJson.foreach { mj =>
       val merged = mode match {
-        case "replace" => lit(mj)
-        case _ =>
-          val orig = coalesce(
-            try_variant_get(parse_json(col("metadata_json")), "$", "map<string,variant>"),
-            map().cast("map<string,variant>"))
-          val patch = try_variant_get(parse_json(lit(mj)), "$", "map<string,variant>")
-          to_json(map_concat(
-            map_filter(orig, (k, _) => !map_contains_key(patch, k)), patch))
+        case "replace" => parse_json(lit(mj))
+        case _ => mergedVariant(col("metadata"), mj)
       }
-      updated = updated.withColumn("metadata_json",
-        when(hit, merged).otherwise(col("metadata_json")))
+      updated = updated.withColumn("metadata",
+        when(hit, merged).otherwise(col("metadata")))
     }
     checksums.foreach { cs =>
       val lits = map(cs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
@@ -600,7 +626,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
         if (reqs.nonEmpty) failOnViolations(newRow, reqs)
       }
     }
-    rewrite(updated, "files", FilesSchema, partitionCols = Seq("namespace"))
+    rewriteFiles(updated)
 
     def writeEdges(given: Seq[String], asParents: Boolean): Unit = {
       import spark.implicits._
@@ -619,6 +645,73 @@ final class ParquetCatalog(spark: SparkSession, root: String) extends MetacatCat
   }
 
   // ---- helpers ----
+
+  /** raw stored files frame (no retired coalesce) for write-path rewrites */
+  private def storedFiles(): DataFrame = {
+    requireV2Layout()
+    readOr("files", storedSchema)
+  }
+
+  /** JSON-text declare rows → stored shape: parse once, shred hot keys */
+  private def toStored(jsonRows: DataFrame): DataFrame =
+    align(
+      withShredCols(jsonRows.withColumn("metadata", parse_json(col("metadata_json")))),
+      storedSchema)
+
+  /** (re-)derive the typed shred columns from the Variant metadata —
+    * applied on every files rewrite so the columns can never drift from
+    * the metadata they index */
+  private def withShredCols(df: DataFrame): DataFrame =
+    fileShredding.toSeq.sortBy(_._2._1).foldLeft(df) {
+      case (acc, (key, (colName, t))) =>
+        val typ = t match {
+          case graft.mql.MetaCompiler.ShredNum => "double"
+          case graft.mql.MetaCompiler.ShredStr => "string"
+          case graft.mql.MetaCompiler.ShredBool => "boolean"
+        }
+        acc.withColumn(colName,
+          try_variant_get(col("metadata"), s"$$['$key']", typ))
+    }
+
+  /** top-level JSON merge on the stored Variant, patch wins; the
+    * text round trip happens only on the mutated rows at write time */
+  private def mergedVariant(orig: org.apache.spark.sql.Column, patchJson: String) = {
+    val origMap = coalesce(
+      try_variant_get(orig, "$", "map<string,variant>"),
+      map().cast("map<string,variant>"))
+    val patch = try_variant_get(parse_json(lit(patchJson)), "$", "map<string,variant>")
+    parse_json(to_json(map_concat(
+      map_filter(origMap, (k, _) => !map_contains_key(patch, k)), patch)))
+  }
+
+  /** metadata payloads must be JSON objects — an array/scalar would merge
+    * to nothing and then be written verbatim (silent corruption). A
+    * driver-side first-char sniff suffices (free, no Spark job); the
+    * full parse_json at write time still rejects malformed text. */
+  private def requireJsonObject(mj: String): Unit = {
+    val t = if (mj == null) "" else mj.trim
+    if (!t.startsWith("{"))
+      throw new IllegalArgumentException(s"metadata is not a JSON object: $mj")
+  }
+
+  private def rewriteFiles(df: DataFrame): Unit =
+    rewrite(withShredCols(df), "files", storedSchema, partitionCols = Seq("namespace"))
+
+  /** Upgrade a v1 store (metadata as JSON text at rest) to the shredded
+    * v2 layout in place: one pass parses every row's JSON into the
+    * physical Variant + shred columns. Returns the migrated row count. */
+  def migrateV1Files(): Long = {
+    val p = hPath("files")
+    val fs = fsOf(p)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) return 0L
+    val v1 = spark.read.schema(FilesDeclareSchema).parquet(path("files"))
+    if (!spark.read.parquet(path("files")).columns.contains("metadata_json"))
+      return 0L // already v2
+    val n = v1.count()
+    rewrite(toStored(v1), "files", storedSchema, partitionCols = Seq("namespace"))
+    layoutChecked = false
+    n
+  }
 
   private case class DsRow(frozen: Boolean, monotonic: Boolean,
       requirements: Seq[Validation.Constraint])
@@ -696,7 +789,9 @@ object ParquetCatalog {
     Seq("fid", "namespace", "name", "metadata_json", "creator",
       "created_timestamp", "size")
 
-  val FilesSchema: StructType = StructType(Seq(
+  /** the declare/update WIRE shape (and the v1 at-rest layout): metadata
+    * as JSON text */
+  val FilesDeclareSchema: StructType = StructType(Seq(
     StructField("fid", StringType, nullable = false),
     StructField("namespace", StringType, nullable = false),
     StructField("name", StringType, nullable = false),
@@ -710,6 +805,23 @@ object ParquetCatalog {
     StructField("retired", BooleanType),
     StructField("retired_timestamp", TimestampType),
     StructField("retired_by", StringType)))
+
+  /** the v2 AT-REST shape: physical Variant plus the deployment's typed
+    * shred columns */
+  def filesStoredSchema(
+      shredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)]): StructType = {
+    val base = FilesDeclareSchema.fields.map { f =>
+      if (f.name == "metadata_json") StructField("metadata", VariantType) else f
+    }
+    val shred = shredding.toSeq.sortBy(_._2._1).map { case (_, (colName, t)) =>
+      StructField(colName, t match {
+        case graft.mql.MetaCompiler.ShredNum => DoubleType
+        case graft.mql.MetaCompiler.ShredStr => StringType
+        case graft.mql.MetaCompiler.ShredBool => BooleanType
+      })
+    }
+    StructType(base ++ shred)
+  }
 
   val FilesDatasetsSchema: StructType = StructType(Seq(
     StructField("fid", StringType, nullable = false),

@@ -131,13 +131,22 @@ object Mql {
       val counts = f.groupBy(col("namespace"))
         .agg(count(lit(1)).as("file_count"), sum(col("size")).as("total_size"))
       // drive from the namespace DIMENSION (broadcastable, schema.sql:35-49)
-      // so ownership rides along and file-less namespaces still appear
-      catalog.namespaces
+      // so ownership rides along and file-less namespaces still appear —
+      // UNIONed with the file-derived namespaces so files declared into a
+      // namespace missing from the dimension (a writable catalog where
+      // declare does not auto-register) never vanish from the exact count
+      val dim = catalog.namespaces
         .select(col("name").as("namespace"), col("owner_user"))
+      val allNs = dim.unionByName(
+        counts.select(col("namespace"))
+          .join(dim.select("namespace"), Seq("namespace"), "left_anti")
+          .withColumn("owner_user", lit(null).cast("string")))
+      allNs
         .join(counts, Seq("namespace"), "left")
         .select(col("namespace"), col("owner_user"),
           coalesce(col("file_count"), lit(0L)).as("file_count"),
-          col("total_size"), lit(true).as("exact"))
+          coalesce(col("total_size"), lit(0L)).as("total_size"),
+          lit(true).as("exact"))
     } else catalog.namespaceCountsStored match {
       // daemon-refreshed denormalized counts: no files scan at all — the
       // true 100 TB estimate path (the reference answers from the

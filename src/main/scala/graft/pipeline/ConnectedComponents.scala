@@ -81,6 +81,16 @@ object ConnectedComponents {
     * giving one Spark job per round instead of two. */
   def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIters: Int = 25): DataFrame = {
+    // ids must already be integral: a silent cast("long") on string ids
+    // would null them out and drop every edge — fail loudly instead
+    // (string-keyed corpora map ids first, e.g. via a dictionary join)
+    for (c <- Seq(aCol, bCol)) {
+      val t = pairs.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType ||
+        t == org.apache.spark.sql.types.ShortType,
+        s"clusters: $c must be an integral id column, got $t")
+    }
     val edges0 = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()

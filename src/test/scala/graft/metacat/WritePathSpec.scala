@@ -395,6 +395,53 @@ class WritePathSpec extends SparkTestBase {
     assert(counts.keySet == Set("wn1", "wn2") && counts.values.forall(_ == 0L))
   }
 
+  test("non-object metadata payloads are rejected, not written verbatim") {
+    cat.createDataset("w", "objchk")
+    for (bad <- Seq("[1,2]", "\"str\"", "7")) {
+      assertThrows[IllegalArgumentException](
+        cat.updateDataset("w", "objchk", metadataJson = Some(bad)))
+      assertThrows[IllegalArgumentException](
+        cat.updateFileMeta(Seq("X00000001"), bad))
+      assertThrows[IllegalArgumentException](
+        cat.updateFile("X00000001", metadataJson = Some(bad)))
+    }
+  }
+
+  test("update_file rejects a self-referencing provenance edge") {
+    assertThrows[IllegalArgumentException](
+      cat.updateFile("X00000001", parents = Some(Seq("X00000001"))))
+    assertThrows[IllegalArgumentException](
+      cat.updateFile("X00000001", children = Some(Seq("X00000002", "X00000001"))))
+  }
+
+  test("exact namespaceCounts keeps namespaces missing from the dimension") {
+    // this catalog declared into ns0/ns1 without createNamespace; the
+    // dimension holds only wn1/wn2 — the exact path must still count the
+    // file-derived namespaces (ADVICE r4) and coalesce sizes to 0
+    val rows = Mql.namespaceCounts(cat, includeRetired = true).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows.contains("ns0") && rows.contains("ns1"), s"got $rows")
+    assert(rows("wn1") == 0L && rows("wn2") == 0L)
+    val sizes = Mql.namespaceCounts(cat, includeRetired = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap // coalesced, never null
+    assert(sizes("wn1") == 0L)
+  }
+
+  test("declared shredding stores typed columns and serves predicates") {
+    val root2 = Files.createTempDirectory("graft-shred-").toString
+    val shred = Map("core.run" -> (("_s_run", graft.mql.MetaCompiler.ShredNum)))
+    val c = new ParquetCatalog(spark, root2, shred)
+    c.declareFiles(declared(6).withColumn("fid", concat(lit("S"), col("fid"))))
+    // the typed column is physically present and equals the variant value
+    val f = spark.read.parquet(s"$root2/files")
+    assert(f.columns.contains("_s_run"))
+    assert(c.files.filter(col("_s_run") === 3.0).count() == 1)
+    // metadata updates re-derive the shred column on rewrite
+    c.updateFileMeta(Seq("SX00000003"), """{"core.run":99}""")
+    assert(c.files.filter(col("_s_run") === 99.0).count() == 1)
+    assert(Mql.query(spark, c, "files where core.run == 99").count() == 1)
+  }
+
   test("json-seq emitter") {
     val out = new java.io.StringWriter
     JsonSeq.write(Mql.query(spark, cat, "files from w:base limit 3"), out)

@@ -54,4 +54,10 @@ class ConnectedComponentsFuzzSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotBlob == wantBlob)
   }
+
+  test("string id columns are rejected, not silently cast to null") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    assertThrows[IllegalArgumentException](ConnectedComponents.clusters(pairs))
+  }
 }
