@@ -23,6 +23,11 @@ import graft.mql.Mql
   * `-q <file>` reads the query text from a file; `-S/--save-as ns:name`
   * and `-A/--add-to ns:name` materialize the result's membership into a
   * dataset (require `-c`, the writable catalog).
+  *
+  * When the first positional token is `dataset`, `namespace`, `file` or
+  * `named-query`, the invocation is an ADMIN command instead (reference
+  * `metacat/ui/` subcommand groups) — see [[AdminCli]]. Admin commands
+  * require `-c` (they mutate or inspect the writable catalog).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -73,6 +78,29 @@ object Cli {
       case Some(root) => new ParquetCatalog(spark, root)
       case None => new DerivedCatalog(spark,
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    }
+    if (AdminCli.isAdmin(args)) {
+      val writable = cat match {
+        case p: ParquetCatalog => p
+        case _ => throw new IllegalArgumentException(
+          "admin commands require -c <catalog-root>")
+      }
+      // the accumulated "query text" is really the admin argv; operand
+      // flags (-m/-q/…) were consumed above only if they are ALSO query
+      // flags, so re-split from the raw args minus -c/-n pairs
+      val argv = {
+        var j = 0; val b = List.newBuilder[String]
+        while (j < args.length) {
+          args(j) match {
+            case "-c" | "-n" => j += 2
+            case t => b += t; j += 1
+          }
+        }
+        b.result()
+      }
+      AdminCli.run(spark, writable, argv)
+      spark.stop()
+      return
     }
     val text = queryFile match {
       case Some(f) =>

@@ -235,11 +235,17 @@ object Filters {
   }
 
   /** (fid, rank) pairs the driver buffers per spill chunk during `mix`.
-    * Driver memory is O(MixChunk + distinct fids seen) — the fid dedup set
-    * is inherent to the algorithm (the reference's generator holds the
-    * same set, filters.py:160). Var only so tests can shrink it to
-    * exercise the multi-chunk spill path on small data. */
+    * Var only so tests can shrink it to exercise the multi-chunk spill
+    * path on small data. */
   private[mql] var MixChunk = 100000
+
+  /** Hard ceiling on `mix`'s RETAINED dedup set (the reference's
+    * generator holds the full set, filters.py:160; ours is pruned — see
+    * [[mix]] — so this bounds the inter-stream skew window, not the
+    * output size). Crossing it raises a clear error instead of slowly
+    * strangling the driver heap; at ~60 bytes/fid the default is <1 GiB.
+    * Var only so tests can exercise the bound. */
+  private[mql] var MixMaxDedup = 10000000
 
   /** Weighted round-robin interleave of k id-ordered streams with global
     * dedup by fid; stops at first exhaustion — faithful port of the score
@@ -250,6 +256,14 @@ object Filters {
     * mix ranks lazily, spills (fid, rank) in [[MixChunk]]-sized chunks to a
     * scratch parquet, and re-attaches the full rows with a distributed
     * join; the result is ordered by mix rank.
+    *
+    * Driver memory is BOUNDED: because every fid stream arrives id-sorted,
+    * a fid below every stream's next unconsumed head can never be pulled
+    * again, so the dedup set is a TreeSet pruned to that floor once per
+    * [[MixChunk]] pulls. What remains is the skew window between the
+    * fastest and slowest stream — O(ratio spread × chunk), not O(output).
+    * [[MixMaxDedup]] backstops pathological skew with an explicit error
+    * naming the knob, the operator's one true ceiling.
     */
   private def mix(spark: SparkSession, ratios: List[Double],
       inputs: List[DataFrame]): DataFrame = {
@@ -262,9 +276,12 @@ object Filters {
     // checkpoint, ContextCleaner-owned); round 2 re-executed every input's
     // upstream plan for the second consumption
     val pinned = inputs.map(_.localCheckpoint())
-    // narrow driver streams: only fid is pulled through toLocalIterator
-    val fidIters: Array[Iterator[String]] = pinned.map { df =>
-      df.select("fid").sort("fid").toLocalIterator().asScala.map(_.getString(0))
+    // narrow driver streams: only fid is pulled through toLocalIterator;
+    // BUFFERED so the dedup prune can see each stream's next unconsumed
+    // head without disturbing it
+    val fidIters: Array[BufferedIterator[String]] = pinned.map { df =>
+      df.select("fid").sort("fid").toLocalIterator().asScala
+        .map(_.getString(0)).buffered
     }.toArray
 
     // (fid, rank, winning source): the SOURCE matters — when a fid exists
@@ -272,13 +289,24 @@ object Filters {
     // the stream that won the score round (filters.py:151-191), and a
     // lookup filter may have enriched exactly that branch's metadata
     val interleaved: Iterator[(String, Long, Int)] = new Iterator[(String, Long, Int)] {
-      private val sent = mutable.HashSet.empty[String]
+      // ordered so prune() can evict everything below the stream floor
+      private val sent = new java.util.TreeSet[String]()
       private var scores = ratios.indices.map(i => (0.0, i)).toList
       private var rank = 0L
       private var nextFid: String = _
       private var nextSrc = 0
       private var done = false
       private var primed = false
+
+      /** sorted-stream eviction: a fid strictly below EVERY live stream's
+        * next unconsumed head can never be pulled again, so it needs no
+        * dedup memory. Exhausted streams produce nothing and don't hold
+        * the floor down. */
+      private def prune(): Unit = {
+        val live = fidIters.filter(_.hasNext)
+        if (live.isEmpty) sent.clear()
+        else sent.headSet(live.map(_.head).min).clear()
+      }
 
       private def advance(): Unit = {
         primed = true
@@ -294,8 +322,13 @@ object Filters {
             if (!it.hasNext) done = true
             else {
               val fid = it.next()
-              if (!sent(fid)) {
-                sent += fid
+              if (!sent.contains(fid)) {
+                sent.add(fid)
+                if (sent.size > MixMaxDedup)
+                  throw new IllegalStateException(
+                    s"mix: dedup window exceeded $MixMaxDedup retained fids " +
+                      "(pathological skew between input streams); raise " +
+                      "Filters.MixMaxDedup or rebalance the mix ratios")
                 scores = (scores.head._1 - 1.0, i0) :: scores.tail
                 nextFid = fid
                 nextSrc = i0
@@ -310,6 +343,7 @@ object Filters {
       def next(): (String, Long, Int) = {
         if (!hasNext) throw new NoSuchElementException("mix exhausted")
         val out = (nextFid, rank, nextSrc); rank += 1; primed = false
+        if (rank % MixChunk == 0) prune()
         out
       }
     }

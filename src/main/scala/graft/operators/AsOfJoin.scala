@@ -27,9 +27,12 @@ object AsOfJoin {
     * `rightPrefix + name`, the matched ordering value included) from the
     * matched as-of row; unmatched left rows (no right row at or before)
     * are dropped (inner as-of semantics). With `tolerance`, a match
-    * further than `tolerance` ordering units in the past counts as no
-    * match (the pandas merge_asof contract) — a post-filter, since the
-    * carried payload is already the closest one. */
+    * further than `tolerance` in the past counts as no match (the pandas
+    * merge_asof contract) — a post-filter, since the carried payload is
+    * already the closest one. Tolerance units follow the ordering column's
+    * type: native units for numeric `ord`, MICROSECONDS for
+    * timestamp `ord`, DAYS for date `ord` (a raw `__o - __m.ord` would
+    * yield an interval for time types and fail analysis against a Long). */
   def asOf(left: DataFrame, right: DataFrame, key: String, ord: String,
       rightPrefix: String = "r_", tolerance: Option[Long] = None): DataFrame = {
     val reserved = Set("__k", "__o", "__side", "__r", "__m")
@@ -58,7 +61,18 @@ object AsOfJoin {
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1 && col("__m").isNotNull)
       .filter(tolerance match {
-        case Some(t) => col("__o") - col("__m").getField(ord) <= t
+        case Some(t) =>
+          import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+          val matched = col("__m").getField(ord)
+          left.schema(ord).dataType match {
+            case TimestampType | TimestampNTZType =>
+              // (NTZ goes through a session-tz cast: the offsets cancel
+              // in the difference)
+              unix_micros(col("__o").cast(TimestampType)) -
+                unix_micros(matched.cast(TimestampType)) <= t
+            case DateType => datediff(col("__o"), matched) <= t
+            case _ => col("__o") - matched <= t
+          }
         case None => lit(true)
       })
 

@@ -210,9 +210,18 @@ object Similarity {
     * Shape: both sides end as tiny (nQueries·k)-row frames, so the hit
     * join and the per-query rollup are negligible next to the two scans
     * that produce them; nothing here adds a corpus-sized stage. */
-  def recallAtK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def recallAtK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    recallVs(emb, ivfKmeansTopK(emb, nQueries, k), nQueries, k)
+
+  /** Recall@k of ANY approximate top-k result against exact brute force —
+    * the same rollup as [[recallAtK]] with the approximate side supplied
+    * by the caller (e.g. `Quantization.ivfAdcTopK`, where probe loss AND
+    * quantization distortion both eat into recall — the number a
+    * production tuner actually watches when sizing nProbe/m/kc). */
+  def recallVs(emb: DataFrame, approxTopK: DataFrame,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
     val exact = bruteCosineTopK(emb, nQueries, k).select("query_id", "neighbor_id")
-    val approx = ivfKmeansTopK(emb, nQueries, k).select("query_id", "neighbor_id")
+    val approx = approxTopK.select("query_id", "neighbor_id")
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
     exact.select("query_id").distinct()

@@ -41,6 +41,12 @@ object PipelineQueries {
     "pipe_text_topngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d))),
     // recall@5 of the kmeans-IVF index vs exact brute force
     "pipe_sim_recall" -> ((s, d) => Similarity.recallAtK(emb(s, d))),
+    // recall@5 of the full IVFADC chain vs exact brute force: probe loss
+    // and PQ quantization distortion measured together
+    "pipe_sim_recall_ivfadc" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.recallVs(e, Quantization.ivfAdcTopK(e))
+    }),
     // KMV distinct-token sketch per source vs the exact count
     "pipe_sketch_kmv" -> ((s, d) => Sketches.distinctTokenKmv(docs(s, d))),
     // per-doc top-3 tf-idf keywords
@@ -288,6 +294,56 @@ object PipelineQueries {
       "r AS (SELECT query_id, vec_id AS neighbor_id, sim, row_number() OVER (" +
       "PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id) AS rk FROM cand)"
 
+  /** the full IVFADC chain (kmeans-IVF probe selection + PQ corpus encode
+    * + ADC ranking into `r`), shared by the ivfadc gate and its recall
+    * gate */
+  private def ivfAdcChain: String =
+    s"$EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
+      " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
+      kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
+      "asg AS (SELECT vec_id, bucket FROM (" +
+      "SELECT v.vec_id, c.cid AS bucket, row_number() OVER (PARTITION BY v.vec_id" +
+      s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
+      " FROM n v, cent2 c) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM n WHERE vec_id < 10), " +
+      "probes AS (SELECT query_id, bucket FROM (" +
+      "SELECT q.query_id, c.cid AS bucket, row_number() OVER (PARTITION BY q.query_id" +
+      s" ORDER BY round(${dotQC("q", "c")} / (c.cnorm * q.q_norm), 6) DESC, c.cid) AS prk" +
+      " FROM q, cent2 c) WHERE prk <= 4), " +
+      "samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
+      PqTrain + ", " +
+      (0 until 4).map(pqSubspaceSql(_, 16)).mkString(", ") + ", " +
+      "cnd AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a ON a.bucket = p.bucket" +
+      " WHERE a.vec_id != p.query_id), " +
+      (0 until 4).map { s =>
+        s"adq_$s AS (SELECT cd.query_id, cd.vec_id, " +
+          s"list_sum(list_transform(range(1, 17), i -> (qs.sub[i] - c.cvec[i]) * (qs.sub[i] - c.cvec[i]))) AS d" +
+          s" FROM cnd cd JOIN sub$s qs ON qs.vec_id = cd.query_id" +
+          s" JOIN e_$s e ON e.vec_id = cd.vec_id JOIN c1_$s c ON c.idx = e.idx)"
+      }.mkString(", ") + ", " +
+      "adc AS (SELECT a0.query_id, a0.vec_id, a0.d + a1.d + a2.d + a3.d AS ad " +
+      "FROM adq_0 a0 JOIN adq_1 a1 ON a1.query_id = a0.query_id AND a1.vec_id = a0.vec_id " +
+      "JOIN adq_2 a2 ON a2.query_id = a0.query_id AND a2.vec_id = a0.vec_id " +
+      "JOIN adq_3 a3 ON a3.query_id = a0.query_id AND a3.vec_id = a0.vec_id), " +
+      "r AS (SELECT query_id, vec_id AS neighbor_id, ad, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY round(ad, 6) ASC, vec_id) AS rk FROM adc)"
+
+  /** recall@5 rollup vs exact brute force, appended after any chain that
+    * defines `n` (EmbNorm) and `r` (per-query results ranked in `rk`);
+    * queries missing entirely from `r` still count 0 via the left join */
+  private def recallTailSql: String =
+    "aprx AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 5), " +
+      s"bj AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${dot("q", "c")} / (q.norm * c.norm) AS sim " +
+      "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
+      "br AS (SELECT query_id, neighbor_id, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rk FROM bj), " +
+      "ext AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 5), " +
+      "h AS (SELECT e.query_id, count(a.neighbor_id) AS hits FROM ext e " +
+      "LEFT JOIN aprx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id " +
+      "GROUP BY e.query_id) " +
+      "SELECT query_id, hits, round(hits / 5.0, 4) AS recall FROM h"
+
   val oracles: Map[String, String] = Map(
     "pipe_emb_pq" ->
       ("WITH samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
@@ -323,37 +379,13 @@ object PipelineQueries {
     // the PQ CTE chain encodes the corpus, and the ADC distance is summed
     // per (query, candidate) only for candidates in probed buckets
     "pipe_sim_ivfadc" ->
-      (s"WITH $EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
-        "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
-        " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
-        kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
-        "asg AS (SELECT vec_id, bucket FROM (" +
-        "SELECT v.vec_id, c.cid AS bucket, row_number() OVER (PARTITION BY v.vec_id" +
-        s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
-        " FROM n v, cent2 c) WHERE rn = 1), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM n WHERE vec_id < 10), " +
-        "probes AS (SELECT query_id, bucket FROM (" +
-        "SELECT q.query_id, c.cid AS bucket, row_number() OVER (PARTITION BY q.query_id" +
-        s" ORDER BY round(${dotQC("q", "c")} / (c.cnorm * q.q_norm), 6) DESC, c.cid) AS prk" +
-        " FROM q, cent2 c) WHERE prk <= 4), " +
-        "samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
-        PqTrain + ", " +
-        (0 until 4).map(pqSubspaceSql(_, 16)).mkString(", ") + ", " +
-        "cnd AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a ON a.bucket = p.bucket" +
-        " WHERE a.vec_id != p.query_id), " +
-        (0 until 4).map { s =>
-          s"adq_$s AS (SELECT cd.query_id, cd.vec_id, " +
-            s"list_sum(list_transform(range(1, 17), i -> (qs.sub[i] - c.cvec[i]) * (qs.sub[i] - c.cvec[i]))) AS d" +
-            s" FROM cnd cd JOIN sub$s qs ON qs.vec_id = cd.query_id" +
-            s" JOIN e_$s e ON e.vec_id = cd.vec_id JOIN c1_$s c ON c.idx = e.idx)"
-        }.mkString(", ") + ", " +
-        "adc AS (SELECT a0.query_id, a0.vec_id, a0.d + a1.d + a2.d + a3.d AS ad " +
-        "FROM adq_0 a0 JOIN adq_1 a1 ON a1.query_id = a0.query_id AND a1.vec_id = a0.vec_id " +
-        "JOIN adq_2 a2 ON a2.query_id = a0.query_id AND a2.vec_id = a0.vec_id " +
-        "JOIN adq_3 a3 ON a3.query_id = a0.query_id AND a3.vec_id = a0.vec_id), " +
-        "r AS (SELECT query_id, vec_id AS neighbor_id, ad, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY round(ad, 6) ASC, vec_id) AS rk FROM adc) " +
+      (s"WITH $ivfAdcChain " +
         "SELECT query_id, neighbor_id, round(ad, 4) AS adist, rk FROM r WHERE rk <= 5"),
+
+    // recall@5 of the full IVFADC chain vs exact brute force — probe loss
+    // and quantization distortion measured together
+    "pipe_sim_recall_ivfadc" ->
+      (s"WITH $ivfAdcChain, $recallTailSql"),
 
     // connected components over the >= 0.5 MinHash pair set: recursive
     // min-reachability closure — the same unique fixpoint as the Spark
@@ -379,18 +411,7 @@ object PipelineQueries {
     // recall@5 of the kmeans-IVF index vs exact brute force: replay both
     // chains, count per query how many true neighbors the probed search
     // returned (missing queries count 0 via the left join)
-    "pipe_sim_recall" ->
-      (s"WITH $kmIvfChain, " +
-        "aprx AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 5), " +
-        s"bj AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${dot("q", "c")} / (q.norm * c.norm) AS sim " +
-        "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
-        "br AS (SELECT query_id, neighbor_id, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rk FROM bj), " +
-        "ext AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 5), " +
-        "h AS (SELECT e.query_id, count(a.neighbor_id) AS hits FROM ext e " +
-        "LEFT JOIN aprx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id " +
-        "GROUP BY e.query_id) " +
-        "SELECT query_id, hits, round(hits / 5.0, 4) AS recall FROM h"),
+    "pipe_sim_recall" -> (s"WITH $kmIvfChain, $recallTailSql"),
 
     "pipe_dedup_exact" ->
       """SELECT doc_id, fp, (row_number() OVER (PARTITION BY fp ORDER BY doc_id)) > 1 AS is_dup

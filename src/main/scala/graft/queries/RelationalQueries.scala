@@ -243,6 +243,24 @@ object RelationalQueries {
       graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "us")
         .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
           col("r_click_id").as("click_id"), (col("us") - col("r_us")).as("gap_us"))
+    }),
+
+    // tolerance arm of the as-of join, on the raw TIMESTAMP ordering
+    // column (exercises the time-typed tolerance path: micros under the
+    // hood): clicks more than 24h before the purchase don't match
+    "q_asof_join_tol" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+          tolerance = Some(86400000000L)) // 24h in µs
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("r_click_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -366,5 +384,14 @@ object RelationalQueries {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, p.us AS purchase_us, c.click_id,
         |       p.us - c.us AS gap_us
-        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin)
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin,
+    "q_asof_join_tol" ->
+      """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us AS purchase_us, c.click_id,
+        |       p.us - c.us AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+        |WHERE p.us - c.us <= 86400000000""".stripMargin)
 }

@@ -36,6 +36,35 @@ class FilterScaleSpec extends SparkTestBase {
     } finally Filters.MixChunk = saved
   }
 
+  test("mix dedup set is pruned across chunks; overlapping streams stay deduped") {
+    // ds1 overlaps dsns:all entirely, so the cross-stream dedup is doing
+    // real work here; a tiny MixChunk forces many prune passes
+    val mql = "filter mix(1, 1)(files from dsns:ds1, files from dsns:all)"
+    val oneChunk = Mql.query(spark, cat, mql).select("fid")
+      .collect().map(_.getString(0)).toSeq
+    val saved = Filters.MixChunk
+    try {
+      Filters.MixChunk = 13
+      val pruned = Mql.query(spark, cat, mql).select("fid")
+        .collect().map(_.getString(0)).toSeq
+      assert(pruned == oneChunk && pruned.nonEmpty)
+      assert(pruned.distinct.size == pruned.size)
+    } finally Filters.MixChunk = saved
+  }
+
+  test("mix enforces its documented dedup ceiling with a clear error") {
+    val saved = Filters.MixMaxDedup
+    try {
+      Filters.MixMaxDedup = 5
+      val ex = intercept[IllegalStateException] {
+        Mql.query(spark, cat,
+          "filter mix(1, 1)(files from dsns:ds1, files from dsns:ds1)")
+          .select("fid").collect()
+      }
+      assert(ex.getMessage.contains("MixMaxDedup"))
+    } finally Filters.MixMaxDedup = saved
+  }
+
   test("mix(1,1) alternates strictly across chunk boundaries") {
     val saved = Filters.MixChunk
     try {

@@ -64,6 +64,27 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("tolerance on timestamp and date ordering columns") {
+    import spark.implicits._
+    // timestamp ord: tolerance is in MICROSECONDS
+    val lts = Seq((1L, "2024-01-01 00:00:20", "p"), (1L, "2024-01-01 00:00:30", "q"))
+      .toDF("k", "s", "lv").withColumn("o", col("s").cast("timestamp")).drop("s")
+    val rts = Seq((1L, "2024-01-01 00:00:10", "a"))
+      .toDF("k", "s", "rv").withColumn("o", col("s").cast("timestamp")).drop("s")
+    // gaps: 10 s and 20 s; tolerance 10 s keeps the boundary match only
+    val got = AsOfJoin.asOf(lts, rts, "k", "o", tolerance = Some(10000000L))
+      .collect().map(r => (r.getAs[String]("lv"), r.getAs[String]("r_rv"))).toSet
+    assert(got == Set(("p", "a")))
+    // date ord: tolerance is in DAYS
+    val ld = Seq((1L, "2024-01-05", "p"), (1L, "2024-01-09", "q"))
+      .toDF("k", "s", "lv").withColumn("o", col("s").cast("date")).drop("s")
+    val rd = Seq((1L, "2024-01-02", "a"))
+      .toDF("k", "s", "rv").withColumn("o", col("s").cast("date")).drop("s")
+    val gotD = AsOfJoin.asOf(ld, rd, "k", "o", tolerance = Some(3L))
+      .collect().map(r => (r.getAs[String]("lv"), r.getAs[String]("r_rv"))).toSet
+    assert(gotD == Set(("p", "a")))
+  }
+
   test("asOf plan is one keyed window, not a range join") {
     import spark.implicits._
     val plan = AsOfJoin.asOf(
