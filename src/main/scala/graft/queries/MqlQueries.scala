@@ -112,6 +112,38 @@ object MqlQueries {
           expr("try_variant_get(metadata, \"$['nat.n_name']\", 'string')").as("nat_name"))
     }),
 
+    // --- JDBC-sourced lookup filter (the concrete connector: the same
+    // nation lookup routed through a real SQL database — embedded Derby,
+    // written and read over spark JDBC — and loaded through the
+    // reference-style conf surface rather than in-process registration ---
+    "mql_filter_jdbc" -> ((s, dir) => {
+      val cat = new DerivedCatalog(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-derby-")
+      graft.TempDirs.register(tmp)
+      // keep derby.log inside the temp dir, not the process cwd
+      System.setProperty("derby.system.home", tmp.toString)
+      val url = s"jdbc:derby:$tmp/nationdb;create=true"
+      val props = new java.util.Properties
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("int").as("nkey"), col("n_name"))
+        .write.mode("overwrite").jdbc(url, "runsdb", props)
+      s.conf.set("spark.graft.filters", "runsdb=graft.mql.JdbcLookupFilter")
+      s.conf.set("spark.graft.filter.jdbc.url", url)
+      s.conf.set("spark.graft.filter.jdbc.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      s.conf.set("spark.graft.filter.jdbc.table", "runsdb")
+      s.conf.set("spark.graft.filter.jdbc.keyColumn", "nkey")
+      s.conf.set("spark.graft.filter.jdbc.metaKey", "core.run")
+      s.conf.set("spark.graft.filter.jdbc.prefix", "run")
+      Mql.query(s, cat,
+        "filter runsdb()(files from dsns:ds3 where core.run < 60)")
+        .select(col("fid"), col("namespace"), col("name"), col("size"),
+          col("creator"),
+          unix_timestamp(col("created_timestamp")).as("created_ts"),
+          col("retired"),
+          expr("try_variant_get(metadata, \"$['run.n_name']\", 'string')").as("run_name"))
+    }),
+
     // --- filters (SURVEY §2.7) ---
     "mql_filter_stride" -> q("filter stride(7, 2)(files from dsns:all)") _,
     "mql_filter_sample" -> q("filter sample(0.25)(files from dsns:all)") _,
@@ -246,6 +278,10 @@ object MqlQueries {
       s"SELECT $FileCols, n.n_name AS nat_name FROM mc_files" +
         " LEFT JOIN nation n ON m_run = n.n_nationkey" +
         " WHERE NOT retired AND m_run < 40"),
+    "mql_filter_jdbc" -> o(
+      s"SELECT $FileCols, n.n_name AS run_name FROM mc_files" +
+        " LEFT JOIN nation n ON m_run = n.n_nationkey" +
+        " WHERE NOT retired AND k % 5 = 3 AND m_run < 60"),
     "mql_filter_randomize" -> o(
       s"SELECT $FileCols, md5('7:' || fid) AS rand_key" +
         " FROM mc_files WHERE NOT retired AND k % 5 = 0"),
