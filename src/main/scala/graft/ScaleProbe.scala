@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-knob probe: measures how the SRP-LSH bucket granularity
+  * (`rowsPerBand` ⇒ 2^r buckets per band) must track corpus size.
+  *
+  * The correctness gates pin rowsPerBand=4 (16 buckets/band) — right for
+  * the 2k-vector base corpus, quadratically wrong as density per bucket
+  * grows: at 10× vectors the within-bucket candidate join is ~100× the
+  * work. LSH theory says buckets-per-band should scale ~n/targetBucket;
+  * this main runs the SAME operator at increasing r on the SAME corpus
+  * and prints wall-clock + emitted pairs, demonstrating the knob a real
+  * deployment tunes (and that recall holds: the verified pair set is
+  * reported alongside).
+  *
+  *   sbt "runMain graft.ScaleProbe [dir] [threshold] [r ...]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/scale10x")
+    val threshold = args.lift(1).map(_.toDouble).getOrElse(0.45)
+    val rs = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(4, 6, 8)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    for (r <- rs) {
+      val t0 = System.nanoTime()
+      val pairs = graft.pipeline.Similarity
+        .lshCosinePairs(emb, rowsPerBand = r, threshold = threshold).count()
+      println(f"PROBE n=$n%d t=$threshold%.2f rowsPerBand=$r%d buckets/band=${1 << r}%d " +
+        f"pairs=$pairs%d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -25,4 +25,22 @@ object Sampling {
     }
     docs.filter(bucket(seed, col("doc_id")) < keepBelow)
   }
+
+  /** Deterministic train/val/test assignment by seeded content hash — the
+    * split every training pipeline needs pinned: a document's subset
+    * depends ONLY on (seed, doc_id), so it is reproducible across runs and
+    * engines, stable under repartitioning, and — the property random
+    * splits lack — STABLE UNDER CORPUS GROWTH: ingesting new documents
+    * never reassigns an existing one, so eval sets stay uncontaminated as
+    * the corpus accretes. Pure per-row predicate; no shuffle, no RNG
+    * state, composes with pushdown. */
+  def splitAssign(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+      seed: String = "split"): DataFrame = {
+    require(trainPct + valPct <= 100, "splitAssign: train+val must be <= 100")
+    val b = bucket(seed, col("doc_id")) % 100
+    docs.select(col("doc_id"), b.as("bucket"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
 }

@@ -73,6 +73,23 @@ object Similarity {
   val LshRowsPerBand = 4
   val EmbDim = 64
 
+  /** Bucket-granularity sizing for [[lshCosinePairs]] — the ONE knob that
+    * must track corpus size: buckets-per-band is 2^rowsPerBand, so at a
+    * fixed r the expected bucket occupancy (and with it the within-bucket
+    * candidate join) grows quadratically with n. Pick r so that
+    * 2^r ≈ n / targetPerBucket; `graft.ScaleProbe` on the real 10×
+    * corpus measures the effect (r=4: 22-25 s; r=8: ~3 s at 20k vectors,
+    * candidate-driven — the cost stands even when the verified pair
+    * output is EMPTY). Raising r tightens per-band precision, so recall
+    * at a given threshold is restored by raising `bands` alongside
+    * (the standard AND-OR tradeoff); the correctness gates pin (r=4, b=8)
+    * for the 2k-vector base corpus. */
+  def lshRowsPerBandFor(n: Long, targetPerBucket: Int = 64): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt
+    math.max(LshRowsPerBand, math.min(24, needed))
+  }
+
   /** Banded SRP-LSH near-neighbor pairs (the scale path for similarity
     * search): `bands`×`rowsPerBand` seeded random hyperplanes; a vector's
     * key in band t is the `rowsPerBand` sign bits of that band's planes;

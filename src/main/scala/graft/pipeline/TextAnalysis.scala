@@ -189,6 +189,45 @@ object TextAnalysis {
         round(col("__raw"), 4).as("tfidf"), col("rk").cast("long").as("rk"))
   }
 
+  /** Char-bigram language-model score — the engine's stand-in for the
+    * CCNet/KenLM perplexity filter: train a character-bigram model on the
+    * corpus itself, score each document by mean negative log-likelihood
+    * (nats per bigram). Fluent text reuses the corpus's common bigrams and
+    * scores LOW; gibberish, encoding noise and non-text payloads hit rare
+    * bigrams and score HIGH — rank-filtering on `char_lm_nll` is the
+    * standard quality gate (the production version swaps in a KenLM model
+    * trained on a reference corpus; the plan shape is identical).
+    *
+    * Determinism (the tf-idf discipline): per-bigram surprisal is
+    * round((ln total − ln cnt)·1e6) as a LONG — both logs over integer
+    * arguments, so JVM and any IEEE engine agree — and the per-doc sum is
+    * integer arithmetic (order-free), divided and 4-dec-rounded only at
+    * the end. No float accumulates across rows anywhere.
+    *
+    * Scale shape: one corpus scan explodes bigram occurrences, then ONE
+    * shuffle on (doc_id, bigram) builds the per-doc frame, checkpointed
+    * and reused for BOTH the model (groupBy(b).sum — map-side combine,
+    * vocab-sized ≈ charset², broadcastable) and the scoring join back.
+    * `total` is a driver scalar; nothing corpus-sized is collected. */
+  def charLmScore(docs: DataFrame): DataFrame = {
+    val db = docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(lower(text)) - 1), i -> substring(lower(text), i, 2))"))
+        .as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("occ"))
+      .localCheckpoint()
+    val model = db.groupBy("b").agg(sum("occ").as("cnt"))
+    val total = model.agg(sum("cnt")).head().getLong(0)
+    val nll = model.select(col("b"),
+      round((log(lit(total.toDouble)) - log(col("cnt").cast("double"))) * 1e6)
+        .cast("long").as("nll6"))
+    db.join(broadcast(nll), "b")
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_bigrams"), sum(col("occ") * col("nll6")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s").cast("double") / 1e6 / col("n_bigrams"), 4).as("char_lm_nll"))
+  }
+
   /** Corpus-wide most-frequent n-grams — the boilerplate detector (nav
     * bars, cookie banners, license headers surface as high-doc-frequency
     * n-grams; the usual pipeline action is to strip or downweight them).

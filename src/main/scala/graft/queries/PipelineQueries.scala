@@ -115,7 +115,11 @@ object PipelineQueries {
     "pipe_corpus_mix" -> ((s, d) =>
       Sampling.stratified(docs(s, d), "lang",
         Map("en" -> 0.9, "zh" -> 0.2), defaultRate = 0.4)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // char-bigram LM score: the perplexity-quality-filter proxy
+    "pipe_text_ppx" -> ((s, d) => TextAnalysis.charLmScore(docs(s, d))),
+    // deterministic growth-stable train/val/test split
+    "pipe_split" -> ((s, d) => Sampling.splitAssign(docs(s, d))))
 
   // shared oracle fragments
   private val Toks =
@@ -696,5 +700,28 @@ object PipelineQueries {
     "pipe_corpus_mix" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < " +
-        "(CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 200 ELSE 400 END)"))
+        "(CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 200 ELSE 400 END)"),
+
+    // char-bigram LM: per-bigram surprisal is an INTEGER (round((ln total
+    // − ln cnt)·1e6), both logs over integer args — bit-identical across
+    // engines), per-doc sums are integer arithmetic; one division + 4-dec
+    // round at the end. No float accumulates across rows on either side.
+    "pipe_text_ppx" ->
+      ("WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents WHERE length(text) >= 2), " +
+        "bi AS (SELECT doc_id, unnest(list_transform(range(1, length(lt)), " +
+        "i -> substr(lt, i, 2))) AS b FROM t), " +
+        "db AS (SELECT doc_id, b, count(*)::BIGINT AS occ FROM bi GROUP BY 1, 2), " +
+        "c AS (SELECT b, sum(occ)::BIGINT AS cnt FROM db GROUP BY 1), " +
+        "tot AS (SELECT sum(cnt)::BIGINT AS total FROM c), " +
+        "nll AS (SELECT b, CAST(round((ln(total::DOUBLE) - ln(cnt::DOUBLE)) * 1e6) AS BIGINT) " +
+        "AS nll6 FROM c CROSS JOIN tot) " +
+        "SELECT doc_id, sum(occ)::BIGINT AS n_bigrams, " +
+        "round(sum(occ * nll6)::DOUBLE / 1e6 / sum(occ), 4) AS char_lm_nll " +
+        "FROM db JOIN nll USING (b) GROUP BY doc_id"),
+
+    "pipe_split" ->
+      ("SELECT doc_id, b AS bucket, CASE WHEN b < 90 THEN 'train' " +
+        "WHEN b < 95 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT doc_id, (CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6) " +
+        "AS BIGINT) % 1000) % 100 AS b FROM documents)"))
 }

@@ -387,4 +387,42 @@ class PipelineSpec extends SparkTestBase {
     val fp = TextAnalysis.fingerprint(docs)
     assert(fp.select("fp").distinct().count() == docs.count()) // distinct texts
   }
+
+  test("char-bigram LM: fluent text beats gibberish; bigram counts exact") {
+    import spark.implicits._
+    // 20 docs reusing the same common bigrams train the model; fluent text
+    // made of those bigrams must out-score (lower nll) rare-bigram noise
+    val fluent = (0L until 20L).map(i => (i, "the cat sat on the mat"))
+    val noise = Seq((100L, "xq zj vk wp qx jz"))
+    val scored = TextAnalysis.charLmScore((fluent ++ noise).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scored(0L)._1 == "the cat sat on the mat".length - 1)
+    assert(scored(0L)._2 < scored(100L)._2,
+      s"fluent ${scored(0L)._2} should be < noise ${scored(100L)._2}")
+    // full-corpus run covers every doc exactly once
+    assert(TextAnalysis.charLmScore(docs).count() == docs.count())
+  }
+
+  test("lsh bucket sizing: monotone in n, floored at the gate default, capped") {
+    assert(Similarity.lshRowsPerBandFor(1000) == Similarity.LshRowsPerBand)
+    assert(Similarity.lshRowsPerBandFor(20000) > Similarity.lshRowsPerBandFor(2000))
+    // 2^r tracks n/target within a factor of 2
+    val r = Similarity.lshRowsPerBandFor(1000000)
+    assert((1 << r) >= 1000000 / 64 && (1 << (r - 1)) < 1000000 / 64)
+    assert(Similarity.lshRowsPerBandFor(Long.MaxValue) == 24)
+  }
+
+  test("split assignment is total, disjoint and growth-stable") {
+    val s1 = Sampling.splitAssign(docs)
+    assert(s1.count() == docs.count())
+    val bykind = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 90/5/5 within generous tolerance at n=50
+    assert(bykind.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bykind("train") > bykind.getOrElse("val", 0L))
+    // growth stability: doubling the corpus must not move any existing doc
+    val grown = docs.union(docs.withColumn("doc_id", col("doc_id") + 100000))
+    val s2 = Sampling.splitAssign(grown).filter(col("doc_id") < 100000)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
 }
