@@ -244,4 +244,45 @@ object Dedup {
           |       0, (a, x) -> a + x) > 0
           |  THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
           |cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("simhash"))
+
+  /** SimHash near-duplicate pairs via the PIGEONHOLE block join — the
+    * second linear-cost dedup path beside MinHash-LSH, with a stronger
+    * guarantee: splitting the 60-bit signature into `maxHamming + 1`
+    * equal blocks, any two signatures within `maxHamming` bits must agree
+    * EXACTLY on at least one block (pigeonhole — ≤ maxHamming flipped bits
+    * cannot touch every block). So the block-bucket join is a complete
+    * candidate generator, not a probabilistic one: output is exactly
+    * every pair at hamming ≤ maxHamming. (The Google/Manku-Jain-Sarma
+    * near-dup crawl design.)
+    *
+    * Scale shape: the explode carries (doc_id, block_idx, block_value) —
+    * narrow keys, never text; candidates equi-join per block bucket and
+    * the exact hamming check runs once per distinct candidate pair via
+    * the signature join-back. Block width shrinks as maxHamming grows
+    * (60/(k+1) bits ⇒ coarser buckets, more candidates) — the precision
+    * knob, same occupancy story as the LSH rowsPerBand sizing. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks > 0 && 60 % nBlocks == 0,
+      s"simhashPairs: maxHamming + 1 must divide 60 (got $maxHamming)")
+    val blockBits = 60 / nBlocks
+    val sigs = simhash(docs).localCheckpoint() // signature pass runs once
+    val keyed = sigs.select(col("doc_id"),
+      explode(array((0 until nBlocks).map(i => struct(lit(i).as("blk"),
+        shiftright(col("simhash"), i * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1)).as("bval"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.blk").as("blk"), col("bk.bval").as("bval"))
+    val cand = keyed.select(col("blk"), col("bval"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("blk"), col("bval"), col("doc_id").as("doc_b")),
+        Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("__sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("__sb")), Seq("doc_b"))
+      .withColumn("hamming",
+        expr("bit_count(__sa ^ __sb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -22,6 +22,9 @@ object PipelineQueries {
     "pipe_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
     "pipe_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d))),
     "pipe_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    // SimHash near-dup pairs via the pigeonhole block join — EXACT at
+    // hamming <= 3, so the oracle is the plain quadratic reference
+    "pipe_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     // substring-level dedup: duplicated 8-token-span signals per doc
     "pipe_dedup_substring" -> ((s, d) => Dedup.duplicatedSpans(docs(s, d))),
     "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
@@ -494,6 +497,19 @@ object PipelineQueries {
         "SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j -> " +
         "CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
         "THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash FROM hs"),
+
+    // pigeonhole block join is an EXACT candidate generator at
+    // hamming <= k, so the oracle is the brute-force quadratic reference
+    // (fine in DuckDB at sf0.01; the ENGINE never goes quadratic)
+    "pipe_simhash_pairs" ->
+      (s"WITH hs AS (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> ${Hex60("w")}) AS h FROM documents), " +
+        "sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j -> " +
+        "CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        "THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh FROM hs) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 3"),
 
     "pipe_sim_topk" ->
       (s"WITH $EmbNorm, j AS (" +

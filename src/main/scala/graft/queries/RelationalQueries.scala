@@ -261,6 +261,28 @@ object RelationalQueries {
           unix_micros(col("ts")).as("purchase_us"),
           col("r_click_id").as("click_id"),
           (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+    }),
+
+    // interval join via RangeJoin's bin equi-join (no nested-loop shape):
+    // shipment timestamps against keyed order-date windows of varying
+    // width; 32-day bins ≈ the max window length
+    "q_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").filter(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          (col("o_custkey") % 10).as("grp"),
+          col("o_orderdate").as("lo"),
+          expr("timestampadd(DAY, cast(o_orderkey % 30 + 1 as int), o_orderdate)").as("hi"))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          (col("l_suppkey") % 10).as("grp"), col("l_shipdate").as("p"))
+      graft.operators.RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi",
+          keys = Seq("grp"), binWidth = 86400000000L * 32)
+        .select(col("l_orderkey"), col("l_linenumber"), col("grp"),
+          unix_micros(col("p").cast("timestamp")).as("p_us"),
+          col("r_win_id").as("win_id"),
+          unix_micros(col("r_lo").cast("timestamp")).as("lo_us"),
+          unix_micros(col("r_hi").cast("timestamp")).as("hi_us"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -393,5 +415,15 @@ object RelationalQueries {
         |SELECT p.event_id, p.user_id, p.us AS purchase_us, c.click_id,
         |       p.us - c.us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
-        |WHERE p.us - c.us <= 86400000000""".stripMargin)
+        |WHERE p.us - c.us <= 86400000000""".stripMargin,
+    "q_range_join" ->
+      """WITH iv AS (SELECT o_orderkey AS win_id, o_custkey % 10 AS grp,
+        |  o_orderdate AS lo,
+        |  o_orderdate + INTERVAL ((o_orderkey % 30) + 1) DAY AS hi
+        |  FROM orders WHERE o_orderkey % 200 = 0),
+        |pts AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_suppkey % 10 AS grp, l_shipdate AS p FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, grp, epoch_ns(p) // 1000 AS p_us,
+        |  win_id, epoch_ns(lo) // 1000 AS lo_us, epoch_ns(hi) // 1000 AS hi_us
+        |FROM pts JOIN iv USING (grp) WHERE p BETWEEN lo AND hi""".stripMargin)
 }

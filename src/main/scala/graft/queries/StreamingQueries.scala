@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream, IvfAssignStream, SketchStream}
+import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream, IntervalJoinStream, IvfAssignStream, SketchStream}
 
 /** Structured Streaming entries for the correctness gate: each runs a real
   * incremental query (AvailableNow trigger) over the events files and is
@@ -39,7 +39,11 @@ object StreamingQueries {
     // table, arriving vectors assigned statelessly (centroid literals);
     // streamed assignment must equal the batch k-means assignment
     "stream_ivf_assign" -> ((s, d) =>
-      IvfAssignStream.runToBatch(s, s"$d/embeddings.parquet", "v_stream_ivf")))
+      IvfAssignStream.runToBatch(s, s"$d/embeddings.parquet", "v_stream_ivf")),
+    // time-bounded stream-stream join (watermarked state eviction): each
+    // purchase joins the same user's clicks in the preceding hour
+    "stream_interval_join" -> ((s, d) =>
+      IntervalJoinStream.runToBatch(s, s"$d/events.parquet", "v_stream_ivj")))
 
   val oracles: Map[String, String] = Map(
     "stream_events_hourly" ->
@@ -84,5 +88,16 @@ object StreamingQueries {
     // batch k-means assignment of every vector (the asg CTE of the
     // shared ivf_kmeans chain) — streamed stateless assignment must agree
     "stream_ivf_assign" ->
-      (s"WITH ${PipelineQueries.kmIvfChain} SELECT vec_id, bucket FROM asg"))
+      (s"WITH ${PipelineQueries.kmIvfChain} SELECT vec_id, bucket FROM asg"),
+    // batch interval join (the streamed pair set must equal it exactly)
+    "stream_interval_join" ->
+      """WITH c AS (SELECT user_id AS c_user, epoch_ns(ts) // 1000 AS click_us,
+        |  event_id AS click_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS purchase_us,
+        |  event_id AS purchase_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, purchase_id, click_id, purchase_us, click_us,
+        |  purchase_us - click_us AS gap_us
+        |FROM p JOIN c ON user_id = c_user
+        |  AND click_us <= purchase_us
+        |  AND click_us >= purchase_us - 3600000000""".stripMargin)
 }

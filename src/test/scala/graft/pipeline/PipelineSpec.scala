@@ -403,6 +403,23 @@ class PipelineSpec extends SparkTestBase {
     assert(TextAnalysis.charLmScore(docs).count() == docs.count())
   }
 
+  test("simhash pigeonhole pairs equal brute-force hamming pairs") {
+    for (k <- Seq(2, 3, 5)) {
+      val got = Dedup.simhashPairs(docs, maxHamming = k)
+      val sig = Dedup.simhash(docs)
+      val brute = sig.toDF("doc_a", "sa")
+        .crossJoin(sig.toDF("doc_b", "sb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
+      assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+        s"pigeonhole incomplete at k=$k")
+    }
+    // k+1 must divide 60
+    assertThrows[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 6))
+  }
+
   test("lsh bucket sizing: monotone in n, floored at the gate default, capped") {
     assert(Similarity.lshRowsPerBandFor(1000) == Similarity.LshRowsPerBand)
     assert(Similarity.lshRowsPerBandFor(20000) > Similarity.lshRowsPerBandFor(2000))
