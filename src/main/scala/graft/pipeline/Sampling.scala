@@ -26,6 +26,36 @@ object Sampling {
     docs.filter(bucket(seed, col("doc_id")) < keepBelow)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement, k per group —
+    * Efraimidis-Spirakis A-ES: each row draws u ∈ (0,1] and ranks by
+    * u^(1/w); the k largest win, giving every row inclusion probability
+    * proportional to its weight with a SINGLE pass and a bounded top-k —
+    * the distributed-reservoir construction (importance-weighted corpus
+    * sampling: weight by length, quality, domain priority…).
+    *
+    * Determinism: u derives from md5 (u = (hex60+1)/2^60), and ranking
+    * uses the monotone-equivalent score ln(u)/w = (ln(m+1) − 60·ln 2)/w
+    * — logs over INTEGER arguments only (the engine-exact discipline),
+    * 6-dec-rounded with doc_id tie-break. Larger score = larger u^(1/w).
+    *
+    * Scale shape: per-row key computation is codegen'd; the per-group
+    * top-k is the partial-WindowGroupLimit shape (k rows per partition
+    * survive the shuffle). Weights must be positive integers. */
+  def weightedSample(docs: DataFrame, k: Int = 5, weightCol: String = "n_chars",
+      groupCol: String = "source", seed: String = "ws"): DataFrame = {
+    val m = conv(substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val score = round(
+      (log(m + lit(1).cast("double")) - lit(60.0) * log(lit(2.0))) /
+        col(weightCol).cast("double"), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(score.desc, col("doc_id"))
+    docs.withColumn("__s", score)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("doc_id"), col(weightCol), col("rk"))
+  }
+
   /** Deterministic train/val/test assignment by seeded content hash — the
     * split every training pipeline needs pinned: a document's subset
     * depends ONLY on (seed, doc_id), so it is reproducible across runs and

@@ -189,6 +189,19 @@ object TextAnalysis {
         round(col("__raw"), 4).as("tfidf"), col("rk").cast("long").as("rk"))
   }
 
+  /** Per-(lang, source) corpus rollup — the composition/balance audit a
+    * training-mix owner reads first: document counts, char/token volume,
+    * and mean document length. One scan, map-side combined keyed
+    * aggregation; integer sums + one rounded division (engine-exact). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.withColumn("__nt", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(col("__nt")).as("total_tokens"),
+        round(sum(length(col("text")).cast("long")).cast("double") /
+          count(lit(1)), 2).as("avg_doc_chars"))
+
   /** Char-bigram language-model score — the engine's stand-in for the
     * CCNet/KenLM perplexity filter: train a character-bigram model on the
     * corpus itself, score each document by mean negative log-likelihood

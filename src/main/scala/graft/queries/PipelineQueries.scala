@@ -122,7 +122,11 @@ object PipelineQueries {
     // char-bigram LM score: the perplexity-quality-filter proxy
     "pipe_text_ppx" -> ((s, d) => TextAnalysis.charLmScore(docs(s, d))),
     // deterministic growth-stable train/val/test split
-    "pipe_split" -> ((s, d) => Sampling.splitAssign(docs(s, d))))
+    "pipe_split" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
+    // weighted reservoir (A-ES): top-5 length-weighted docs per source
+    "pipe_weighted_sample" -> ((s, d) => Sampling.weightedSample(docs(s, d))),
+    // per-(lang, source) composition rollup
+    "pipe_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(docs(s, d))))
 
   // shared oracle fragments
   private val Toks =
@@ -739,5 +743,22 @@ object PipelineQueries {
       ("SELECT doc_id, b AS bucket, CASE WHEN b < 90 THEN 'train' " +
         "WHEN b < 95 THEN 'val' ELSE 'test' END AS split FROM " +
         "(SELECT doc_id, (CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6) " +
-        "AS BIGINT) % 1000) % 100 AS b FROM documents)"))
+        "AS BIGINT) % 1000) % 100 AS b FROM documents)"),
+
+    // A-ES weighted reservoir: rank by the monotone-equivalent integer-log
+    // score (ln(m+1) - 60 ln 2)/w, 6-dec rounded, doc_id tie-break
+    "pipe_weighted_sample" ->
+      (s"WITH sc AS (SELECT source, doc_id, n_chars, " +
+        s"round((ln(${Hex60("'ws:' || CAST(doc_id AS VARCHAR)")} + 1) - 60 * ln(2)) / n_chars, 6) AS s " +
+        "FROM documents) " +
+        "SELECT source, doc_id, n_chars, rk FROM " +
+        "(SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY s DESC, doc_id) AS rk FROM sc) WHERE rk <= 5"),
+
+    "pipe_corpus_stats" ->
+      ("SELECT lang, source, count(*) AS n_docs, " +
+        "sum(length(text))::BIGINT AS total_chars, " +
+        "sum(len(string_split(text, ' ')))::BIGINT AS total_tokens, " +
+        "round(sum(length(text))::DOUBLE / count(*), 2) AS avg_doc_chars " +
+        "FROM documents GROUP BY 1, 2"))
 }

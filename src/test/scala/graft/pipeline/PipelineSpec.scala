@@ -429,6 +429,30 @@ class PipelineSpec extends SparkTestBase {
     assert(Similarity.lshRowsPerBandFor(Long.MaxValue) == 24)
   }
 
+  test("weighted sample: k per group, heavy weights win proportionally") {
+    import spark.implicits._
+    val got = Sampling.weightedSample(docs, k = 3)
+    val sizes = got.groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.nonEmpty && sizes.forall(_ <= 3))
+    // 200 groups, each 1 heavy (w=900) + 9 light (w=10) docs: the heavy
+    // doc should win rank 1 in ~900/990 of groups; deterministic per seed
+    val synth = (0 until 200).flatMap { g =>
+      (0 until 10).map(i =>
+        (g.toLong * 100 + i, s"g$g", if (i == 0) 900L else 10L))
+    }.toDF("doc_id", "source", "n_chars")
+    val top1 = Sampling.weightedSample(synth, k = 1)
+    val heavyWins = top1.filter(col("doc_id") % 100 === 0).count()
+    assert(heavyWins > 140, s"heavy doc won only $heavyWins/200 groups")
+    // same inputs, same seed -> identical sample (pure function)
+    assert(top1.exceptAll(Sampling.weightedSample(synth, k = 1)).isEmpty)
+  }
+
+  test("corpus stats cover every (lang, source) cell exactly once") {
+    val st = TextAnalysis.corpusStats(docs)
+    assert(st.count() == docs.select("lang", "source").distinct().count())
+    assert(st.agg(sum("n_docs")).head().getLong(0) == docs.count())
+  }
+
   test("split assignment is total, disjoint and growth-stable") {
     val s1 = Sampling.splitAssign(docs)
     assert(s1.count() == docs.count())
