@@ -16,15 +16,10 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet INT64 TIMESTAMP(NANOS) which vanilla Spark
-      // rejects; read nanos as long and truncate to microseconds (same
-      // truncation DuckDB applies), keeping ts a TimestampType for
-      // watermarks/windows downstream.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // events.ts encoding varies by producer (INT64 nanos vs timestamp[us]
+      // NTZ vs UTC-adjusted); EventsReader branches on the actual footer
+      // type and normalizes ts to TimestampType.
+      EventsReader.readBatch(spark, s"$dir/$name.parquet")
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -18,24 +18,12 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet schema (ts arrives as TIMESTAMP(NANOS) int64 — read
-    * as long and convert, same truncation the batch loader applies) */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Streaming events source. The on-disk `ts` encoding is NOT assumed:
+    * the schema is inferred from the actual file footer and normalized by
+    * [[graft.catalog.EventsReader]] — the same branch the batch loader
+    * takes, so batch and streaming can never diverge on encoding. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.catalog.EventsReader.readStream(spark, stageDir(dir), schemaFrom = dir)
 
   /** the streaming file source requires a DIRECTORY; when given a single
     * parquet file (the driver's layout), stage a temp dir of symlinks */
