@@ -39,5 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_dot takes two float-array arguments")
         DotProductExpr(args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "graft_simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash60 takes one string-array argument")
+        SimHash60Expr(args.head)
+      }))
   }
 }

@@ -232,18 +232,20 @@ object Dedup {
 
   /** 60-bit SimHash over the token stream (term-frequency weighted):
     * bit j is set iff the sum over tokens of ±1 (by bit j of the token's
-    * portable hash) is positive. Near-dups have small Hamming distance. */
+    * portable hash) is positive. Near-dups have small Hamming distance.
+    *
+    * The signature is computed by the codegen'd
+    * [[graft.functions.SimHash60Expr]] (one compiled pass per document;
+    * the previous composable-HOF form ran 60 interpreted folds per doc and
+    * was the bench's worst query), over an input spread across the cluster
+    * — the raw documents table is one parquet file = one input split, and
+    * without the repartition the whole CPU-heavy signature pass runs in a
+    * single task (r6 postmortem: 1-2 of 32 cores busy). */
   def simhash(docs: DataFrame): DataFrame =
-    docs.withColumn("__hs", expr(
-      "transform(split(lower(text), ' '), w -> " +
-        "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint))"))
-      .select(col("doc_id"), expr(
-        """aggregate(transform(sequence(0, 59), j ->
-          |  CASE WHEN aggregate(transform(__hs, h ->
-          |         CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),
-          |       0, (a, x) -> a + x) > 0
-          |  THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
-          |cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("simhash"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.SimHash60Expr.simhash60(split(lower(col("text")), " "))
+          .as("simhash"))
 
   /** SimHash near-duplicate pairs via the PIGEONHOLE block join — the
     * second linear-cost dedup path beside MinHash-LSH, with a stronger
@@ -261,7 +263,8 @@ object Dedup {
     * the signature join-back. Block width shrinks as maxHamming grows
     * (60/(k+1) bits ⇒ coarser buckets, more candidates) — the precision
     * knob, same occupancy story as the LSH rowsPerBand sizing. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      hotBucketCap: Int = 256): DataFrame = {
     val nBlocks = maxHamming + 1
     require(nBlocks > 0 && 60 % nBlocks == 0,
       s"simhashPairs: maxHamming + 1 must divide 60 (got $maxHamming)")
@@ -272,9 +275,26 @@ object Dedup {
         shiftright(col("simhash"), i * blockBits)
           .bitwiseAND(lit((1L << blockBits) - 1)).as("bval"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.blk").as("blk"), col("bk.bval").as("bval"))
-    val cand = keyed.select(col("blk"), col("bval"), col("doc_id").as("doc_a"))
-      .join(keyed.select(col("blk"), col("bval"), col("doc_id").as("doc_b")),
-        Seq("blk", "bval"))
+    // Hot-bucket guard: a regular corpus concentrates docs on few block
+    // values (measured r6: one bucket held 269 of 5,000 docs — and skew
+    // grows with corpus regularity), and an m-doc bucket is an m² pair
+    // task. Sub-split buckets above `hotBucketCap`: the probe side salts
+    // by hash(doc_id) mod nsplit, the build side replicates across the
+    // nsplit sub-buckets, so each pair still meets in EXACTLY one
+    // (blk, bval, sub) bucket — completeness intact, the monster task
+    // spread over nsplit tasks. The hot list is ≤ rows/cap entries by
+    // construction, so the broadcast stays bounded at any corpus size.
+    val hot = keyed.groupBy(col("blk"), col("bval"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > hotBucketCap)
+      .withColumn("nsplit", ceil(col("bsz") / hotBucketCap).cast("int"))
+      .select("blk", "bval", "nsplit")
+    val salted = keyed.join(broadcast(hot), Seq("blk", "bval"), "left")
+      .withColumn("nsplit", coalesce(col("nsplit"), lit(1)))
+    val probe = salted.select(col("blk"), col("bval"),
+      pmod(hash(col("doc_id")), col("nsplit")).as("sub"), col("doc_id").as("doc_a"))
+    val build = salted.select(col("blk"), col("bval"),
+      explode(expr("sequence(0, nsplit - 1)")).as("sub"), col("doc_id").as("doc_b"))
+    val cand = probe.join(build, Seq("blk", "bval", "sub"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand

@@ -420,6 +420,23 @@ class PipelineSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 6))
   }
 
+  test("simhash signature pass is spread across the cluster, not one task") {
+    // the documents table is a single parquet file = one input split; the
+    // r6 bench's worst query was the signature pass running serially
+    val parts = Dedup.simhash(docs).rdd.getNumPartitions
+    assert(parts == spark.sparkContext.defaultParallelism,
+      s"simhash ran on $parts partition(s)")
+  }
+
+  test("hot-bucket sub-splitting loses no pairs (tiny cap forces salting)") {
+    // cap=2 pushes EVERY bucket through the salted probe/replicated-build
+    // path; the result must still equal the unsalted pigeonhole join
+    val salted = Dedup.simhashPairs(docs, maxHamming = 3, hotBucketCap = 2)
+    val plain = Dedup.simhashPairs(docs, maxHamming = 3, hotBucketCap = Int.MaxValue)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted hot-bucket join diverged from plain pigeonhole join")
+  }
+
   test("lsh bucket sizing: monotone in n, floored at the gate default, capped") {
     assert(Similarity.lshRowsPerBandFor(1000) == Similarity.LshRowsPerBand)
     assert(Similarity.lshRowsPerBandFor(20000) > Similarity.lshRowsPerBandFor(2000))
