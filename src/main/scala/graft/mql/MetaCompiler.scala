@@ -145,10 +145,10 @@ object MetaCompiler {
       case "<=" => x <= s
       case ">" => x > s
       case ">=" => x >= s
-      case "~" => x.rlike(s)
-      case "~*" => x.rlike("(?i)" + s)
-      case "!~" => !x.rlike(s)
-      case "!~*" => !x.rlike("(?i)" + s)
+      case "~" => x.rlike(RegexDialect.toJava(s))
+      case "~*" => x.rlike(RegexDialect.toJava(s, caseInsensitive = true))
+      case "!~" => !x.rlike(RegexDialect.toJava(s))
+      case "!~*" => !x.rlike(RegexDialect.toJava(s, caseInsensitive = true))
       case _ => lit(false)
     }
 

@@ -180,7 +180,8 @@ final class Planner(spark: SparkSession, catalog: MetacatCatalog,
     case DsExact(ns, n) => col("namespace") === ns.get && col("name") === n
     case DsPattern(ns, p) => col("namespace") === ns.get && col("name").like(p)
     // unanchored search semantics, like Postgres `~` (dbobjects2.py:1463-1472)
-    case DsRegexp(ns, re) => col("namespace") === ns.get && col("name").rlike(re)
+    case DsRegexp(ns, re) =>
+      col("namespace") === ns.get && col("name").rlike(RegexDialect.toJava(re))
   }
 
   def planDatasetQuery(sels: List[DatasetSel]): DataFrame = selectedDatasets(sels)
@@ -196,7 +197,7 @@ final class Planner(spark: SparkSession, catalog: MetacatCatalog,
         df = df.filter(col("name").like(p))
       case Right(DsRegexp(ns, re)) =>
         ns.foreach(n => df = df.filter(col("namespace") === n))
-        df = df.filter(col("name").rlike(re))
+        df = df.filter(col("name").rlike(RegexDialect.toJava(re)))
     }
     where.foreach(w =>
       df = df.filter(MetaCompiler.compile(w, df("metadata"), queryAttrs(df))))
