@@ -81,6 +81,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }
+    // append-only, git-retained history: bench_last.json is overwritten by
+    // every run (r6 postmortem: when the round total tripled there was no
+    // committed per-query map to diff against), so each run also appends
+    // its full per-query record here for cross-round attribution
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_history.jsonl"),
+      s"""{"at":"${java.time.Instant.now()}",""" + full.drop(1) + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
