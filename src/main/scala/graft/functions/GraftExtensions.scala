@@ -46,5 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_simhash60 takes one string-array argument")
         SimHash60Expr(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_bigrams"),
+      new ExpressionInfo(classOf[CharBigramsExpr].getName, "graft_char_bigrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_char_bigrams takes one string argument")
+        CharBigramsExpr(args.head)
+      }))
   }
 }

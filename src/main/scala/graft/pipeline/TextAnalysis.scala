@@ -217,17 +217,22 @@ object TextAnalysis {
     * integer arithmetic (order-free), divided and 4-dec-rounded only at
     * the end. No float accumulates across rows anywhere.
     *
-    * Scale shape: one corpus scan explodes bigram occurrences, then ONE
-    * shuffle on (doc_id, bigram) builds the per-doc frame, checkpointed
-    * and reused for BOTH the model (groupBy(b).sum — map-side combine,
-    * vocab-sized ≈ charset², broadcastable) and the scoring join back.
-    * `total` is a driver scalar; nothing corpus-sized is collected. */
+    * Scale shape: the per-doc bigram histogram is computed IN THE ROW by
+    * the codegen'd [[graft.functions.CharBigramsExpr]] (one compiled pass
+    * per document), so the exploded frame carries per-doc DISTINCT
+    * bigrams (≈ charset²-bounded) instead of one row per occurrence —
+    * the corpus-characters-sized (doc_id, bigram) shuffle the previous
+    * HOF formulation paid is gone entirely. The frame is checkpointed and
+    * reused for BOTH the model (groupBy(b).sum — map-side combine,
+    * vocab-sized, broadcastable) and the scoring join back. `total` is a
+    * driver scalar; nothing corpus-sized is collected. The repartition
+    * spreads the single-file scan (same posture as `Dedup.simhash`). */
   def charLmScore(docs: DataFrame): DataFrame = {
-    val db = docs.filter(length(col("text")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(lower(text)) - 1), i -> substring(lower(text), i, 2))"))
-        .as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("occ"))
+    val db = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.CharBigramsExpr.bigramCounts(lower(col("text")))))
+      .withColumnRenamed("key", "b").withColumnRenamed("value", "occ")
       .localCheckpoint()
     val model = db.groupBy("b").agg(sum("occ").as("cnt"))
     val total = model.agg(sum("cnt")).head().getLong(0)

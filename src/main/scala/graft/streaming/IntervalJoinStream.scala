@@ -52,16 +52,29 @@ object IntervalJoinStream {
   }
 
   /** run the interval join over the existing files (AvailableNow) and
-    * return the materialized pair set for the Verify gate. */
+    * return the materialized pair set for the Verify gate.
+    *
+    * Stream-stream joins keep FOUR keyed state stores per shuffle
+    * partition (left/right × keyToNumValues/keyWithIndexToValue); the
+    * store count is pinned by the shuffle-partition conf at checkpoint
+    * creation and every micro-batch pays a per-store maintenance cost
+    * regardless of data volume — so this bounded local run scopes the
+    * conf down, same posture as [[DedupStream.runNearDupToBatch]] (a real
+    * cluster sizes it to executor count once, at deploy time). */
   def runToBatch(spark: SparkSession, eventsDir: String, name: String): DataFrame = {
-    val q = attributed(EventsStream.readEvents(spark, eventsDir))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val partKey = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val q = attributed(EventsStream.readEvents(spark, eventsDir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, saved)
     spark.table(name)
   }
 }
