@@ -121,6 +121,12 @@ object ScaleSmoke {
     // keyed agg + TakeOrdered whose reduce side is k rows per partition
     time("dedup_substring")(graft.pipeline.Dedup.duplicatedSpans(bigDocs).count())
     time("text_topngrams")(graft.pipeline.TextAnalysis.topNgrams(bigDocs).count())
+    // round-7 shapes: the codegen'd signature kernels (SimHash pigeonhole
+    // pairs incl. the hot-bucket sub-split; char-bigram LM histogram) must
+    // stay ~linear in mult — both were single-task or occurrence-exploded
+    // before r7
+    time("simhash_pairs")(graft.pipeline.Dedup.simhashPairs(bigDocs).count())
+    time("char_lm")(graft.pipeline.TextAnalysis.charLmScore(bigDocs).count())
     // chunking is a shuffle-free explode (output ~1.3x corpus tokens);
     // tf-idf's df side is vocab-sized, so the clone corpus (same vocab,
     // mult x tf rows) isolates the term-join's scaling

@@ -53,5 +53,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_char_bigrams takes one string argument")
         CharBigramsExpr(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash takes (array<string>, int literal)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash: numHashes must be an integer literal, got $other")
+        }
+        MinHashExpr(args.head, k)
+      }))
   }
 }

@@ -69,7 +69,20 @@ object SimHash60Expr {
   def hash60(bytes: Array[Byte]): Long = {
     val d = md5.get()
     d.reset()
-    val h = d.digest(bytes)
+    digestTo60(d.digest(bytes))
+  }
+
+  /** hash60 over the concatenation prefix ++ body, with no intermediate
+    * buffer (incremental digest) — the MinHash inner loop */
+  def hash60(prefix: Array[Byte], body: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(prefix)
+    d.update(body)
+    digestTo60(d.digest())
+  }
+
+  private def digestTo60(h: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }

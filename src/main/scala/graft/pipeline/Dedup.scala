@@ -89,16 +89,15 @@ object Dedup {
   }
 
   /** per-document MinHash signature (numHashes portable min-hashes over
-    * the shingle set), emitted as a comma-joined string for stable
-    * cross-engine comparison. */
+    * the shingle set, via the codegen'd [[graft.functions.MinHashExpr]]
+    * kernel), emitted as a comma-joined string for stable cross-engine
+    * comparison. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
     withShingles(docs).select(
       col("doc_id"),
-      expr(
-        s"""concat_ws(',', transform(sequence(0, ${numHashes - 1}), h ->
-           |  cast(array_min(transform(shingles, x ->
-           |    cast(conv(substr(md5(concat(cast(h as string), ':', x)), 1, 15), 16, 10) as bigint)
-           |  )) as string)))""".stripMargin).as("sig"))
+      concat_ws(",",
+        graft.functions.MinHashExpr.minhash(col("shingles"), numHashes)
+          .cast("array<string>")).as("sig"))
 
   /** MinHash-LSH near-duplicate pairs: band the signature (rows per band =
     * numHashes/bands), bucket-join, then verify candidates with exact
@@ -113,11 +112,7 @@ object Dedup {
       .select(col("doc_id"), col("shingles"))
     val sigs = sh.select(
       col("doc_id"),
-      expr(
-        s"""transform(sequence(0, ${numHashes - 1}), h ->
-           |  array_min(transform(shingles, x ->
-           |    cast(conv(substr(md5(concat(cast(h as string), ':', x)), 1, 15), 16, 10) as bigint)
-           |  )))""".stripMargin).as("sig"))
+      graft.functions.MinHashExpr.minhash(col("shingles"), numHashes).as("sig"))
     // bands carry only (doc_id, band, bkey): never shuffle the shingle
     // arrays through the bucket join
     val banded = sigs.select(

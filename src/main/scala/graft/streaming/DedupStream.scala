@@ -174,11 +174,8 @@ object DedupStream {
       .withColumn("__t", split(lower(col("text")), " "))
       .filter(size(col("__t")) >= 3)
       .withColumn("shingles", expr(graft.pipeline.Dedup.shingleExpr))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${numHashes - 1}), h ->
-           |  array_min(transform(shingles, x ->
-           |    cast(conv(substr(md5(concat(cast(h as string), ':', x)), 1, 15), 16, 10) as bigint)
-           |  )))""".stripMargin))
+      .withColumn("sig",
+        graft.functions.MinHashExpr.minhash(col("shingles"), numHashes))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${bands - 1}), b ->
            |  concat_ws(',', cast(b as string),
