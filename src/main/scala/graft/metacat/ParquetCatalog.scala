@@ -34,9 +34,24 @@ import org.apache.spark.sql.types._
   * Writes are append-only parquet followed by compacting rewrites for
   * updates — mirroring how a lakehouse table (Delta/Iceberg) would do it,
   * without requiring those libraries in this environment.
+  *
+  * Two mutation modes for the files table (the one that is big at scale):
+  *
+  *  - copy-on-write (default): each mutation rewrites the touched
+  *    `namespace=` partitions ([[rewriteFilesScoped]]). Simple reads, but
+  *    a one-file retire still costs a whole-partition rewrite.
+  *  - merge-on-read (`mergeOnRead = true`): each mutation APPENDS the new
+  *    row versions (or tombstones) to a `files_log/` delta log keyed by
+  *    `(fid, __seq)`; reads overlay latest-log-wins on the base via a
+  *    broadcast anti-join. A mutation's write cost is O(rows touched)
+  *    regardless of table or partition size — the posture of a lakehouse
+  *    MERGE with deletion vectors. [[compactFilesLog]] folds the log back
+  *    into the base (partition-scoped) and truncates it; at 100 TB a
+  *    deployment compacts on a schedule so the log stays broadcast-sized.
   */
 final class ParquetCatalog(spark: SparkSession, root: String,
-    fileShredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = Map.empty)
+    fileShredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = Map.empty,
+    val mergeOnRead: Boolean = false)
   extends MetacatCatalog {
 
   import ParquetCatalog._
@@ -82,13 +97,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     layoutChecked = true
   }
 
-  override def files: DataFrame = {
-    requireV2Layout()
-    readOr("files", storedSchema)
+  override def files: DataFrame =
+    storedFiles()
       // a row ingested with null retired must not vanish from default
       // queries (Planner filters on !retired, which is null-out for null)
       .withColumn("retired", coalesce(col("retired"), lit(false)))
-  }
 
   override def filesDatasets: DataFrame = readOr("files_datasets", FilesDatasetsSchema)
 
@@ -149,9 +162,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // one batch — is an error, as in the reference (data_handler.py
       // declare: 'already exists'); silently appending would duplicate
       // rows in both tables
-      requireV2Layout()
+      // duplicate check against the LIVE view (merged in MOR mode, so a
+      // hard-deleted fid may legally be re-declared)
       val dup = batch.select("fid")
-        .join(readOr("files", storedSchema).select("fid"), Seq("fid"), "left_semi")
+        .join(storedFiles().select("fid"), Seq("fid"), "left_semi")
         .limit(1).collect()
       if (dup.nonEmpty)
         throw new IllegalArgumentException(
@@ -193,8 +207,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
       // the ONE JSON parse in a file row's life: text → stored Variant +
       // typed shred columns, at declare time
-      toStored(batch).write.mode(SaveMode.Append)
-        .partitionBy("namespace").parquet(path("files"))
+      val stored = toStored(batch)
+      if (mergeOnRead) {
+        // a fid whose latest log record is a tombstone would shadow a
+        // plain base append — resurrect those through the log instead
+        val dead = deletedFids()
+        val resurrect = stored.join(dead, Seq("fid"), "left_semi")
+        stored.join(dead, Seq("fid"), "left_anti").write.mode(SaveMode.Append)
+          .partitionBy("namespace").parquet(path("files"))
+        if (resurrect.limit(1).collect().nonEmpty)
+          appendFilesLog(resurrect, LogUpsert)
+      } else {
+        stored.write.mode(SaveMode.Append)
+          .partitionBy("namespace").parquet(path("files"))
+      }
     } finally { batch.unpersist(); () }
   }
 
@@ -282,7 +308,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       "parent_child", ParentChildSchema, partitionCols = Nil)
     rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!hit),
       "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
-    rewriteFilesScoped(storedFiles().filter(!hit), namespacesOf(fids))
+    if (mergeOnRead) appendFilesLog(storedFiles().filter(hit), LogDelete)
+    else rewriteFilesScoped(storedFiles().filter(!hit), namespacesOf(fids))
   }
 
   /** Create a namespace (`create_namespace`, data_handler.py:119-150;
@@ -384,7 +411,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         when(col("__hit"), current_timestamp()).otherwise(col("retired_timestamp")))
       .withColumn("retired_by", when(col("__hit"), lit(by)).otherwise(col("retired_by")))
       .drop("__hit")
-    rewriteFilesScoped(updated, namespacesOf(fids))
+    applyFilesUpdate(updated, fids)
   }
 
   /** bulk metadata update, modes per `update_file_meta`
@@ -410,7 +437,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .withColumn("updated_timestamp",
         when(col("__hit"), current_timestamp()).otherwise(col("updated_timestamp")))
       .drop("__hit")
-    rewriteFilesScoped(updated, namespacesOf(fids))
+    applyFilesUpdate(updated, fids)
   }
 
   /** move files between namespaces (data_handler.py move-namespace
@@ -427,8 +454,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         when(col("__hit"), current_timestamp()).otherwise(col("updated_timestamp")))
       .drop("__hit")
     // both sides of the move are touched: source partitions shed rows,
-    // the target partition gains them
-    rewriteFilesScoped(updated, (namespacesOf(fids) :+ toNamespace).distinct)
+    // the target partition gains them (MOR: the new-namespace row simply
+    // shadows the old-partition base row via the fid anti-join)
+    applyFilesUpdate(updated, fids, extraTouched = Seq(toNamespace))
   }
 
   def saveNamedQuery(namespace: String, name: String, source: String,
@@ -628,7 +656,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         if (reqs.nonEmpty) failOnViolations(newRow, reqs)
       }
     }
-    rewriteFilesScoped(updated, namespacesOf(Seq(fid)))
+    applyFilesUpdate(updated, Seq(fid))
 
     def writeEdges(given: Seq[String], asParents: Boolean): Unit = {
       import spark.implicits._
@@ -648,10 +676,103 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   // ---- helpers ----
 
-  /** raw stored files frame (no retired coalesce) for write-path rewrites */
+  private val logSchema = filesLogSchema(fileShredding)
+
+  private def logNonEmpty(): Boolean = {
+    val p = hPath("files_log")
+    val fs = fsOf(p)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory && fs.listStatus(p).nonEmpty
+  }
+
+  /** latest log record per fid (`__op` upsert|delete, highest `__seq`
+    * wins). The log holds mutations-since-compaction only, so the window
+    * runs over a small frame and the fid key set broadcasts. */
+  private def logLatest(): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.schema(logSchema).parquet(path("files_log"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("fid").orderBy(col("__seq").desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** fids whose LATEST log record is a tombstone */
+  private def deletedFids(): DataFrame =
+    if (logNonEmpty()) logLatest().filter(col("__op") === LogDelete).select("fid")
+    else spark.range(0).select(lit("").as("fid"))
+
+  /** Raw live files frame (no retired coalesce). COW: the base table.
+    * MOR: base overlaid with latest-log-wins — a broadcast anti-join on
+    * the log's fid set plus a union of live log rows, so the read cost is
+    * the base scan + a mutation-sized overlay, never a second shuffle. */
   private def storedFiles(): DataFrame = {
     requireV2Layout()
-    readOr("files", storedSchema)
+    val base = readOr("files", storedSchema)
+    if (!mergeOnRead || !logNonEmpty()) return base
+    val latest = logLatest()
+    val live = latest.filter(col("__op") === LogUpsert)
+      .select(storedSchema.fieldNames.map(col).toIndexedSeq: _*)
+    base.join(broadcast(latest.select("fid")), Seq("fid"), "left_anti")
+      .unionByName(live)
+  }
+
+  // per-catalog monotonic log sequence, lazily seeded from the log on
+  // first use so reopened catalogs continue where they left off
+  private val logSeq = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def nextLogSeq(): Long = synchronized {
+    if (logSeq.get() < 0L) {
+      val seed =
+        if (logNonEmpty())
+          spark.read.schema(logSchema).parquet(path("files_log"))
+            .agg(max(col("__seq"))).collect().head match {
+              case r if r.isNullAt(0) => 0L
+              case r => r.getLong(0)
+            }
+        else 0L
+      logSeq.set(seed)
+    }
+    logSeq.incrementAndGet()
+  }
+
+  /** append one mutation's new row versions (or tombstones) to the delta
+    * log — O(rows touched), no base-table I/O beyond the read feeding
+    * `rows` */
+  private def appendFilesLog(rows: DataFrame, op: String): Unit = {
+    align(withShredCols(rows), storedSchema)
+      .withColumn("__op", lit(op))
+      .withColumn("__seq", lit(nextLogSeq()))
+      .write.mode(SaveMode.Append).parquet(path("files_log"))
+  }
+
+  /** mutation dispatch for the files table: MOR appends the touched rows'
+    * new versions to the log; COW rewrites the touched partitions.
+    * `namespacesOf` (a table scan) only runs on the COW branch. */
+  private def applyFilesUpdate(updated: DataFrame, fids: Seq[String],
+      extraTouched: Seq[String] = Nil): Unit = {
+    if (mergeOnRead) appendFilesLog(updated.filter(col("fid").isin(fids: _*)), LogUpsert)
+    else rewriteFilesScoped(updated, (namespacesOf(fids) ++ extraTouched).distinct)
+  }
+
+  /** Fold the delta log into the base table and truncate it (merge-on-read
+    * compaction). Only the `namespace=` partitions holding logged rows —
+    * old homes of every logged fid plus new homes of upserts — are
+    * rewritten, via the same scoped swap mutations use in COW mode. Safe
+    * against concurrent readers: after the swap the base already equals
+    * the merged view, so re-applying the not-yet-deleted log is a no-op
+    * (upserts match the base rows they shadow; tombstoned fids are gone). */
+  def compactFilesLog(): Unit = {
+    if (!mergeOnRead || !logNonEmpty()) return
+    val log = spark.read.schema(logSchema).parquet(path("files_log"))
+    val base = readOr("files", storedSchema)
+    val touched = base
+      .join(log.select("fid").distinct(), Seq("fid"), "left_semi")
+      .select("namespace")
+      .union(log.filter(col("__op") === LogUpsert).select("namespace"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    rewriteFilesScoped(storedFiles(), touched)
+    fsOf(hPath("files_log")).delete(hPath("files_log"), true)
+    ()
   }
 
   /** JSON-text declare rows → stored shape: parse once, shred hot keys */
@@ -838,6 +959,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 }
 
 object ParquetCatalog {
+  /** merge-on-read log ops */
+  val LogUpsert = "upsert"
+  val LogDelete = "delete"
+
+  /** delta-log at-rest shape: the stored row plus op + sequence */
+  def filesLogSchema(
+      shredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)]): StructType =
+    StructType(filesStoredSchema(shredding).fields ++ Seq(
+      StructField("__op", StringType, nullable = false),
+      StructField("__seq", LongType, nullable = false)))
+
   /** columns declareFiles callers must supply; the rest are defaulted */
   val RequiredDeclareCols: Seq[String] =
     Seq("fid", "namespace", "name", "metadata_json", "creator",

@@ -43,13 +43,14 @@ object WritePathQueries {
         k.as("k"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    "mql_write_path" -> ((s, dir) => {
-      val rootPath = java.nio.file.Files.createTempDirectory("graft_wp_")
-      graft.TempDirs.register(rootPath)
-      val root = rootPath.toString
-      val cat = new ParquetCatalog(s, root)
+  /** The 10-step mutation scenario, parameterized by catalog so the SAME
+    * DuckDB oracle checks both storage modes: copy-on-write (partition
+    * swaps) and merge-on-read (delta-log + compaction). `compactMidway`
+    * folds the MOR log back into the base between the row mutations and
+    * the hard deletes, so the gate exercises log-only reads, compaction,
+    * and post-compaction logging in one pass. */
+  private def writePathScenario(s: SparkSession, dir: String,
+      cat: ParquetCatalog, compactMidway: Boolean): DataFrame = {
       val rows = seedRows(s, dir)
 
       // datasets, one carrying the reference's per-dataset file-metadata
@@ -88,6 +89,10 @@ object WritePathQueries {
         parents = Some(Seq(fidOf(8))))
       cat.moveNamespace((140 until 150).map(fidOf), "wmoved")
 
+      // MOR gate: fold the delta log into the base here — everything
+      // below then runs against a freshly compacted table + new log
+      if (compactMidway) cat.compactFilesLog()
+
       // hard delete (DBFile.delete analog): k 45..49 vanish from the
       // files table AND from wds:low's membership
       cat.removeFiles((45 to 49).map(fidOf))
@@ -106,6 +111,26 @@ object WritePathQueries {
           col("retired"),
           expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"),
           expr("try_variant_get(metadata, \"$['opt.mark']\", 'string')").as("mark"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "mql_write_path" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wp_")
+      graft.TempDirs.register(rootPath)
+      writePathScenario(s, dir, new ParquetCatalog(s, rootPath.toString),
+        compactMidway = false)
+    }),
+
+    // same scenario, same oracle, merge-on-read storage: every files-table
+    // mutation is an O(touched-rows) log append, with one mid-scenario
+    // compaction — the mutation path that stays cheap at a 100 TB catalog
+    "mql_write_path_mor" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpm_")
+      graft.TempDirs.register(rootPath)
+      writePathScenario(s, dir,
+        new ParquetCatalog(s, rootPath.toString, mergeOnRead = true),
+        compactMidway = true)
     }),
 
     // dataset/namespace administration (update_dataset
@@ -197,12 +222,12 @@ object WritePathQueries {
         .select("r.*")
     }))
 
-  val oracles: Map[String, String] = Map(
-    // final state of wds:low, recomputed arithmetically: membership =
-    // saveAs(0..49, 100..149) + addTo(190..199) - remove(100..104);
-    // retired k%40==0 rows are hidden by the BFQ; k<10 carry the merged
-    // metadata patch; k in 140..149 live in the moved namespace
-    "mql_write_path" ->
+  // final state of wds:low, recomputed arithmetically: membership =
+  // saveAs(0..49, 100..149) + addTo(190..199) - remove(100..104);
+  // retired k%40==0 rows are hidden by the BFQ; k<10 carry the merged
+  // metadata patch; k in 140..149 live in the moved namespace. Storage
+  // mode must be invisible to readers, so BOTH write-path gates share it.
+  private val WritePathOracle =
       ("WITH w AS (SELECT o_orderkey AS k, o_orderdate AS ts FROM orders WHERE o_orderkey < 200), " +
         "members AS (SELECT k FROM w WHERE ((k < 150 AND k % 100 < 50) OR k >= 190)" +
         " AND NOT (k BETWEEN 100 AND 104) AND NOT (k BETWEEN 45 AND 49)) " +
@@ -215,7 +240,11 @@ object WritePathQueries {
         " false AS retired," +
         " CAST(CASE WHEN k < 10 THEN 777 ELSE k % 100 END AS BIGINT) AS run," +
         " CASE WHEN k < 10 THEN 'X' ELSE NULL END AS mark " +
-        "FROM members JOIN w USING (k) WHERE k % 40 <> 0"),
+        "FROM members JOIN w USING (k) WHERE k % 40 <> 0")
+
+  val oracles: Map[String, String] = Map(
+    "mql_write_path" -> WritePathOracle,
+    "mql_write_path_mor" -> WritePathOracle,
     // expected final admin state — every mutation is a constant, so the
     // oracle is the literal expected snapshot
     "mql_dataset_admin" ->
