@@ -275,6 +275,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     description.foreach(d => updated = updated.withColumn("description",
       when(hit, lit(d)).otherwise(col("description"))))
     rewrite(updated, "datasets", DatasetsSchema, partitionCols = Nil)
+    invalidateDatasets()
   }
 
   /** Remove a dataset (`remove_dataset`, data_handler.py:548-572 +
@@ -287,6 +288,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val hit = col("namespace") === namespace && col("name") === name
     rewrite(readOr("datasets", DatasetsSchema).filter(!hit),
       "datasets", DatasetsSchema, partitionCols = Nil)
+    invalidateDatasets()
     val mHit = col("dataset_namespace") === namespace && col("dataset_name") === name
     rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!mHit),
       "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
@@ -349,6 +351,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .withColumn("file_count", lit(null).cast("long"))
     align(row, DatasetsSchema)
       .write.mode(SaveMode.Append).parquet(path("datasets"))
+    invalidateDatasets()
   }
 
   /** `save_as`: materialize a query result as a NEW dataset
@@ -487,20 +490,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .withColumn("description", lit(s"category $catPath"))
     align(row, CategoriesSchema)
       .write.mode(SaveMode.Append).parquet(path("categories"))
+    catCache = null
   }
 
-  /** the category table is dimension-sized config — collected once per
-    * mutation, like the reference handler's load_categories cache
-    * (data_handler.py:37-41) */
-  def loadCategories(): Seq[Validation.Category] =
-    readOr("categories", CategoriesSchema)
-      .select("path", "restricted", "definitions")
-      .collect()
-      .map { r =>
-        Validation.Category(r.getString(0), r.getBoolean(1),
-          Validation.parseRequirements(
-            Option(r.getString(2)).getOrElse("{}"), keyPrefix = r.getString(0) + "."))
-      }.toSeq
+  /** the category table is dimension-sized config — collected once and
+    * cached per instance, like the reference handler's load_categories
+    * cache (data_handler.py:37-41); [[createCategory]] invalidates */
+  def loadCategories(): Seq[Validation.Category] = {
+    if (catCache == null)
+      catCache = readOr("categories", CategoriesSchema)
+        .select("path", "restricted", "definitions")
+        .collect()
+        .map { r =>
+          Validation.Category(r.getString(0), r.getBoolean(1),
+            Validation.parseRequirements(
+              Option(r.getString(2)).getOrElse("{}"), keyPrefix = r.getString(0) + "."))
+        }.toSeq
+    catCache
+  }
 
   /** Recompute the denormalized file counts the reference daemon maintains
     * hourly (`daemon/daemon.py:42-59`): per-dataset counts into
@@ -519,6 +526,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .withColumn("file_count", coalesce(col("__fc"), lit(0L)))
       .drop("__fc")
     rewrite(updated, "datasets", DatasetsSchema, partitionCols = Nil)
+    invalidateDatasets()
     val nsCounts = storedFiles()
       .groupBy(col("namespace"))
       .agg(count(lit(1)).as("file_count"))
@@ -891,16 +899,28 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private case class DsRow(frozen: Boolean, monotonic: Boolean,
       requirements: Seq[Validation.Constraint])
 
+  // Dimension caches: the datasets/categories tables are broadcast-sized
+  // config read once per admin mutation; collecting them per lookup costs
+  // a driver round-trip each (a mutation scenario issues dozens). Cached
+  // per catalog instance — the reference handler's load_categories cache
+  // posture (data_handler.py:37-41) — and invalidated by every writer of
+  // the underlying table in THIS instance. A concurrent external writer
+  // is out of scope for an admin session, exactly as in the reference.
+  @volatile private var dsCache: Map[(String, String), DsRow] = null
+  @volatile private var catCache: Seq[Validation.Category] = null
+  private def invalidateDatasets(): Unit = dsCache = null
+
   private def datasetRow(namespace: String, name: String): DsRow = {
-    val rows = readOr("datasets", DatasetsSchema)
-      .filter(col("namespace") === namespace && col("name") === name)
-      .select("frozen", "monotonic", "file_metadata_requirements")
-      .collect()
-    if (rows.isEmpty)
-      throw new IllegalArgumentException(s"dataset $namespace:$name does not exist")
-    val r = rows.head
-    DsRow(r.getBoolean(0), r.getBoolean(1),
-      Option(r.getString(2)).map(Validation.parseRequirements(_)).getOrElse(Nil))
+    if (dsCache == null)
+      dsCache = readOr("datasets", DatasetsSchema)
+        .select("namespace", "name", "frozen", "monotonic", "file_metadata_requirements")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> DsRow(
+          r.getBoolean(2), r.getBoolean(3),
+          Option(r.getString(4)).map(Validation.parseRequirements(_)).getOrElse(Nil)))
+        .toMap
+    dsCache.getOrElse((namespace, name),
+      throw new IllegalArgumentException(s"dataset $namespace:$name does not exist"))
   }
 
   private def failOnViolations(rows: DataFrame,
