@@ -762,6 +762,77 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     else rewriteFilesScoped(updated, (namespacesOf(fids) ++ extraTouched).distinct)
   }
 
+  // ---- merge-on-read time travel (delta-log snapshots) ----
+
+  /** Highest log sequence issued so far (0 when the log is empty or just
+    * compacted). Capture it between mutations to NAME a snapshot for
+    * [[filesAsOf]] — the lakehouse "version" of this catalog's delta log.
+    * Reads the log rather than the in-memory counter so a reopened
+    * catalog instance reports the store's true state. */
+  def currentLogSeq(): Long =
+    if (!logNonEmpty()) 0L
+    else spark.read.schema(logSchema).parquet(path("files_log"))
+      .agg(max(col("__seq"))).collect().head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+
+  /** Merge-on-read TIME TRAVEL: the live files view as of log sequence
+    * `seq` — the base table overlaid with only the log records whose
+    * `__seq <= seq`, latest-of-those-wins (so a fid mutated at seq 2 and
+    * again at seq 5 shows its seq-2 version when read as-of 3). `seq = 0`
+    * is the pure base (the state after the last compaction; declares
+    * write to the base directly, so freshly declared rows are part of
+    * every snapshot). Snapshots reach back only to the last
+    * [[compactFilesLog]] — compaction folds the log into the base and
+    * truncates it, exactly like VACUUM bounding `VERSION AS OF` in a
+    * Delta table. The reference keeps no row history (Postgres updates in
+    * place, `dbobjects2.py`); this is a capability the delta-log storage
+    * adds for free, so it is exposed.
+    */
+  def filesAsOf(seq: Long): DataFrame = {
+    require(mergeOnRead, "filesAsOf requires a merge-on-read catalog")
+    requireV2Layout()
+    val base = readOr("files", storedSchema)
+    val overlaid =
+      if (!logNonEmpty() || seq <= 0L) base
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val latest = spark.read.schema(logSchema).parquet(path("files_log"))
+          .filter(col("__seq") <= seq)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("fid").orderBy(col("__seq").desc)))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+        val live = latest.filter(col("__op") === LogUpsert)
+          .select(storedSchema.fieldNames.map(col).toIndexedSeq: _*)
+        base.join(broadcast(latest.select("fid")), Seq("fid"), "left_anti")
+          .unionByName(live)
+      }
+    overlaid.withColumn("retired", coalesce(col("retired"), lit(false)))
+  }
+
+  /** Audit history of the not-yet-compacted delta log: one row per logged
+    * mutation record — `(__seq, __op, fid, namespace, name, retired)`,
+    * ordered by sequence. The log IS the mutation journal, so history
+    * costs one narrow projection of it. */
+  def logHistory(): DataFrame = {
+    require(mergeOnRead, "logHistory requires a merge-on-read catalog")
+    if (!logNonEmpty())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("__seq", LongType, nullable = false),
+          StructField("__op", StringType, nullable = false),
+          StructField("fid", StringType, nullable = false),
+          StructField("namespace", StringType, nullable = true),
+          StructField("name", StringType, nullable = true),
+          StructField("retired", BooleanType, nullable = true))))
+    else spark.read.schema(logSchema).parquet(path("files_log"))
+      .select(col("__seq"), col("__op"), col("fid"), col("namespace"),
+        col("name"), col("retired"))
+      .orderBy(col("__seq"), col("fid"))
+  }
+
   /** Fold the delta log into the base table and truncate it (merge-on-read
     * compaction). Only the `namespace=` partitions holding logged rows —
     * old homes of every logged fid plus new homes of upserts — are

@@ -133,6 +133,39 @@ object WritePathQueries {
         compactMidway = true)
     }),
 
+    // merge-on-read TIME TRAVEL: three snapshots of one mutation history
+    // read back through `filesAsOf` — the declared base (seq 0), a
+    // mid-history sequence captured between mutations (retire + first
+    // metadata patch visible; the SECOND patch of the same fids, the
+    // namespace move and the hard deletes must NOT be), and the current
+    // view. Every mutation is k-arithmetic, so DuckDB recomputes all
+    // three snapshots from `orders` directly; the multi-version fids
+    // (k < 10, patched twice) pin latest-of-≤seq-wins semantics.
+    "mql_write_path_asof" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpt_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      val rows = seedRows(s, dir)
+      cat.createDataset("wds", "base")
+      cat.declareFiles(rows, dataset = Some(("wds", "base")))
+      cat.retireFiles((0 until 200 by 40).map(fidOf)) // seq 1
+      cat.updateFileMeta((0 until 10).map(fidOf), // seq 2
+        """{"opt.mark":"X","core.run":777}""", mode = "update")
+      val mid = cat.currentLogSeq()
+      cat.updateFileMeta((0 until 10).map(fidOf), // seq 3: second version
+        """{"core.run":888}""", mode = "update")
+      cat.moveNamespace((140 until 150).map(fidOf), "wmoved") // seq 4
+      cat.removeFiles((45 to 49).map(fidOf)) // seq 5: tombstones
+      def shape(df: DataFrame, snap: String) = df.select(
+        lit(snap).as("snap"), col("fid"), col("namespace"), col("size"),
+        col("retired"),
+        expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"),
+        expr("try_variant_get(metadata, \"$['opt.mark']\", 'string')").as("mark"))
+      shape(cat.filesAsOf(0L), "declared")
+        .unionByName(shape(cat.filesAsOf(mid), "mid"))
+        .unionByName(shape(cat.files, "final"))
+    }),
+
     // dataset/namespace administration (update_dataset
     // data_handler.py:287-330, remove_dataset :548-572, create_namespace
     // :119-150): every mutation is a deterministic constant, so the
@@ -242,9 +275,31 @@ object WritePathQueries {
         " CASE WHEN k < 10 THEN 'X' ELSE NULL END AS mark " +
         "FROM members JOIN w USING (k) WHERE k % 40 <> 0")
 
+  // the three filesAsOf snapshots, recomputed arithmetically per existing
+  // k < 200: declared = pristine rows; mid = retire flags + FIRST metadata
+  // patch only; final = second patch merged over the first (mark survives,
+  // run overwritten), namespace move applied, hard-deleted k gone
+  private val AsOfOracle =
+    ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200), " +
+      "snap AS (" +
+      "SELECT 'declared' AS snap, k, 'wraw' AS ns, false AS ret, " +
+      " CAST(k % 100 AS BIGINT) AS run, CAST(NULL AS VARCHAR) AS mark FROM w " +
+      "UNION ALL " +
+      "SELECT 'mid', k, 'wraw', (k % 40 = 0), " +
+      " CAST(CASE WHEN k < 10 THEN 777 ELSE k % 100 END AS BIGINT), " +
+      " CASE WHEN k < 10 THEN 'X' ELSE NULL END FROM w " +
+      "UNION ALL " +
+      "SELECT 'final', k, CASE WHEN k BETWEEN 140 AND 149 THEN 'wmoved' ELSE 'wraw' END, " +
+      " (k % 40 = 0), CAST(CASE WHEN k < 10 THEN 888 ELSE k % 100 END AS BIGINT), " +
+      " CASE WHEN k < 10 THEN 'X' ELSE NULL END " +
+      "FROM w WHERE NOT (k BETWEEN 45 AND 49)) " +
+      "SELECT snap, 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS fid, ns AS namespace, " +
+      "CAST(k * 10 AS BIGINT) AS size, ret AS retired, run, mark FROM snap")
+
   val oracles: Map[String, String] = Map(
     "mql_write_path" -> WritePathOracle,
     "mql_write_path_mor" -> WritePathOracle,
+    "mql_write_path_asof" -> AsOfOracle,
     // expected final admin state — every mutation is a constant, so the
     // oracle is the literal expected snapshot
     "mql_dataset_admin" ->

@@ -132,4 +132,75 @@ class MergeOnReadSpec extends SparkTestBase {
     // was computed FROM the merged view
     assert(reopened.files.filter(col("fid") === "S0" && col("retired")).count() == 1)
   }
+
+  // ---- time travel (filesAsOf / logHistory / currentLogSeq) ----
+
+  test("filesAsOf names every log sequence; latest-of-<=seq wins") {
+    val (cat, _) = newCat(mor = true)
+    declare(cat, "tt", 5, "T")
+    assert(cat.currentLogSeq() == 0L)
+    val declared = state(cat)
+    cat.retireFiles(Seq("T0")) // seq 1
+    cat.updateFileMeta(Seq("T1"), """{"core.run":777,"opt.mark":"X"}""") // seq 2
+    val mid = cat.currentLogSeq()
+    assert(mid == 2L)
+    val midState = state(cat)
+    cat.updateFileMeta(Seq("T1"), """{"core.run":888}""") // seq 3: 2nd version
+    cat.removeFiles(Seq("T2")) // seq 4: tombstone
+    assert(cat.currentLogSeq() == 4L)
+
+    def asOfState(seq: Long): Seq[String] =
+      cat.filesAsOf(seq)
+        .select(concat_ws("|", col("fid"), col("namespace"), col("name"),
+          col("size"), col("retired").cast("string"),
+          to_json(col("metadata"))).as("row"))
+        .collect().map(_.getString(0)).toSeq.sorted
+
+    // seq 0 = pure base; mid = retire + FIRST patch only; current seq (and
+    // anything beyond it) = the live view
+    assert(asOfState(0L) == declared)
+    assert(asOfState(mid) == midState)
+    assert(asOfState(cat.currentLogSeq()) == state(cat))
+    assert(asOfState(Long.MaxValue) == state(cat))
+    // the twice-patched fid shows its seq-2 version when read as-of 2
+    assert(cat.filesAsOf(mid).filter(col("fid") === "T1")
+      .select(expr("try_variant_get(metadata, \"$['core.run']\", 'long')"))
+      .head().getLong(0) == 777L)
+    // the tombstoned fid exists in every snapshot before its delete
+    assert(cat.filesAsOf(3L).filter(col("fid") === "T2").count() == 1)
+    assert(cat.filesAsOf(4L).filter(col("fid") === "T2").count() == 0)
+  }
+
+  test("logHistory journals every mutation; compaction bounds time travel") {
+    val (cat, _) = newCat(mor = true)
+    declare(cat, "tt", 4, "J")
+    cat.retireFiles(Seq("J0", "J1")) // seq 1 (one batch, one seq)
+    cat.removeFiles(Seq("J3")) // seq 2
+    val hist = cat.logHistory().collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 1L, 2L),
+      "one seq per mutation batch, ordered")
+    assert(hist.filter(_.getLong(0) == 1L).forall(_.getString(1) == "upsert"))
+    assert(hist.filter(_.getLong(0) == 2L).map(r => (r.getString(1), r.getString(2))).toSeq
+      == Seq(("delete", "J3")))
+    // compaction folds the log: sequences reset, history empties, and the
+    // only reachable snapshot (seq 0) IS the current state — the VACUUM
+    // bound of Delta-style time travel
+    val live = state(cat)
+    cat.compactFilesLog()
+    assert(cat.currentLogSeq() == 0L)
+    assert(cat.logHistory().count() == 0L)
+    assert(state(cat) == live)
+    assert(cat.filesAsOf(0L)
+      .select(concat_ws("|", col("fid"), col("namespace"), col("name"),
+        col("size"), col("retired").cast("string"),
+        to_json(col("metadata"))).as("row"))
+      .collect().map(_.getString(0)).toSeq.sorted == live)
+  }
+
+  test("time travel requires merge-on-read storage") {
+    val (cow, _) = newCat(mor = false)
+    declare(cow, "tt", 2, "C")
+    intercept[IllegalArgumentException](cow.filesAsOf(0L))
+    intercept[IllegalArgumentException](cow.logHistory())
+  }
 }
