@@ -48,6 +48,57 @@ object Decontam {
       .withColumn("contaminated", col("hits") > 0)
   }
 
+  /** FUZZY decontamination: flag training documents NEAR-DUPLICATE to any
+    * eval document, not just sharing an exact n-gram — the complement of
+    * [[ngramOverlap]] for paraphrased/lightly-edited benchmark leakage
+    * (exact n-gram filters miss a reworded eval question; doc-level
+    * MinHash similarity catches it).
+    *
+    * Machinery is cross-corpus MinHash-LSH: band both corpora's
+    * signatures ([[Dedup.bandedKeys]]), bucket-join train bands against
+    * the BROADCAST eval bands, then exact-verify each candidate's shingle
+    * Jaccard >= `threshold`. Per train doc: how many eval docs it
+    * near-matches, the best verified Jaccard, and the contaminated flag.
+    * Deterministic, and like every LSH path: banding can miss borderline
+    * pairs (recall 1-(1-j^r)^b) but never invents one — every reported
+    * match carries its exact verified score.
+    *
+    * Scale shape: the eval corpus is tiny and bounded, so BOTH its banded
+    * keys and its shingle sets broadcast; the train side contributes only
+    * (doc_id, band, bkey) rows to the candidate join and shingle arrays
+    * for candidate docs only to the verify join. Nothing quadratic,
+    * nothing wide shuffles. */
+  def fuzzyOverlap(train: DataFrame, eval: DataFrame, numHashes: Int = 8,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val shT = Dedup.withShingles(train).select(col("doc_id"), col("shingles"))
+    val shE = Dedup.withShingles(eval).select(col("doc_id"), col("shingles"))
+    val cand = Dedup.bandedKeys(shT, numHashes, bands)
+      .select(col("band"), col("bkey"), col("doc_id").as("tid"))
+      .join(broadcast(Dedup.bandedKeys(shE, numHashes, bands)
+        .select(col("band"), col("bkey"), col("doc_id").as("eid"))),
+        Seq("band", "bkey"))
+      .select(col("tid"), col("eid"))
+      .dropDuplicates("tid", "eid")
+    val hits = cand
+      .join(shT.select(col("doc_id").as("tid"), col("shingles").as("s_t")), Seq("tid"))
+      .join(broadcast(shE.select(col("doc_id").as("eid"), col("shingles").as("s_e"))),
+        Seq("eid"))
+      .withColumn("jac",
+        size(array_intersect(col("s_t"), col("s_e"))).cast("double") /
+          size(array_union(col("s_t"), col("s_e"))))
+      .filter(col("jac") >= threshold)
+      .groupBy("tid")
+      .agg(count(lit(1)).as("n_matches"), round(max(col("jac")), 4).as("max_jac"))
+    // every train doc keeps its row — shingle-less (<3-token) docs and
+    // non-candidates report 0 matches, uncontaminated
+    train.select(col("doc_id"))
+      .join(hits.withColumnRenamed("tid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("max_jac"),
+        col("n_matches").isNotNull.as("contaminated"))
+  }
+
   /** [[ngramOverlap]] for eval sets too large to broadcast as a hash set
     * (a full eval-suite n-gram inventory reaches 10⁸+): identical output,
     * different membership machinery —

@@ -99,28 +99,36 @@ object Dedup {
         graft.functions.MinHashExpr.minhash(col("shingles"), numHashes)
           .cast("array<string>")).as("sig"))
 
+  /** LSH band keys per document: MinHash the shingle array, then emit one
+    * (doc_id, band, bkey) row per band — bands carry only narrow keys, so
+    * the bucket join downstream never shuffles shingle arrays. Shared by
+    * same-corpus pair mining ([[minhashPairs]]) and cross-corpus fuzzy
+    * decontamination ([[Decontam.fuzzyOverlap]]). */
+  private[pipeline] def bandedKeys(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sh.select(
+      col("doc_id"),
+      graft.functions.MinHashExpr.minhash(col("shingles"), numHashes).as("sig"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> " +
+            s"concat_ws(',', transform(sequence(${r} * b, ${r} * b + ${r - 1}), i -> cast(sig[i] as string))))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+  }
+
   /** MinHash-LSH near-duplicate pairs: band the signature (rows per band =
     * numHashes/bands), bucket-join, then verify candidates with exact
     * shingle Jaccard >= threshold. Deterministic: banding may miss
     * borderline pairs (recall 1-(1-j^r)^b) but never invents them. */
   def minhashPairs(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val r = numHashes / bands
     // the shingle sets feed signature generation AND candidate
     // verification — both read the shared withShingles cache
     val sh = withShingles(docs)
       .select(col("doc_id"), col("shingles"))
-    val sigs = sh.select(
-      col("doc_id"),
-      graft.functions.MinHashExpr.minhash(col("shingles"), numHashes).as("sig"))
-    // bands carry only (doc_id, band, bkey): never shuffle the shingle
-    // arrays through the bucket join
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"concat_ws(',', transform(sequence(${r} * b, ${r} * b + ${r - 1}), i -> cast(sig[i] as string))))")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val banded = bandedKeys(sh, numHashes, bands)
     val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
         Seq("band", "bkey"))

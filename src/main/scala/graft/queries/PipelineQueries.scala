@@ -97,6 +97,15 @@ object PipelineQueries {
         all.filter(col("doc_id") % 37 =!= 0),
         all.filter(col("doc_id") % 37 === 0))
     }),
+    // fuzzy (near-duplicate) decontamination: train docs within MinHash
+    // Jaccard 0.5 of ANY eval doc are flagged even with zero exact n-gram
+    // overlap — same train/eval split, cross-corpus LSH + exact verify
+    "pipe_decontam_fuzzy" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontam.fuzzyOverlap(
+        all.filter(col("doc_id") % 37 =!= 0),
+        all.filter(col("doc_id") % 37 === 0))
+    }),
     // the whole flow: clean -> repetition gate -> decontaminate against
     // the eval stand-in -> pack survivors into 512-token bins. Train side
     // is the FULL corpus, so the eval docs themselves (self-overlap) are
@@ -656,6 +665,26 @@ object PipelineQueries {
     // the Bloom path must produce the identical rows — ONE shared string,
     // so an oracle edit cannot drift the two gates apart
     "pipe_decontam_bloom" -> DecontamOracleSql,
+
+    // cross-corpus LSH replayed exactly: same md5-derived minhashes, same
+    // 4×2 banding, train bands joined to eval bands, exact Jaccard verify
+    "pipe_decontam_fuzzy" ->
+      (s"WITH $Sig, " +
+        "tb AS (SELECT doc_id, s, b.range AS band, " +
+        "CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+        "FROM sig, range(4) b WHERE doc_id % 37 <> 0), " +
+        "eb AS (SELECT doc_id, s, b.range AS band, " +
+        "CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+        "FROM sig, range(4) b WHERE doc_id % 37 = 0), " +
+        "cand AS (SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid, t.s AS s_t, e.s AS s_e " +
+        "FROM tb t JOIN eb e ON t.band = e.band AND t.bkey = e.bkey), " +
+        "scored AS (SELECT tid, eid, " +
+        "len(list_intersect(s_t, s_e))::DOUBLE / len(list_distinct(list_concat(s_t, s_e))) AS jac FROM cand), " +
+        "hits AS (SELECT tid, count(*)::BIGINT AS n_matches, round(max(jac), 4) AS max_jac " +
+        "FROM scored WHERE jac >= 0.5 GROUP BY tid) " +
+        "SELECT d.doc_id, coalesce(h.n_matches, 0) AS n_matches, h.max_jac, " +
+        "h.n_matches IS NOT NULL AS contaminated " +
+        "FROM documents d LEFT JOIN hits h ON h.tid = d.doc_id WHERE d.doc_id % 37 <> 0"),
 
     // corpus clean = quality >= 0.5 AND predicted 'en' AND canonical copy
     // AND the minimum doc_id of its near-dup connected component

@@ -60,6 +60,50 @@ class PipelineSpec extends SparkTestBase {
     assert(got(2L)._2 == false && got(3L) == ((0L, false)))
   }
 
+  test("fuzzy decontam flags near-duplicates of eval docs, not exact-only overlap") {
+    import spark.implicits._
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank " +
+        "while birds sing in the tall green trees above the quiet meadow")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // light edit of the eval doc (last word changed) -> Jaccard ~0.9,
+      // well above both the 0.5 gate and the LSH bands' recall knee
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank " +
+        "while birds sing in the tall green trees above the quiet valley"),
+      // shares a couple of shingles only -> below 0.5, clean
+      (2L, "the quick brown bear eats honey in the deep forest every day"),
+      // nothing in common
+      (3L, "completely different text about spark catalyst optimizer rules"),
+      // too short for shingles -> out of scope, still reported clean
+      (4L, "tiny doc"),
+      // the two halves of the eval doc REORDERED: shingle overlap stays
+      // high (only splice-point trigrams change) but the longest shared
+      // token run is the 13-token first half
+      (5L, "while birds sing in the tall green trees above the quiet meadow " +
+        "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val got = Decontam.fuzzyOverlap(train, eval, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Boolean]("contaminated")))).toMap
+    // every train doc keeps its row, including the shingle-less one
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false)))
+    assert(got(4L) == ((0L, false)))
+    assert(got(5L) == ((1L, true)))
+    // the verified score is the exact shingle Jaccard of the edited pair
+    val jac = Decontam.fuzzyOverlap(train, eval, threshold = 0.5)
+      .filter(col("doc_id") === 1L).head().getAs[Double]("max_jac")
+    assert(jac > 0.5 && jac < 1.0)
+    // fuzzy catches what exact n-gram decontam (GPT-3 posture, large n)
+    // misses: the reordered doc shares NO 14-token window with eval
+    val exact14 = Decontam.ngramOverlap(train, eval, n = 14)
+      .filter(col("doc_id") === 5L).head().getAs[Boolean]("contaminated")
+    assert(!exact14)
+  }
+
   test("full pipeline drops eval-overlapping docs and packs survivors") {
     val eval = docs.filter(col("doc_id") % 37 === 0)
     val out = CorpusClean.pipeline(docs, eval)
