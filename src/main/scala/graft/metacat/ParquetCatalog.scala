@@ -148,15 +148,26 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def declareFiles(rows: DataFrame,
       constraints: Seq[Validation.Constraint] = Nil,
       dataset: Option[(String, String)] = None,
-      dryRun: Boolean = false): Unit = {
+      dryRun: Boolean = false,
+      ignoreExisting: Boolean = false): Unit = {
     val missing = RequiredDeclareCols.filterNot(rows.columns.contains)
     require(missing.isEmpty,
       s"declareFiles rows missing required columns: ${missing.mkString(", ")}")
 
     // pin the batch: validation, the files append and the membership
     // append must all see the SAME row set even if the caller's plan is
-    // nondeterministic (limit/sample/shuffle-ordered input)
-    val batch = withDeclareDefaults(rows, FilesDeclareSchema).persist()
+    // nondeterministic (limit/sample/shuffle-ordered input).
+    // ignoreExisting (the streaming-ingest posture, at-least-once
+    // delivery): already-declared fids — and redelivered copies within
+    // the batch — are silently dropped BEFORE both writes, making the
+    // declare idempotent; the batch-is-an-error posture below stays the
+    // default, as in the reference.
+    val defaulted = withDeclareDefaults(rows, FilesDeclareSchema)
+    val batch =
+      (if (ignoreExisting)
+        defaulted.dropDuplicates("fid")
+          .join(storedFiles().select("fid"), Seq("fid"), "left_anti")
+      else defaulted).persist()
     try {
       // re-declaring an existing id — or declaring the same id twice in
       // one batch — is an error, as in the reference (data_handler.py
@@ -164,17 +175,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // rows in both tables
       // duplicate check against the LIVE view (merged in MOR mode, so a
       // hard-deleted fid may legally be re-declared)
-      val dup = batch.select("fid")
-        .join(storedFiles().select("fid"), Seq("fid"), "left_semi")
-        .limit(1).collect()
-      if (dup.nonEmpty)
-        throw new IllegalArgumentException(
-          s"file ${dup.head.getString(0)} already declared")
-      val selfDup = batch.groupBy("fid").count().filter(col("count") > 1)
-        .limit(1).collect()
-      if (selfDup.nonEmpty)
-        throw new IllegalArgumentException(
-          s"file ${selfDup.head.getString(0)} appears twice in the declare batch")
+      if (!ignoreExisting) {
+        val dup = batch.select("fid")
+          .join(storedFiles().select("fid"), Seq("fid"), "left_semi")
+          .limit(1).collect()
+        if (dup.nonEmpty)
+          throw new IllegalArgumentException(
+            s"file ${dup.head.getString(0)} already declared")
+        val selfDup = batch.groupBy("fid").count().filter(col("count") > 1)
+          .limit(1).collect()
+        if (selfDup.nonEmpty)
+          throw new IllegalArgumentException(
+            s"file ${selfDup.head.getString(0)} appears twice in the declare batch")
+      }
 
       val dsConstraints = dataset match {
         case Some((ns, n)) =>

@@ -133,6 +133,28 @@ object WritePathQueries {
         compactMidway = true)
     }),
 
+    // STREAMING catalog ingest: declarations arrive as two overlapping
+    // micro-batches (batch 2 redelivers all of batch 1 — the
+    // at-least-once replay case); idempotent foreachBatch declares fold
+    // them into the catalog, and the final state — read back through the
+    // MQL engine — must equal one clean batch declare of every row
+    "stream_catalog_ingest" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_sci_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      cat.createDataset("wds", "base")
+      val rows = seedRows(s, dir).drop("k")
+      graft.streaming.CatalogIngestStream.runDeclareToCatalog(
+        s, rows, substring(col("fid"), -2, 2).cast("int") < 50,
+        cat, ("wds", "base"))
+      Mql.query(s, cat, "files from wds:base")
+        .select(col("fid"), col("namespace"), col("name"), col("size"),
+          col("creator"),
+          unix_timestamp(col("created_timestamp")).as("created_ts"),
+          col("retired"),
+          expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"))
+    }),
+
     // merge-on-read TIME TRAVEL: three snapshots of one mutation history
     // read back through `filesAsOf` — the declared base (seq 0), a
     // mid-history sequence captured between mutations (retire + first
@@ -300,6 +322,17 @@ object WritePathQueries {
     "mql_write_path" -> WritePathOracle,
     "mql_write_path_mor" -> WritePathOracle,
     "mql_write_path_asof" -> AsOfOracle,
+
+    // final state after idempotent streaming ingest = one clean declare
+    // of every k < 200 row, batch overlap invisible
+    "stream_catalog_ingest" ->
+      ("SELECT 'W' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS fid, " +
+        "'wraw' AS namespace, 'w_' || CAST(o_orderkey AS VARCHAR) || '.dat' AS name, " +
+        "CAST(o_orderkey * 10 AS BIGINT) AS size, " +
+        "'u' || CAST(o_orderkey % 3 AS VARCHAR) AS creator, " +
+        "CAST(epoch(o_orderdate) AS BIGINT) AS created_ts, false AS retired, " +
+        "CAST(o_orderkey % 100 AS BIGINT) AS run " +
+        "FROM orders WHERE o_orderkey < 200"),
     // expected final admin state — every mutation is a constant, so the
     // oracle is the literal expected snapshot
     "mql_dataset_admin" ->
