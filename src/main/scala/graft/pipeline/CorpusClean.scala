@@ -45,6 +45,33 @@ object CorpusClean {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_score"))
   }
 
+  /** Quality-aware near-dup cluster REPRESENTATIVE selection — the
+    * refinement over [[clean]]'s keep-lowest-id rule that production
+    * dedup actually wants: within each near-duplicate cluster keep the
+    * HIGHEST-QUALITY member (ties broken by lowest doc_id, so selection
+    * is deterministic), flag the rest as drops. A crawl usually holds a
+    * pristine copy and several boilerplate-wrapped or truncated copies of
+    * the same page; min-id keeps whichever was crawled first, this keeps
+    * the best one.
+    *
+    * Output is one row per CLUSTERED doc (`doc_id, cluster_id,
+    * quality_score, keep`); unclustered docs are implicit keeps.
+    * Scale shape: clusters are pair-set-sized (not corpus-sized), the
+    * quality join is narrow, and the per-cluster argmax is one window
+    * over cluster_id — the same partitioned-rank shape Spark pushes
+    * through `InferWindowGroupLimit`. */
+  def keepBest(docs: DataFrame, nearDupThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = ConnectedComponents
+      .clusters(Dedup.minhashPairs(docs, threshold = nearDupThreshold))
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"), col("keep"))
+  }
+
   /** The whole training-data preparation flow, [[clean]] extended with
     * the round-3 operators — what a 100 TB corpus actually runs before
     * a token ever reaches a trainer:

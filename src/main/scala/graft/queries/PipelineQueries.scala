@@ -69,6 +69,9 @@ object PipelineQueries {
     // pair set (cluster id = component's minimum doc_id)
     "pipe_dedup_clusters" -> ((s, d) =>
       ConnectedComponents.clusters(Dedup.minhashPairs(docs(s, d)))),
+    // quality-aware representative selection: within each near-dup
+    // cluster keep the highest-quality member (ties -> lowest doc_id)
+    "pipe_dedup_keep_best" -> ((s, d) => CorpusClean.keepBest(docs(s, d))),
     // semantic (embedding-space) dedup groups: the same CC contraction
     // over the SRP-LSH cosine pair set at the near-dup threshold
     "pipe_dedup_emb_clusters" -> ((s, d) =>
@@ -413,6 +416,18 @@ object PipelineQueries {
     "pipe_dedup_clusters" ->
       (s"WITH RECURSIVE $MinhashScored, $CcCtes " +
         "SELECT id AS doc_id, root AS cluster_id FROM comp"),
+
+    // clusters + the quality replay + a per-cluster argmax window
+    "pipe_dedup_keep_best" ->
+      (s"WITH RECURSIVE $MinhashScored, $CcCtes, " +
+        "m AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, " +
+        "round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(len(text), 1), 4) AS punct_ratio " +
+        "FROM toks), " +
+        "q AS (SELECT doc_id, round(least(1.0, n_tokens::DOUBLE / 50) * (1.0 - punct_ratio), 4) AS quality_score FROM m), " +
+        "r AS (SELECT c.id AS doc_id, c.root AS cluster_id, q.quality_score, " +
+        "row_number() OVER (PARTITION BY c.root ORDER BY q.quality_score DESC, c.id) AS rk " +
+        "FROM comp c JOIN q ON q.doc_id = c.id) " +
+        "SELECT doc_id, cluster_id, quality_score, rk = 1 AS keep FROM r"),
 
     // the same closure over the >= 0.45 SRP-LSH cosine pair set
     "pipe_dedup_emb_clusters" ->

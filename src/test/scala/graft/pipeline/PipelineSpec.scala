@@ -275,6 +275,32 @@ class PipelineSpec extends SparkTestBase {
     assert(labels.toSeq == Seq(0L))
   }
 
+  test("keepBest keeps the highest-quality cluster member, not the lowest id") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while birds sing in the tall green trees above the quiet meadow"
+    val corpus = Seq(
+      // doc 1: a TRUNCATED copy (two words lost -> fewer tokens, lower
+      // quality under the length-capped score) with the LOWEST id
+      (1L, base.split(' ').dropRight(2).mkString(" ")),
+      // doc 2: the pristine copy -> highest quality, must win despite id
+      (2L, base),
+      // doc 3: another truncated near-dup
+      (3L, base.split(' ').dropRight(1).mkString(" ")),
+      // doc 4: unrelated -> unclustered, absent from output
+      (4L, "completely unrelated text about catalyst optimizer rules and joins")
+    ).toDF("doc_id", "text")
+    val got = CorpusClean.keepBest(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "exactly the clustered docs")
+    assert(got.values.map(_._1).toSet.size == 1, "one cluster")
+    assert(got(2L)._2, "pristine copy wins on quality")
+    assert(!got(1L)._2 && !got(3L)._2)
+    // exactly one keeper per cluster
+    assert(got.values.count(_._2) == 1)
+  }
+
   test("corpus clean drops every non-minimal member of a near-dup component") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
     val losers = ConnectedComponents.clusters(pairs)
