@@ -36,6 +36,47 @@ object Packing {
     * output volume is ~(size/stride)× the corpus tokens — no shuffle at
     * all; the fingerprint lets downstream exact-dedup run at chunk
     * granularity. */
+  /** Balanced output-shard assignment: distribute documents over
+    * `numShards` writers so per-shard WEIGHT (token/char counts) comes
+    * out near-equal — what a shard writer needs before materializing a
+    * training corpus, where hash-partitioning balances row COUNTS but a
+    * heavy-tailed length distribution still skews bytes per shard.
+    *
+    * Boustrophedon (snake) assignment over the global weight-descending
+    * order: row r goes to shard `r % n` on even passes and `n-1-(r % n)`
+    * on odd ones, so each shard alternates picking early (heavy) and late
+    * (light) rows — the classic greedy-balance approximation, fully
+    * deterministic (weight ties break by doc_id).
+    *
+    * Scale shape: the global rank is computed DISTRIBUTEDLY — a
+    * range-partitioned sort of the NARROW (doc_id, weight) projection
+    * plus per-partition offsets via `zipWithIndex` (one lightweight
+    * count job), the same technique as the MQL sample/stride filters —
+    * never a single-task global window, and the text column never moves.
+    * At 1000 executors this is terasort-shaped: range exchange of narrow
+    * rows, no driver bottleneck. */
+  def shardAssign(docs: DataFrame, numShards: Int = 8,
+      weightCol: String = "n_chars"): DataFrame = {
+    require(numShards > 0, "shardAssign: numShards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = numShards.toLong
+    val sorted = docs
+      .select(col("doc_id").cast("long"), col(weightCol).cast("long").as("weight"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("weight").desc, col("doc_id"))
+      .sortWithinPartitions(col("weight").desc, col("doc_id"))
+    // range partitions are globally ordered, so zipWithIndex's
+    // partition-sequential index IS the global weight-descending rank
+    sorted.as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, wt), r) =>
+        val pos = r % n
+        val shard = if ((r / n) % 2 == 0) pos else n - 1 - pos
+        (id, wt, shard)
+      }
+      .toDF("doc_id", "weight", "shard")
+  }
+
   def chunk(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size)
     docs

@@ -56,6 +56,42 @@ object Sampling {
       .select(col(groupCol), col("doc_id"), col(weightCol), col("rk"))
   }
 
+  /** Temperature-based group re-balancing — the multilingual α-sampling of
+    * XLM/mC4: with group shares p_g, the target distribution is
+    * q_g ∝ p_g^α, flattening head groups and boosting tail ones as α→0
+    * (α=1 keeps natural proportions). Realized as per-group Bernoulli
+    * DOWN-sampling: keep-rate r_g = (n_min/n_g)^(1−α), so the smallest
+    * group keeps everything and each group's expected surviving count is
+    * proportional to n_g^α — no upsampling, single corpus pass.
+    *
+    * Deterministic end-to-end: membership is the same seeded md5 bucket
+    * rule as [[stratified]], and for the default α=0.5 the rate is an
+    * IEEE-exact `sqrt` of a count ratio, so thresholds are bit-identical
+    * across engines (the gate's oracle recomputes them in DuckDB).
+    *
+    * Scale shape: one dimension-sized groupBy-count collected to the
+    * driver (bounded: languages/sources, not rows), then a pure per-row
+    * codegen'd predicate — no shuffle of the corpus itself. */
+  def temperatureMix(docs: DataFrame, groupCol: String = "lang",
+      alpha: Double = 0.5, seed: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperatureMix: alpha in (0,1], got $alpha")
+    val counts = docs.groupBy(groupCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
+    val nMin = counts.map(_._2).min
+    val thresholds = counts.map { case (g, n) =>
+      val ratio = nMin.toDouble / n
+      // sqrt is correctly-rounded IEEE — bit-identical in every engine;
+      // pow is only 1-ulp-accurate, fine for the API, avoided at α=0.5
+      val rate = if (alpha == 0.5) math.sqrt(ratio) else math.pow(ratio, 1 - alpha)
+      g -> (rate * 1000).toLong
+    }
+    val keepBelow = thresholds.foldLeft(lit(0L)) {
+      case (acc, (g, t)) => when(col(groupCol) === g, lit(t)).otherwise(acc)
+    }
+    docs.filter(bucket(seed, col("doc_id")) < keepBelow)
+  }
+
   /** Deterministic train/val/test assignment by seeded content hash — the
     * split every training pipeline needs pinned: a document's subset
     * depends ONLY on (seed, doc_id), so it is reproducible across runs and

@@ -131,6 +131,14 @@ object PipelineQueries {
       Sampling.stratified(docs(s, d), "lang",
         Map("en" -> 0.9, "zh" -> 0.2), defaultRate = 0.4)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // temperature-based alpha-sampling (XLM/mC4 posture): head languages
+    // down-sampled toward p^alpha, smallest language kept whole
+    "pipe_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(docs(s, d), "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // balanced shard assignment: snake over the global weight-desc rank,
+    // computed distributedly (range sort + zipWithIndex, no global window)
+    "pipe_shard_assign" -> ((s, d) => Packing.shardAssign(docs(s, d), 8)),
     // char-bigram LM score: the perplexity-quality-filter proxy
     "pipe_text_ppx" -> ((s, d) => TextAnalysis.charLmScore(docs(s, d))),
     // deterministic growth-stable train/val/test split
@@ -765,6 +773,23 @@ object PipelineQueries {
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < " +
         "(CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 200 ELSE 400 END)"),
+
+    // thresholds recomputed from the language counts: floor(1000 *
+    // sqrt(n_min/n_g)) — sqrt is IEEE-exact in both engines, so the
+    // thresholds (and hence the kept set) are bit-identical
+    "pipe_temperature_mix" ->
+      ("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "mn AS (SELECT min(n) AS nmin FROM c), " +
+        "th AS (SELECT lang, CAST(floor(sqrt(nmin::DOUBLE / n) * 1000) AS BIGINT) AS t FROM c, mn) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d JOIN th USING (lang) " +
+        "WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < th.t"),
+
+    // the snake assignment replayed over the same total order
+    "pipe_shard_assign" ->
+      ("WITH r AS (SELECT doc_id, n_chars::BIGINT AS weight, " +
+        "row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk FROM documents) " +
+        "SELECT doc_id, weight, CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 " +
+        "ELSE 7 - (rk % 8) END AS shard FROM r"),
 
     // char-bigram LM: per-bigram surprisal is an INTEGER (round((ln total
     // − ln cnt)·1e6), both logs over integer args — bit-identical across

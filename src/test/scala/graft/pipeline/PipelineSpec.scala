@@ -301,6 +301,49 @@ class PipelineSpec extends SparkTestBase {
     assert(got.values.count(_._2) == 1)
   }
 
+  test("temperature mix keeps the tail group whole and flattens the head") {
+    import spark.implicits._
+    // 200 en, 50 zh, 8 ar — alpha=0.5 rates: sqrt(8/200)=0.2, sqrt(8/50)=0.4, 1.0
+    val corpus = ((0 until 200).map(i => (i.toLong, "en")) ++
+      (200 until 250).map(i => (i.toLong, "zh")) ++
+      (250 until 258).map(i => (i.toLong, "ar"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMix(corpus, "lang", alpha = 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("ar") == 8, "smallest group keeps every doc")
+    // md5 buckets are uniform-ish: expected 40 of 200 en, 20 of 50 zh
+    assert(kept("en") > 20 && kept("en") < 60, s"en kept ${kept("en")}")
+    assert(kept("zh") > 10 && kept("zh") < 30, s"zh kept ${kept("zh")}")
+    // alpha=1 = natural distribution: nothing dropped
+    assert(Sampling.temperatureMix(corpus, "lang", alpha = 1.0).count() == 258)
+    // deterministic: same input, same survivors
+    val a = Sampling.temperatureMix(corpus, "lang").select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.temperatureMix(corpus, "lang").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("shard assignment balances weight and snakes the global order") {
+    import spark.implicits._
+    // weights 16,15,...,1 over 4 shards: snake gives every shard sum 34
+    val corpus = (1 to 16).map(i => (i.toLong, (17 - i).toLong)).toDF("doc_id", "n_chars")
+    val got = Packing.shardAssign(corpus, numShards = 4)
+    assert(got.count() == 16)
+    val sums = got.groupBy("shard").agg(sum("weight").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sums.values.forall(_ == 34L), s"snake must equalize: $sums")
+    // heaviest row (doc 1, weight 16) is rank 0 -> shard 0
+    assert(got.filter(col("doc_id") === 1L).head().getAs[Long]("shard") == 0L)
+    // rank 4 starts the reversed pass -> shard 3
+    assert(got.filter(col("doc_id") === 5L).head().getAs[Long]("shard") == 3L)
+    // real corpus: every doc assigned exactly once, shards near-balanced
+    val real = Packing.shardAssign(docs, numShards = 8)
+    assert(real.count() == docs.count())
+    val w = real.groupBy("shard").agg(sum("weight").as("w"))
+      .collect().map(_.getLong(1))
+    assert(w.length == 8 && w.max - w.min <= w.max / 10,
+      s"imbalance too high: min ${w.min} max ${w.max}")
+  }
+
   test("corpus clean drops every non-minimal member of a near-dup component") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
     val losers = ConnectedComponents.clusters(pairs)
