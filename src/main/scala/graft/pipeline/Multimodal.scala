@@ -78,6 +78,128 @@ object Multimodal {
     }.toDF()
   }
 
+  // ---- REAL image metadata extraction (no codec needed) ----
+
+  final case class ImageMeta(format: String, width: Long, height: Long,
+      bit_depth: Long)
+
+  /** Parse REAL image container headers from raw bytes — PNG IHDR, JPEG
+    * SOF segment walk, GIF logical screen, BMP DIB — returning
+    * format/width/height/bit-depth without any codec: pure byte-offset
+    * arithmetic over the container spec, exactly what a multimodal
+    * ingest pipeline runs to filter by resolution/aspect BEFORE paying
+    * for a decode. Unlike [[decodeStub]] this is not a stub: feed it a
+    * real file's bytes and it reports the real dimensions. Returns None
+    * for anything it cannot positively identify (truncated or foreign
+    * payloads never throw — a corrupt row must not fail a 100 TB scan). */
+  def imageMeta(p: Array[Byte]): Option[ImageMeta] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Long = ((u8(i) << 8) | u8(i + 1)).toLong
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3))
+    def le16(i: Int): Long = ((u8(i + 1) << 8) | u8(i)).toLong
+    def le32(i: Int): Long =
+      ((u8(i + 3).toLong << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i))
+    try {
+      if (p.length >= 33 &&
+          p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+          p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a &&
+          p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+        Some(ImageMeta("png", be32(16), be32(20), u8(24).toLong))
+      else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // walk JPEG segments to the first frame header (SOFn, excluding
+        // DHT/DNL/DAC which share the SOF numbering range)
+        var i = 2
+        var out: Option[ImageMeta] = None
+        while (out.isEmpty && i + 9 < p.length && u8(i) == 0xff) {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1 // fill bytes before a marker are legal
+          else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            out = Some(ImageMeta("jpeg", be16(i + 7), be16(i + 5), u8(i + 4).toLong))
+          else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01)
+            i += 2 // standalone markers carry no length field
+          else i += 2 + be16(i + 2).toInt
+        }
+        out
+      } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+          p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+        Some(ImageMeta("gif", le16(6), le16(8), 8L))
+      else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+        // width/height are SIGNED int32 (negative height = top-down rows)
+        Some(ImageMeta("bmp", le32(18).toInt.toLong,
+          math.abs(le32(22).toInt).toLong,
+          if (p.length >= 30) le16(28) else 0L))
+      else None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  final case class DocImageMeta(doc_id: Long, format: String, width: Long,
+      height: Long, bit_depth: Long)
+
+  /** Batched header extraction over a binary payload column — the same
+    * partition-parallel shape as [[decoded]], but the parse is real.
+    * Unidentifiable payloads are dropped (flatMap), never fail the scan. */
+  def imageMetas(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          imageMeta(p.payload).map(m =>
+            DocImageMeta(p.doc_id, m.format, m.width, m.height, m.bit_depth))
+        }
+      }.toDF()
+  }
+
+  /** Deterministic minimal PNG bytes (signature + IHDR) carrying the
+    * given dimensions — a REAL parseable header, used by the gate to
+    * plant known dimensions in binary payloads that [[imageMeta]] must
+    * recover. (CRC left zeroed: header parsing does not checksum.) */
+  def pngHeaderBytes(width: Long, height: Long, bitDepth: Int = 8): Array[Byte] = {
+    val out = new Array[Byte](33)
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    for (i <- sig.indices) out(i) = sig(i).toByte
+    out(11) = 13 // IHDR payload length (big-endian 13)
+    out(12) = 'I'.toByte; out(13) = 'H'.toByte; out(14) = 'D'.toByte; out(15) = 'R'.toByte
+    def putBe32(i: Int, v: Long): Unit = {
+      out(i) = ((v >> 24) & 0xff).toByte; out(i + 1) = ((v >> 16) & 0xff).toByte
+      out(i + 2) = ((v >> 8) & 0xff).toByte; out(i + 3) = (v & 0xff).toByte
+    }
+    putBe32(16, width); putBe32(20, height)
+    out(24) = bitDepth.toByte; out(25) = 2 // truecolor
+    out
+  }
+
+  /** Minimal JPEG bytes: SOI, an APP0 segment to exercise the segment
+    * walk, then SOF0 carrying the dimensions. */
+  def jpegHeaderBytes(width: Long, height: Long): Array[Byte] = {
+    val app0 = Array(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46) // 4-byte APP0
+    val sof = Array(0xff, 0xc0, 0x00, 0x11, 0x08,
+      ((height >> 8) & 0xff).toInt, (height & 0xff).toInt,
+      ((width >> 8) & 0xff).toInt, (width & 0xff).toInt, 0x03)
+    (Array(0xff, 0xd8) ++ app0 ++ sof).map(_.toByte)
+  }
+
+  /** Minimal GIF89a logical-screen header. */
+  def gifHeaderBytes(width: Long, height: Long): Array[Byte] =
+    ("GIF89a".getBytes("US-ASCII") ++ Array(
+      (width & 0xff).toInt, ((width >> 8) & 0xff).toInt,
+      (height & 0xff).toInt, ((height >> 8) & 0xff).toInt).map(_.toByte))
+
+  /** Minimal BMP file+DIB header (BITMAPINFOHEADER layout). */
+  def bmpHeaderBytes(width: Long, height: Long, bitCount: Int = 24): Array[Byte] = {
+    val out = new Array[Byte](30)
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    def putLe32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(14, 40) // DIB header size
+    putLe32(18, width); putLe32(22, height)
+    out(26) = 1 // planes
+    out(28) = (bitCount & 0xff).toByte; out(29) = ((bitCount >> 8) & 0xff).toByte
+    out
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Long, frame_code: Long)
 
   /** frame sampling: treat the payload as a fake video of

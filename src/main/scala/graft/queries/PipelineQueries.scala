@@ -58,6 +58,24 @@ object PipelineQueries {
     "pipe_chunk" -> ((s, d) => Packing.chunk(docs(s, d))),
     "pipe_pack" -> ((s, d) => Packing.greedyPack(docs(s, d))),
     "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
+    // REAL container-header parsing (no codec): plant PNG/JPEG/GIF/BMP
+    // headers carrying known dimensions, recover them by parsing bytes
+    "pipe_mm_image_meta" -> ((s, d) => {
+      import s.implicits._
+      val planted = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val (w, h) = (nc % 1000 + 1, id % 500 + 1)
+          val bytes = (id % 4) match {
+            case 0 => Multimodal.pngHeaderBytes(w, h)
+            case 1 => Multimodal.jpegHeaderBytes(w, h)
+            case 2 => Multimodal.gifHeaderBytes(w, h)
+            case _ => Multimodal.bmpHeaderBytes(w, h)
+          }
+          (id, bytes)
+        }).toDF("doc_id", "payload")
+      Multimodal.imageMetas(s, planted)
+    }),
     "pipe_mm_resize" -> ((s, d) => Multimodal.resized(s, docs(s, d))),
     "pipe_mm_frames" -> ((s, d) => Multimodal.frameSamples(s, docs(s, d))),
     "pipe_emb_quantize" -> ((s, d) => Quantization.quantizeInt8(emb(s, d))),
@@ -624,6 +642,16 @@ object PipelineQueries {
       ("SELECT doc_id, len(text)::BIGINT AS byte_len, " +
         "array_to_string(list_transform(range(1, 5), i -> ascii(substr(text, i, 1))), ',') AS head_codes, " +
         "len(text)::BIGINT % 640 AS fake_width, (len(text)::BIGINT * 7) % 480 AS fake_height " +
+        "FROM documents"),
+
+    // planted dimensions recomputed arithmetically: the engine must
+    // round-trip them through REAL header bytes and back
+    "pipe_mm_image_meta" ->
+      ("SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'bmp' END AS format, " +
+        "CAST(n_chars % 1000 + 1 AS BIGINT) AS width, " +
+        "CAST(doc_id % 500 + 1 AS BIGINT) AS height, " +
+        "CAST(CASE WHEN doc_id % 4 = 3 THEN 24 ELSE 8 END AS BIGINT) AS bit_depth " +
         "FROM documents"),
 
     // fit-within-box resize of the fake decoded dims — integer math only

@@ -469,6 +469,37 @@ class PipelineSpec extends SparkTestBase {
     assert(q0best == q0max)
   }
 
+  test("image header parsing recovers real dimensions across formats") {
+    import Multimodal._
+    assert(imageMeta(pngHeaderBytes(640, 480)) ==
+      Some(ImageMeta("png", 640, 480, 8)))
+    assert(imageMeta(pngHeaderBytes(1, 1, bitDepth = 16)) ==
+      Some(ImageMeta("png", 1, 1, 16)))
+    assert(imageMeta(jpegHeaderBytes(1920, 1080)) ==
+      Some(ImageMeta("jpeg", 1920, 1080, 8)))
+    assert(imageMeta(gifHeaderBytes(320, 200)) ==
+      Some(ImageMeta("gif", 320, 200, 8)))
+    assert(imageMeta(bmpHeaderBytes(800, 600)) ==
+      Some(ImageMeta("bmp", 800, 600, 24)))
+    // top-down BMP stores negative height; parser reports magnitude
+    val td = bmpHeaderBytes(100, 0, bitCount = 32)
+    val negH = -50L
+    for (i <- 0 until 4) td(22 + i) = ((negH >> (8 * i)) & 0xff).toByte
+    assert(imageMeta(td) == Some(ImageMeta("bmp", 100, 50, 32)))
+    // JPEG with fill bytes before the SOF marker still parses
+    val jf = jpegHeaderBytes(64, 32)
+    val filled = jf.take(2) ++ Array(0xff.toByte) ++ jf.drop(2)
+    assert(imageMeta(filled) == Some(ImageMeta("jpeg", 64, 32, 8)))
+    // corrupt/foreign/truncated payloads: None, never a throw
+    assert(imageMeta(Array[Byte]()).isEmpty)
+    assert(imageMeta("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(imageMeta(pngHeaderBytes(9, 9).take(20)).isEmpty)
+    assert(imageMeta(Array(0xff, 0xd8, 0xff).map(_.toByte)).isEmpty)
+    // a JPEG whose declared segment length runs past the buffer: None
+    val trunc = jpegHeaderBytes(10, 10).dropRight(6)
+    assert(imageMeta(trunc).isEmpty)
+  }
+
   test("multimodal payload/decode plumbing") {
     val d = Multimodal.decoded(spark, docs)
     assert(d.count() == docs.count())
