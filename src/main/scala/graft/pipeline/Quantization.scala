@@ -262,4 +262,45 @@ object Quantization {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("ad"), 4).as("adist"), col("rk").cast("long").as("rk"))
   }
+
+  /** Two-stage retrieval — IVFADC shortlist, EXACT re-rank: the standard
+    * production recipe for recovering quantization-distorted ranks.
+    * Stage 1 ([[ivfAdcTopK]] at `kShort`) pays m table lookups per
+    * candidate over probed buckets only; stage 2 fetches the ORIGINAL
+    * vectors for the kShort survivors per query and re-scores them with
+    * the exact codegen'd cosine, ranking the final top-k. The exact pass
+    * touches kShort·nQueries vectors — per-query constant, independent of
+    * corpus size — so the expensive full-precision arithmetic runs on a
+    * vanishing fraction of the corpus while recall recovers toward the
+    * probe ceiling (ADC distortion can only reorder WITHIN the
+    * shortlist; re-ranking fixes exactly that error class).
+    * Shortlist is broadcast-sized; the vector fetch is one semi-join-
+    * shaped equi-join on vec_id — embeddings cross no shuffle wider than
+    * the survivors themselves. */
+  def ivfAdcRerankTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      kShort: Int = 20, nCentroids: Int = 16, nProbe: Int = 4,
+      ivfIters: Int = 2, m: Int = 4, kc: Int = 8, pqIters: Int = 1,
+      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DotProductExpr.dotProduct
+    val shortlist = ivfAdcTopK(emb, nQueries, kShort, nCentroids, nProbe,
+      ivfIters, m, kc, pqIters, seed)
+      .select(col("query_id"), col("neighbor_id"))
+    val withNorm = emb.withColumn("norm", Similarity.norm(col("embedding")))
+    val queries = withNorm.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))
+    shortlist
+      .join(withNorm.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("norm").as("n_norm")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim",
+        dotProduct(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
+  }
 }

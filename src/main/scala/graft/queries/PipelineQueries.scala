@@ -83,6 +83,8 @@ object PipelineQueries {
     "pipe_sim_adc" -> ((s, d) => Quantization.adcTopK(emb(s, d))),
     // IVFADC: ADC search restricted to the query's nProbe k-means buckets
     "pipe_sim_ivfadc" -> ((s, d) => Quantization.ivfAdcTopK(emb(s, d))),
+    // two-stage retrieval: IVFADC shortlist (k'=20), exact cosine re-rank
+    "pipe_sim_rerank" -> ((s, d) => Quantization.ivfAdcRerankTopK(emb(s, d))),
     // near-dup clustering: connected components over the MinHash-LSH
     // pair set (cluster id = component's minimum doc_id)
     "pipe_dedup_clusters" -> ((s, d) =>
@@ -435,6 +437,17 @@ object PipelineQueries {
     // and quantization distortion measured together
     "pipe_sim_recall_ivfadc" ->
       (s"WITH $ivfAdcChain, $recallTailSql"),
+
+    // the ADC shortlist (rk <= 20 of the same chain) re-scored with the
+    // exact cosine and re-ranked to the final top-5
+    "pipe_sim_rerank" ->
+      (s"WITH $ivfAdcChain, " +
+        "sl AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 20), " +
+        s"x AS (SELECT s.query_id, s.neighbor_id, ${dot("q", "c")} / (q.norm * c.norm) AS sim " +
+        "FROM sl s JOIN n q ON q.vec_id = s.query_id JOIN n c ON c.vec_id = s.neighbor_id), " +
+        "rr AS (SELECT query_id, neighbor_id, sim, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rk FROM x) " +
+        "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM rr WHERE rk <= 5"),
 
     // connected components over the >= 0.5 MinHash pair set: recursive
     // min-reachability closure — the same unique fixpoint as the Spark

@@ -438,6 +438,20 @@ class PipelineSpec extends SparkTestBase {
       "IVFADC must not scan the full corpus per query")
   }
 
+  test("exact re-rank over the ADC shortlist never hurts recall") {
+    val adc = Similarity.recallVs(emb, Quantization.ivfAdcTopK(emb))
+      .agg(sum("hits")).head().getLong(0)
+    val rr = Similarity.recallVs(emb, Quantization.ivfAdcRerankTopK(emb))
+      .agg(sum("hits")).head().getLong(0)
+    assert(rr >= adc, s"re-rank recall $rr fell below plain ADC $adc")
+    // within the shortlist the ranking is EXACT, so every reported sim
+    // is a true cosine in [-1, 1] and ranks are dense 1..5 per query
+    val out = Quantization.ivfAdcRerankTopK(emb).collect()
+    assert(out.forall(r => math.abs(r.getAs[Double]("sim")) <= 1.0))
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.values.forall(_.map(_.getAs[Long]("rk")).sorted.sameElements(1L to 5L)))
+  }
+
   test("k-means-trained IVF keeps exact sims and sane recall") {
     val brute = Similarity.bruteCosineTopK(emb, nQueries = 10, k = 5)
       .select("query_id", "neighbor_id", "sim")
