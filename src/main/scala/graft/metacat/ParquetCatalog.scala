@@ -864,6 +864,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .distinct().collect().map(_.getString(0)).toSeq
     rewriteFilesScoped(storedFiles(), touched)
     fsOf(hPath("files_log")).delete(hPath("files_log"), true)
+    // restart the sequence: the truncated log is what seeds a reopened
+    // instance, so the live counter must agree with it — post-compaction
+    // mutations start at 1 again everywhere, and [[filesAsOf]]'s
+    // reachable range stays the dense 0..currentLogSeq()
+    logSeq.set(0L)
     ()
   }
 

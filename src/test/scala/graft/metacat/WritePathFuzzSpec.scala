@@ -142,4 +142,108 @@ class WritePathFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- merge-on-read time-travel fuzz ----
+
+  /** one logged record in the model journal: Some(state) = upsert row
+    * version, None = tombstone */
+  private type State = (String, Long, Option[String], Boolean) // ns, run, mark, retired
+
+  test("random MOR histories: filesAsOf replays every recorded sequence") {
+    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 7).getOrElse(49L))
+    val rounds = sys.env.get("GRAFT_FUZZ_N").map(_.toInt / 40 max 2).getOrElse(2)
+
+    for (round <- 0 until rounds) {
+      val root = Files.createTempDirectory("graft-fuzz-tt-").toString
+      val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
+      // declare-time attrs per fid (the base row MOR never rewrites
+      // between compactions) + the mutation journal the engine's log
+      // must mirror
+      val declared = scala.collection.mutable.LinkedHashMap.empty[String, State]
+      val journal = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Option[State])]
+      var modelSeq = 0L
+      var nextId = 0
+
+      def stateAsOf(s: Long): Map[String, State] =
+        declared.flatMap { case (fid, init) =>
+          journal.filter(r => r._2 == fid && r._1 <= s).lastOption match {
+            case Some((_, _, None)) => None
+            case Some((_, _, Some(st))) => Some(fid -> st)
+            case None => Some(fid -> init)
+          }
+        }.toMap
+
+      def current: Map[String, State] = stateAsOf(Long.MaxValue)
+      def randomLive(n: Int): Seq[String] =
+        rnd.shuffle(current.collect { case (f, st) if !st._4 => f }.toSeq).take(n)
+      def logBatch(fids: Seq[String], f: State => Option[State]): Unit = {
+        modelSeq += 1
+        fids.foreach { fid => journal += ((modelSeq, fid, f(current(fid)))) }
+      }
+
+      def readAsOf(s: Long): Map[String, State] =
+        cat.filesAsOf(s)
+          .select(col("fid"), col("namespace"),
+            expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"),
+            expr("try_variant_get(metadata, \"$['opt.mark']\", 'string')").as("mark"),
+            col("retired"))
+          .collect()
+          .map(r => r.getString(0) ->
+            ((r.getString(1), r.getLong(2), Option(r.getString(3)), r.getBoolean(4))))
+          .toMap
+
+      for (step <- 0 until 12) {
+        rnd.nextInt(6) match {
+          case 0 => // declare fresh ids: base append, invisible to the log
+            val ids = (nextId until nextId + 1 + rnd.nextInt(6))
+            nextId = ids.last + 1
+            cat.declareFiles(declareDf(ids))
+            ids.foreach { i =>
+              declared(f"Z$i%08d") = ((s"zns${i % 3}", i.toLong, None, false))
+            }
+          case 1 =>
+            val picks = randomLive(1 + rnd.nextInt(3))
+            if (picks.nonEmpty) {
+              cat.retireFiles(picks)
+              logBatch(picks, st => Some((st._1, st._2, st._3, true)))
+            }
+          case 2 =>
+            val picks = randomLive(1 + rnd.nextInt(4))
+            if (picks.nonEmpty) {
+              cat.updateFileMeta(picks,
+                s"""{"core.run":${9000 + step},"opt.mark":"s$step"}""")
+              logBatch(picks, st => Some((st._1, 9000L + step, Some(s"s$step"), st._4)))
+            }
+          case 3 =>
+            val picks = randomLive(1 + rnd.nextInt(3))
+            if (picks.nonEmpty) {
+              cat.moveNamespace(picks, s"moved$step")
+              logBatch(picks, st => Some((s"moved$step", st._2, st._3, st._4)))
+            }
+          case 4 =>
+            val picks = randomLive(1 + rnd.nextInt(2))
+            if (picks.nonEmpty) {
+              cat.removeFiles(picks)
+              logBatch(picks, _ => None)
+            }
+          case 5 if journal.nonEmpty => // fold: truncates reachable history
+            cat.compactFilesLog()
+            val folded = current
+            declared.clear(); declared ++= folded
+            journal.clear(); modelSeq = 0L
+          case _ => ()
+        }
+
+        assert(cat.currentLogSeq() == modelSeq,
+          s"round $round step $step seq drift: engine ${cat.currentLogSeq()} model $modelSeq")
+        // replay EVERY reachable sequence (0 = post-compaction base)
+        // every few steps, and always the endpoints
+        val seqs = if (step % 3 == 2) 0L to modelSeq
+          else Seq(0L, modelSeq).distinct
+        for (s <- seqs)
+          assert(readAsOf(s) == stateAsOf(s),
+            s"round $round step $step asOf($s) diverged")
+      }
+    }
+  }
 }
