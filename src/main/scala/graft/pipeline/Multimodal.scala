@@ -200,6 +200,104 @@ object Multimodal {
     out
   }
 
+  // ---- REAL audio metadata extraction (no codec needed) ----
+
+  final case class AudioMeta(format: String, sample_rate: Long,
+      channels: Long, bits_per_sample: Long)
+
+  /** Parse REAL audio container headers — RIFF/WAVE (chunk walk to the
+    * `fmt ` chunk) and FLAC (STREAMINFO bit unpacking) — returning
+    * sample-rate/channels/bit-depth without decoding a sample: the
+    * duration/quality pre-filter an audio ingest runs before resampling.
+    * None on anything unidentifiable; never throws on truncation. */
+  def audioMeta(p: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Long = ((u8(i + 1) << 8) | u8(i)).toLong
+    def le32(i: Int): Long =
+      ((u8(i + 3).toLong << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i))
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= p.length && s.indices.forall(j => p(i + j) == s(j).toByte)
+    try {
+      if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
+        // walk chunks to `fmt ` (it need not be first; LIST/JUNK chunks
+        // legally precede it); chunks are word-aligned
+        var i = 12
+        var out: Option[AudioMeta] = None
+        while (out.isEmpty && i + 8 <= p.length) {
+          val size = le32(i + 4)
+          if (ascii(i, "fmt ") && i + 24 <= p.length)
+            out = Some(AudioMeta("wav", le32(i + 12), le16(i + 10),
+              le16(i + 22)))
+          else i += 8 + size.toInt + (size.toInt & 1)
+        }
+        out
+      } else if (ascii(0, "fLaC") && p.length >= 22 && (u8(4) & 0x7f) == 0) {
+        // STREAMINFO at 8: sample rate = 20 bits at byte 18, then 3-bit
+        // channels-1, 5-bit bps-1 packed across bytes 20-21
+        val sr = (u8(18).toLong << 12) | (u8(19) << 4) | (u8(20) >> 4)
+        val ch = ((u8(20) >> 1) & 0x7) + 1L
+        val bps = (((u8(20) & 1) << 4) | (u8(21) >> 4)) + 1L
+        Some(AudioMeta("flac", sr, ch, bps))
+      } else None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  final case class DocAudioMeta(doc_id: Long, format: String,
+      sample_rate: Long, channels: Long, bits_per_sample: Long)
+
+  /** batched header extraction, partition-parallel, parse failures
+    * dropped — the audio twin of [[imageMetas]] */
+  def audioMetas(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          audioMeta(p.payload).map(m => DocAudioMeta(p.doc_id, m.format,
+            m.sample_rate, m.channels, m.bits_per_sample))
+        }
+      }.toDF()
+  }
+
+  /** Minimal RIFF/WAVE bytes with a JUNK chunk BEFORE `fmt ` so the gate
+    * exercises the chunk walk, not a fixed offset. */
+  def wavHeaderBytes(sampleRate: Long, channels: Int,
+      bitsPerSample: Int = 16): Array[Byte] = {
+    val junkLen = 6 // even, so no pad byte
+    val out = new Array[Byte](12 + 8 + junkLen + 24)
+    def put(i: Int, s: String): Unit = s.indices.foreach(j => out(i + j) = s(j).toByte)
+    def putLe32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put(0, "RIFF"); putLe32(4, out.length - 8L); put(8, "WAVE")
+    put(12, "JUNK"); putLe32(16, junkLen)
+    val f = 12 + 8 + junkLen
+    put(f, "fmt "); putLe32(f + 4, 16); putLe16(f + 8, 1)
+    putLe16(f + 10, channels); putLe32(f + 12, sampleRate)
+    putLe32(f + 16, sampleRate * channels * bitsPerSample / 8)
+    putLe16(f + 20, channels * bitsPerSample / 8)
+    putLe16(f + 22, bitsPerSample)
+    out
+  }
+
+  /** Minimal FLAC magic + STREAMINFO carrying the given stream params. */
+  def flacHeaderBytes(sampleRate: Long, channels: Int,
+      bitsPerSample: Int = 16): Array[Byte] = {
+    val out = new Array[Byte](42) // 4 magic + 4 block header + 34 streaminfo
+    "fLaC".indices.foreach(i => out(i) = "fLaC"(i).toByte)
+    out(4) = 0x80.toByte // last-metadata-block flag + type 0 (STREAMINFO)
+    out(7) = 34
+    out(18) = ((sampleRate >> 12) & 0xff).toByte
+    out(19) = ((sampleRate >> 4) & 0xff).toByte
+    out(20) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    out(21) = (((bitsPerSample - 1) & 0xf) << 4).toByte
+    out
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Long, frame_code: Long)
 
   /** frame sampling: treat the payload as a fake video of

@@ -18,6 +18,45 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
         element_at(mins, k)), 4)
 
+  /** Count-min sketch of the token frequency stream, queried for the
+    * corpus's true heavy hitters: the grid holds d×w counters (fixed
+    * memory regardless of vocabulary size — the point of the sketch at
+    * 100 TB, where the exact term-count table is vocabulary-sized), each
+    * token increments one cell per row via the portable 60-bit md5 hash,
+    * and a term's estimate is the MINIMUM of its d cells — ≥ the true
+    * count always (cells only ever over-count via collisions), and
+    * within εN with probability 1−δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉.
+    *
+    * Emitted per top-k true term: exact count, CM estimate, rank — the
+    * gate pins the sketch bit-for-bit (hashes and integer sums are
+    * engine-exact) and the spec pins the never-underestimates property.
+    * Scale shape: the grid is one d·w-bounded aggregation with map-side
+    * combine; the exact column is the expensive vocabulary-sized shuffle
+    * the sketch exists to replace — both emitted so the gate can compare
+    * them. */
+  def countMinHeavyHitters(docs: DataFrame, d: Int = 4, w: Int = 1024,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+    def cellOf(j: Int, t: Column): Column = Dedup.hex60(concat(lit(s"$j:"), t)) % w
+    val grid = (0 until d).map(j =>
+      toks.select(lit(j).as("j"), cellOf(j, col("term")).as("cell")))
+      .reduce(_ unionByName _)
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term")).limit(k)
+      // window over the k survivors only, as in TextAnalysis.topNgrams
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("true_cnt").desc, col("term"))).cast("long"))
+    val probes = (0 until d).map(j =>
+      top.select(col("term"), lit(j).as("j"), cellOf(j, col("term")).as("cell")))
+      .reduce(_ unionByName _)
+    probes.join(grid, Seq("j", "cell"))
+      .groupBy("term").agg(min(col("cnt")).as("cm_est"))
+      .join(top, Seq("term"))
+      .select(col("term"), col("true_cnt"), col("cm_est"), col("rk"))
+  }
+
   /** Per-source distinct-token cardinality: exact `countDistinct` next to
     * the KMV estimate ([[graft.functions.KmvSketch]]) from the same
     * md5-hash stream. At corpus scale the exact column is the expensive

@@ -52,12 +52,32 @@ object PipelineQueries {
     }),
     // KMV distinct-token sketch per source vs the exact count
     "pipe_sketch_kmv" -> ((s, d) => Sketches.distinctTokenKmv(docs(s, d))),
+    // count-min sketch: top-20 true heavy hitters with their fixed-memory
+    // CM estimates beside the exact counts
+    "pipe_sketch_cm" -> ((s, d) => Sketches.countMinHeavyHitters(docs(s, d))),
     // per-doc top-3 tf-idf keywords
     "pipe_text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     // strided 64/48 chunking with per-chunk fingerprints
     "pipe_chunk" -> ((s, d) => Packing.chunk(docs(s, d))),
     "pipe_pack" -> ((s, d) => Packing.greedyPack(docs(s, d))),
     "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
+    // the audio twin: WAV (chunk walk past a JUNK chunk) and FLAC
+    // (STREAMINFO bit unpacking) headers planted with known stream params
+    "pipe_mm_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val planted = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val sr = 8000L + (id % 5) * 4000L
+          val ch = (nc % 2).toInt + 1
+          val bps = if (id % 3 == 0) 24 else 16
+          val bytes =
+            if (id % 2 == 0) Multimodal.wavHeaderBytes(sr, ch, bps)
+            else Multimodal.flacHeaderBytes(sr, ch, bps)
+          (id, bytes)
+        }).toDF("doc_id", "payload")
+      Multimodal.audioMetas(s, planted)
+    }),
     // REAL container-header parsing (no codec): plant PNG/JPEG/GIF/BMP
     // headers carrying known dimensions, recover them by parsing bytes
     "pipe_mm_image_meta" -> ((s, d) => {
@@ -511,6 +531,22 @@ object PipelineQueries {
     // one IEEE division); fewer than k distinct values => exact count
     "pipe_sketch_kmv" -> kmvOracleSql(withExact = true),
 
+    // the d=4 × w=1024 counter grid and the min-of-cells estimates,
+    // replayed from the same md5 hash stream
+    "pipe_sketch_cm" ->
+      ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+        "g AS (SELECT j.range AS j, " +
+        s"${Hex60("CAST(j.range AS VARCHAR) || ':' || term")} % 1024 AS cell, " +
+        "count(*) AS cnt FROM t, range(4) j GROUP BY 1, 2), " +
+        "c AS (SELECT term, count(*)::BIGINT AS true_cnt FROM t GROUP BY term), " +
+        "top AS (SELECT term, true_cnt, row_number() OVER (ORDER BY true_cnt DESC, term) AS rk " +
+        "FROM c ORDER BY true_cnt DESC, term LIMIT 20), " +
+        "p AS (SELECT tt.term, j.range AS j, " +
+        s"${Hex60("CAST(j.range AS VARCHAR) || ':' || tt.term")} % 1024 AS cell " +
+        "FROM top tt, range(4) j), " +
+        "e AS (SELECT p.term, min(g.cnt)::BIGINT AS cm_est FROM p JOIN g ON g.j = p.j AND g.cell = p.cell GROUP BY p.term) " +
+        "SELECT top.term, top.true_cnt, e.cm_est, top.rk FROM top JOIN e ON e.term = top.term"),
+
     // tf-idf: idf = round(ln N - ln df, 6), both logs over integer
     // arguments (bit-identical across engines; rounding absorbs last-ulp
     // stragglers), score = round(tf * idf, 6), ties rank by term
@@ -655,6 +691,14 @@ object PipelineQueries {
       ("SELECT doc_id, len(text)::BIGINT AS byte_len, " +
         "array_to_string(list_transform(range(1, 5), i -> ascii(substr(text, i, 1))), ',') AS head_codes, " +
         "len(text)::BIGINT % 640 AS fake_width, (len(text)::BIGINT * 7) % 480 AS fake_height " +
+        "FROM documents"),
+
+    // planted stream parameters recomputed arithmetically
+    "pipe_mm_audio_meta" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format, " +
+        "CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate, " +
+        "CAST(n_chars % 2 + 1 AS BIGINT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT) AS bits_per_sample " +
         "FROM documents"),
 
     // planted dimensions recomputed arithmetically: the engine must

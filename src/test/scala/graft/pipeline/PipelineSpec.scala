@@ -465,6 +465,22 @@ class PipelineSpec extends SparkTestBase {
       s"k-means IVF recall ${hits.toDouble / brute.count()} too low")
   }
 
+  test("count-min estimates never underestimate and are exact sans collisions") {
+    val got = Sketches.countMinHeavyHitters(docs).collect()
+    assert(got.length == 20)
+    // the CM property: estimate >= true count, always
+    assert(got.forall(r => r.getAs[Long]("cm_est") >= r.getAs[Long]("true_cnt")))
+    // with a huge grid no cell collides on this corpus: estimates exact
+    val wide = Sketches.countMinHeavyHitters(docs, d = 4, w = 1 << 20).collect()
+    assert(wide.forall(r => r.getAs[Long]("cm_est") == r.getAs[Long]("true_cnt")))
+    // with a tiny grid collisions inflate estimates but ranks and true
+    // counts are untouched
+    val tiny = Sketches.countMinHeavyHitters(docs, d = 2, w = 8).collect()
+    assert(tiny.map(r => (r.getAs[String]("term"), r.getAs[Long]("true_cnt"))).toSet ==
+      got.map(r => (r.getAs[String]("term"), r.getAs[Long]("true_cnt"))).toSet)
+    assert(tiny.forall(r => r.getAs[Long]("cm_est") >= r.getAs[Long]("true_cnt")))
+  }
+
   test("bpe token counts are positive and bounded by character count") {
     val t = TextAnalysis.bpeTokens(docs)
     assert(t.filter(col("bpe_tokens") <= 0).count() == 0)
@@ -512,6 +528,28 @@ class PipelineSpec extends SparkTestBase {
     // a JPEG whose declared segment length runs past the buffer: None
     val trunc = jpegHeaderBytes(10, 10).dropRight(6)
     assert(imageMeta(trunc).isEmpty)
+  }
+
+  test("audio header parsing recovers real stream parameters") {
+    import Multimodal._
+    assert(audioMeta(wavHeaderBytes(44100, 2)) ==
+      Some(AudioMeta("wav", 44100, 2, 16)))
+    assert(audioMeta(wavHeaderBytes(16000, 1, bitsPerSample = 24)) ==
+      Some(AudioMeta("wav", 16000, 1, 24)))
+    assert(audioMeta(flacHeaderBytes(48000, 2)) ==
+      Some(AudioMeta("flac", 48000, 2, 16)))
+    assert(audioMeta(flacHeaderBytes(96000, 8, bitsPerSample = 24)) ==
+      Some(AudioMeta("flac", 96000, 8, 24)))
+    // a WAV with an ODD-sized junk chunk exercises the word-align skip
+    val w = wavHeaderBytes(8000, 1)
+    val odd = (w.take(12) ++ "LIST".getBytes ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+      ++ w.drop(12 + 8 + 6)) // replace the even JUNK with a 3-byte LIST+pad
+    assert(audioMeta(odd) == Some(AudioMeta("wav", 8000, 1, 16)))
+    // corrupt/foreign/truncated: None, never a throw
+    assert(audioMeta("RIFFxxxx".getBytes).isEmpty)
+    assert(audioMeta(flacHeaderBytes(48000, 2).take(10)).isEmpty)
+    assert(audioMeta(wavHeaderBytes(8000, 1).take(30)).isEmpty)
+    assert(audioMeta("plain text".getBytes).isEmpty)
   }
 
   test("multimodal payload/decode plumbing") {
