@@ -77,6 +77,25 @@ object Packing {
       .toDF("doc_id", "weight", "shard")
   }
 
+  /** Materialize the [[shardAssign]] layout: write the full documents
+    * into `outDir` partitioned by shard (`shard=N/` directories, the
+    * layout a trainer's data loader consumes), then return the read-back
+    * per-shard summary — proving the round trip, not just the plan.
+    * The text joins the narrow assignment by doc_id once, at write time. */
+  def writeShards(docs: DataFrame, outDir: String, numShards: Int = 8,
+      weightCol: String = "n_chars"): DataFrame = {
+    val assigned = shardAssign(docs, numShards, weightCol)
+      .select(col("doc_id"), col("shard"))
+    docs.join(assigned, Seq("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("total_weight"))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("total_weight"))
+  }
+
   def chunk(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size)
     docs

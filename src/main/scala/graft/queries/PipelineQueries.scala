@@ -179,6 +179,13 @@ object PipelineQueries {
     // balanced shard assignment: snake over the global weight-desc rank,
     // computed distributedly (range sort + zipWithIndex, no global window)
     "pipe_shard_assign" -> ((s, d) => Packing.shardAssign(docs(s, d), 8)),
+    // the materialized layout: write shard=N/ partitions, read back, and
+    // hash-check the per-shard composition of the files ON DISK
+    "pipe_shard_write" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_shards_")
+      graft.TempDirs.register(out)
+      Packing.writeShards(docs(s, d), out.toString, 8)
+    }),
     // char-bigram LM score: the perplexity-quality-filter proxy
     "pipe_text_ppx" -> ((s, d) => TextAnalysis.charLmScore(docs(s, d))),
     // deterministic growth-stable train/val/test split
@@ -338,6 +345,25 @@ object PipelineQueries {
       s"SELECT source, ${exactCol}k_used, " +
       "round(CASE WHEN k_used < 16 THEN k_used::DOUBLE " +
       "ELSE (15.0 * 1152921504606846976.0) / hk END, 4) AS kmv_est FROM s"
+  }
+
+  /** the count-min oracle: d=4 × w=1024 grid + min-of-cells estimates for
+    * the true top-20 terms, with or without the exact column (the
+    * streaming gate omits it — the stream holds only the grid) */
+  private[queries] def cmOracleSql(withExact: Boolean): String = {
+    val exactCol = if (withExact) "top.true_cnt, " else ""
+    "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+      "g AS (SELECT j.range AS j, " +
+      s"${Hex60("CAST(j.range AS VARCHAR) || ':' || term")} % 1024 AS cell, " +
+      "count(*) AS cnt FROM t, range(4) j GROUP BY 1, 2), " +
+      "c AS (SELECT term, count(*)::BIGINT AS true_cnt FROM t GROUP BY term), " +
+      "top AS (SELECT term, true_cnt, row_number() OVER (ORDER BY true_cnt DESC, term) AS rk " +
+      "FROM c ORDER BY true_cnt DESC, term LIMIT 20), " +
+      "p AS (SELECT tt.term, j.range AS j, " +
+      s"${Hex60("CAST(j.range AS VARCHAR) || ':' || tt.term")} % 1024 AS cell " +
+      "FROM top tt, range(4) j), " +
+      "e AS (SELECT p.term, min(g.cnt)::BIGINT AS cm_est FROM p JOIN g ON g.j = p.j AND g.cell = p.cell GROUP BY p.term) " +
+      s"SELECT top.term, ${exactCol}e.cm_est, top.rk FROM top JOIN e ON e.term = top.term"
   }
 
   /** the full kmeans-IVF probe chain (train → assign → probe → rank into
@@ -533,19 +559,7 @@ object PipelineQueries {
 
     // the d=4 × w=1024 counter grid and the min-of-cells estimates,
     // replayed from the same md5 hash stream
-    "pipe_sketch_cm" ->
-      ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
-        "g AS (SELECT j.range AS j, " +
-        s"${Hex60("CAST(j.range AS VARCHAR) || ':' || term")} % 1024 AS cell, " +
-        "count(*) AS cnt FROM t, range(4) j GROUP BY 1, 2), " +
-        "c AS (SELECT term, count(*)::BIGINT AS true_cnt FROM t GROUP BY term), " +
-        "top AS (SELECT term, true_cnt, row_number() OVER (ORDER BY true_cnt DESC, term) AS rk " +
-        "FROM c ORDER BY true_cnt DESC, term LIMIT 20), " +
-        "p AS (SELECT tt.term, j.range AS j, " +
-        s"${Hex60("CAST(j.range AS VARCHAR) || ':' || tt.term")} % 1024 AS cell " +
-        "FROM top tt, range(4) j), " +
-        "e AS (SELECT p.term, min(g.cnt)::BIGINT AS cm_est FROM p JOIN g ON g.j = p.j AND g.cell = p.cell GROUP BY p.term) " +
-        "SELECT top.term, top.true_cnt, e.cm_est, top.rk FROM top JOIN e ON e.term = top.term"),
+    "pipe_sketch_cm" -> cmOracleSql(withExact = true),
 
     // tf-idf: idf = round(ln N - ln df, 6), both logs over integer
     // arguments (bit-identical across engines; rounding absorbs last-ulp
@@ -868,6 +882,15 @@ object PipelineQueries {
         "th AS (SELECT lang, CAST(floor(sqrt(nmin::DOUBLE / n) * 1000) AS BIGINT) AS t FROM c, mn) " +
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d JOIN th USING (lang) " +
         "WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < th.t"),
+
+    // the per-shard rollup of the snake assignment — what must be on disk
+    "pipe_shard_write" ->
+      ("WITH r AS (SELECT doc_id, n_chars::BIGINT AS w, " +
+        "row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk FROM documents), " +
+        "a AS (SELECT doc_id, w, CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 " +
+        "ELSE 7 - (rk % 8) END AS shard FROM r) " +
+        "SELECT shard, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS total_weight " +
+        "FROM a GROUP BY shard"),
 
     // the snake assignment replayed over the same total order
     "pipe_shard_assign" ->

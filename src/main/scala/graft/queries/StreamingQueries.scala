@@ -35,6 +35,10 @@ object StreamingQueries {
     // minima make the post-stream state equal the batch sketch exactly
     "stream_kmv_vocab" -> ((s, d) =>
       SketchStream.runToBatch(s, s"$d/documents.parquet", "v_stream_kmv")),
+    // running count-min grid (d*w counters of state, never
+    // vocabulary-sized); probed post-stream for the true top-20 terms
+    "stream_cm_heavy" -> ((s, d) =>
+      SketchStream.runCountMinToBatch(s, s"$d/documents.parquet", "v_stream_cm")),
     // online IVF ingestion: centroids trained offline on the static
     // table, arriving vectors assigned statelessly (centroid literals);
     // streamed assignment must equal the batch k-means assignment
@@ -85,6 +89,9 @@ object StreamingQueries {
     // the batch KMV oracle minus the exact count (streaming cannot hold
     // the distinct set — that asymmetry is the sketch's point)
     "stream_kmv_vocab" -> PipelineQueries.kmvOracleSql(withExact = false),
+    // the batch CM oracle minus the exact column (streaming holds only
+    // the grid; the probe set is derived batch-side)
+    "stream_cm_heavy" -> PipelineQueries.cmOracleSql(withExact = false),
     // batch k-means assignment of every vector (the asg CTE of the
     // shared ivf_kmeans chain) — streamed stateless assignment must agree
     "stream_ivf_assign" ->
