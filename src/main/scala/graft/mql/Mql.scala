@@ -110,6 +110,59 @@ object Mql {
       .withColumn("children", coalesce(col("children"), array().cast("array<string>")))
   }
 
+  /** Transitive provenance closure — engine extension beyond the
+    * reference's one-hop `parents()`/`children()` (sql_converter.py has
+    * no recursive hop): every proper ancestor (or descendant) of the
+    * seed set with its MINIMUM hop distance — the "what fed this
+    * dataset" / "what was derived from this file" lineage query.
+    *
+    * BFS frontier loop (Spark pre-4.x has no recursive CTE, same posture
+    * as the dataset-DAG closure in [[Planner]]): each round joins the
+    * frontier to the edge table, drops already-visited fids, emits the
+    * rest at the current depth — first-reach IS min-depth because BFS
+    * explores by increasing distance. Cycle-safe via the visited set;
+    * `maxDepth` caps pathological graphs. A seed reached from another
+    * seed appears like any other proper ancestor.
+    *
+    * Scale shape: the edge table is catalog-sized but only its two fid
+    * columns move; each round is one narrow equi-join + anti-join, the
+    * frontier is localCheckpointed so plan lineage stays flat, and round
+    * count is the graph DEPTH (log-ish for real provenance DAGs), not
+    * its size. */
+  def provenanceClosure(catalog: MetacatCatalog, seeds: DataFrame,
+      ancestors: Boolean = true, maxDepth: Int = 25): DataFrame = {
+    val spark = seeds.sparkSession
+    val edges =
+      if (ancestors)
+        catalog.parentChild.select(col("child_fid").as("src"), col("parent_fid").as("dst"))
+      else
+        catalog.parentChild.select(col("parent_fid").as("src"), col("child_fid").as("dst"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fid",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("depth",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    var result = empty
+    var visited = seeds.select("fid").distinct().localCheckpoint(eager = true)
+      .limit(0) // visited starts EMPTY: seeds are re-emittable as ancestors
+    var frontier = seeds.select("fid").distinct().localCheckpoint(eager = true)
+    var depth = 0
+    while (depth < maxDepth && frontier.limit(1).collect().nonEmpty) {
+      depth += 1
+      val next = edges
+        .join(frontier.withColumnRenamed("fid", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("fid")).distinct()
+        .join(visited, Seq("fid"), "left_anti")
+        .localCheckpoint(eager = true)
+      result = result.unionByName(next.withColumn("depth", lit(depth.toLong)))
+      visited = visited.unionByName(next).localCheckpoint(eager = true)
+      frontier = next
+    }
+    result
+  }
+
   /** Namespace-level rollup of file counts and sizes — the reference keeps
     * a denormalized `file_count` on namespaces (`schema.sql:48`) and serves
     * counts as estimates by default (`dbobjects2.py:1345-1359` reads the

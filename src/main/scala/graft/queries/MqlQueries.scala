@@ -90,6 +90,14 @@ object MqlQueries {
     // --- provenance (SURVEY §2.4) ---
     "mql_parents" -> q("parents(files from dsns:ds2 where core.run < 100)") _,
     "mql_children" -> q("children(files from dsns:ds1 where core.run < 100)") _,
+    // transitive lineage (engine extension — the reference hop is
+    // one-level): every ancestor of the seed set with its min hop depth
+    "mql_ancestors" -> ((s, dir) => {
+      val cat = new DerivedCatalog(s, dir)
+      val seeds = Mql.query(s, cat,
+        "files from dsns:ds2 where core.run < 20").select("fid")
+      Mql.provenanceClosure(cat, seeds)
+    }),
 
     // --- ordering / pagination (SURVEY §2.8) ---
     "mql_skip_limit" -> q("files from dsns:all ordered skip 100 limit 20") _,
@@ -268,6 +276,16 @@ object MqlQueries {
       s"SELECT $FileCols FROM mc_files WHERE fid IN (" +
         "SELECT pc.child_fid FROM mc_parent_child pc JOIN mc_files p ON pc.parent_fid = p.fid" +
         " WHERE NOT p.retired AND p.k % 5 = 1 AND p.m_run < 100)"),
+    // min hop depth = BFS first reach; the recursive UNION keeps every
+    // (fid, depth) pair and the final GROUP BY takes the minimum
+    "mql_ancestors" ->
+      (s"WITH RECURSIVE ${OracleCatalog.cte}, " +
+        "sd AS (SELECT fid FROM mc_files WHERE NOT retired AND k % 5 = 2 AND m_run < 20), " +
+        "walk(fid, depth) AS (" +
+        "SELECT pc.parent_fid, 1::BIGINT FROM mc_parent_child pc JOIN sd ON pc.child_fid = sd.fid " +
+        "UNION " +
+        "SELECT pc.parent_fid, w.depth + 1 FROM walk w JOIN mc_parent_child pc ON pc.child_fid = w.fid) " +
+        "SELECT fid, min(depth)::BIGINT AS depth FROM walk GROUP BY fid"),
     "mql_skip_limit" -> o(
       s"SELECT $FileCols FROM mc_files WHERE NOT retired ORDER BY fid LIMIT 20 OFFSET 100"),
     // skip 40 limit 100 skip 10 limit 30  ==>  skip 50 limit 30

@@ -266,4 +266,41 @@ class MqlEngineSpec extends SparkTestBase {
     val s = Mql.explain(spark, cat, "files from dsns:ds0 where core.run < 10 limit 5")
     assert(s.contains("-- parsed --") && s.contains("-- spark plan --"))
   }
+
+  test("provenance closure: diamond min-depth, cycles, both directions") {
+    import spark.implicits._
+    //      A
+    //     / \      diamond: D reachable from A at depth 2 via B or C
+    //    B   C     E hangs off D; X<->Y is a 2-cycle feeding B
+    //     \ /
+    //      D - E
+    val edges = Seq(
+      ("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E"),
+      ("X", "Y"), ("Y", "X"), ("X", "B")
+    ).toDF("parent_fid", "child_fid")
+    val g = new graft.metacat.MetacatCatalog {
+      def files: DataFrame = spark.emptyDataFrame
+      def filesDatasets: DataFrame = spark.emptyDataFrame
+      def datasets: DataFrame = spark.emptyDataFrame
+      def parentChild: DataFrame = edges
+      def datasetsParentChild: DataFrame = spark.emptyDataFrame
+      def queries: DataFrame = spark.emptyDataFrame
+      def namedQuerySource(ns: String, n: String): Option[String] = None
+    }
+    def closure(seed: String, anc: Boolean): Map[String, Long] =
+      Mql.provenanceClosure(g, Seq(seed).toDF("fid"), ancestors = anc)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ancestors of E: D at 1, B and C at 2, A at 3 — and through the
+    // X<->Y cycle: X at 3, Y at 4 (termination despite the cycle)
+    assert(closure("E", anc = true) ==
+      Map("D" -> 1L, "B" -> 2L, "C" -> 2L, "A" -> 3L, "X" -> 3L, "Y" -> 4L))
+    // descendants of A: diamond D collapses to min depth 2
+    assert(closure("A", anc = false) ==
+      Map("B" -> 1L, "C" -> 1L, "D" -> 2L, "E" -> 3L))
+    // a seed inside the cycle reaches itself (proper ancestor via Y)
+    assert(closure("X", anc = true) == Map("Y" -> 1L, "X" -> 2L))
+    // maxDepth caps the walk
+    assert(Mql.provenanceClosure(g, Seq("E").toDF("fid"), maxDepth = 1)
+      .collect().map(_.getString(0)).toSeq == Seq("D"))
+  }
 }
