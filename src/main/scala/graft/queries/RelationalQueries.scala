@@ -139,6 +139,38 @@ object RelationalQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"), col("rn"))
     }),
 
+    // cumulative sum per key — integer cents so the sequential fold is
+    // engine-exact (windowed double sums associate differently across
+    // engines)
+    "q_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("cents")).over(w).as("run_cents"))
+    }),
+
+    // lead/lag: seconds since the customer's previous order (null first)
+    "q_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (unix_timestamp(col("o_orderdate")) -
+            lag(unix_timestamp(col("o_orderdate")), 1).over(w)).as("gap_secs"))
+    }),
+
+    // exact interpolated percentiles over integer quantities (the
+    // interpolation arithmetic is IEEE-exact on small ints)
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.75)").as("q3"))
+    }),
+
     // --- sort + offset + limit (SURVEY §2.8 skip/limit) ---
     "q_skip_limit" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -356,6 +388,23 @@ object RelationalQueries {
     "q_skip_limit" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 10 OFFSET 100""".stripMargin,
+    "q_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |FROM orders""".stripMargin,
+    "q_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch(o_orderdate)::BIGINT - lag(epoch(o_orderdate)::BIGINT, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_secs
+        |FROM orders""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1,
+        |  quantile_cont(l_quantity, 0.5) AS med,
+        |  quantile_cont(l_quantity, 0.75) AS q3
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,
