@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata, and run decode / feature-extraction as a batched
   * per-partition transform.
   *
-  * The Spark-side mechanics are real — schema, partition-parallel batched
-  * execution via `mapPartitions` over a typed Dataset (the JVM analog of
-  * `mapInPandas` batch processing), and a stable output schema. The decode
-  * itself is a clearly-marked DETERMINISTIC STUB (this container has no
-  * image/audio codecs): it derives fake "media properties" from the bytes.
-  * Swapping in a real codec changes only the body of [[decodeStub]].
+  * Three tiers, clearly separated:
+  *
+  *  - REAL, pixel-level: [[decodeImage]]/[[resizeImage]] decode actual
+  *    image bytes through the JDK's own `javax.imageio` (PNG/BMP/GIF/
+  *    JPEG readers ship with the JVM — no external codec needed) and
+  *    emit integer-exact features (dims, luminance sum, aHash
+  *    perceptual fingerprint) / nearest-neighbor resamples.
+  *  - REAL, header-level: [[imageMeta]]/[[audioMeta]] parse container
+  *    headers (PNG/JPEG/GIF/BMP, WAV/FLAC) byte-by-byte — the
+  *    resolution/sample-rate pre-filter an ingest runs before decode.
+  *  - STUB: [[decodeStub]] remains the documented deterministic fake
+  *    for media ImageIO cannot read (video, non-WAV audio payloads) —
+  *    the batched plumbing around it is the real part it demonstrates.
   */
 object Multimodal {
 
@@ -198,6 +205,133 @@ object Multimodal {
     out(26) = 1 // planes
     out(28) = (bitCount & 0xff).toByte; out(29) = ((bitCount >> 8) & 0xff).toByte
     out
+  }
+
+  // ---- REAL pixel decode (JDK ImageIO — no external codec) ----
+
+  // AWT raster ops are headless-safe, but pin the flag before any
+  // ImageIO classloading so no executor ever probes for a display
+  System.setProperty("java.awt.headless", "true")
+
+  final case class DecodedImage(doc_id: Long, width: Long, height: Long,
+      sum_gray: Long, ahash_lo: Long, ahash_hi: Long)
+
+  /** REAL image decode via the JDK's own `javax.imageio` (PNG/BMP/GIF/
+    * JPEG readers ship with the JVM — `decodeStub` predates this and
+    * remains only as the documented fake for formats ImageIO lacks):
+    * decodes the payload to pixels and emits integer-exact features —
+    * dimensions, the luminance sum, and the 64-bit aHash perceptual
+    * fingerprint (8×8 average-hash: bit j set iff pixel j's luminance
+    * beats the image mean; the standard near-dup fingerprint for
+    * images), split into two 32-bit halves so any engine can recompute
+    * it without signed-shift edge cases. Luminance is the integer
+    * Rec.601 form (299r+587g+114b)/1000 — exact, no floats anywhere.
+    * Returns None on undecodable payloads; never throws. */
+  def decodeImage(docId: Long, payload: Array[Byte]): Option[DecodedImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val lum = Array.ofDim[Long](w * h)
+        var sum = 0L
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val l = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            lum(i) = l; sum += l; i += 1; x += 1
+          }
+          y += 1
+        }
+        // aHash over the first 8x8 pixels (row-major bit j = y*8+x),
+        // threshold = the full-image mean, compared exactly via
+        // l * n > sum (no division)
+        val n = (w * h).toLong
+        var lo = 0L; var hi = 0L
+        var by = 0
+        while (by < math.min(8, h)) {
+          var bx = 0
+          while (bx < math.min(8, w)) {
+            val j = by * 8 + bx
+            if (lum(by * w + bx) * n > sum) {
+              if (j < 32) lo |= (1L << j) else hi |= (1L << (j - 32))
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        Some(DecodedImage(docId, w.toLong, h.toLong, sum, lo, hi))
+      }
+    } catch { case _: Exception => None }
+
+  final case class ResizedImage(doc_id: Long, out_w: Long, out_h: Long,
+      sum_gray: Long)
+
+  /** REAL resize: decode the payload (JDK ImageIO), nearest-neighbor
+    * resample with the EXPLICIT integer mapping src = (dst·srcDim)/dstDim
+    * — deterministic and engine-replayable, unlike library resamplers
+    * whose rounding conventions vary — and emit the resized image's
+    * luminance sum. A production variant would also re-encode the pixels
+    * from this same loop; the features prove the resample is real. */
+  def resizeImage(docId: Long, payload: Array[Byte], tw: Int,
+      th: Int): Option[ResizedImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || tw <= 0 || th <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < th) {
+          val sy = y * h / th
+          var x = 0
+          while (x < tw) {
+            val sx = x * w / tw
+            val rgb = img.getRGB(sx, sy)
+            sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        Some(ResizedImage(docId, tw.toLong, th.toLong, sum))
+      }
+    } catch { case _: Exception => None }
+
+  /** batched REAL resize over a binary payload column */
+  def resizeImages(spark: SparkSession, payloads: DataFrame, tw: Int,
+      th: Int): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions(_.flatMap(p => resizeImage(p.doc_id, p.payload, tw, th)))
+      .toDF()
+  }
+
+  /** batched REAL decode over a binary payload column */
+  def decodeImages(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions(_.flatMap(p => decodeImage(p.doc_id, p.payload)))
+      .toDF()
+  }
+
+  /** Deterministic 8×8 gray PNG whose pixel (x,y) carries luminance
+    * `(seed*7 + x*3 + y*5) % 256` — REAL encoded bytes (JDK PNG writer)
+    * that [[decodeImage]] must decode back to the arithmetic pattern. */
+  def grayPatternPng(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = ((seed * 7 + x * 3 + y * 5) % 256).toInt
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   // ---- REAL audio metadata extraction (no codec needed) ----

@@ -61,6 +61,25 @@ object PipelineQueries {
     "pipe_chunk" -> ((s, d) => Packing.chunk(docs(s, d))),
     "pipe_pack" -> ((s, d) => Packing.greedyPack(docs(s, d))),
     "pipe_mm_decode" -> ((s, d) => Multimodal.decoded(s, docs(s, d))),
+    // REAL pixel decode (JDK ImageIO): plant 8x8 gray PNGs carrying an
+    // arithmetic pattern, decode the actual bytes back to pixels, emit
+    // integer-exact luminance sum + aHash fingerprint halves
+    "pipe_mm_decode_real" -> ((s, d) => {
+      import s.implicits._
+      val planted = docs(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.grayPatternPng(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeImages(s, planted)
+    }),
+    // REAL resize of the decoded pixels — nearest-neighbor with the
+    // explicit integer mapping src=(dst*srcDim)/dstDim, 8x8 -> 4x3
+    "pipe_mm_resize_real" -> ((s, d) => {
+      import s.implicits._
+      val planted = docs(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.grayPatternPng(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.resizeImages(s, planted, 4, 3)
+    }),
     // the audio twin: WAV (chunk walk past a JUNK chunk) and FLAC
     // (STREAMINFO bit unpacking) headers planted with known stream params
     "pipe_mm_audio_meta" -> ((s, d) => {
@@ -706,6 +725,32 @@ object PipelineQueries {
         "array_to_string(list_transform(range(1, 5), i -> ascii(substr(text, i, 1))), ',') AS head_codes, " +
         "len(text)::BIGINT % 640 AS fake_width, (len(text)::BIGINT * 7) % 480 AS fake_height " +
         "FROM documents"),
+
+    // the planted pattern recomputed arithmetically: luminance of gray
+    // (g,g,g) is exactly g under integer Rec.601, aHash bit j set iff
+    // g*64 > sum (threshold-by-mean without division)
+    "pipe_mm_decode_real" ->
+      ("WITH px AS (SELECT doc_id, x.range AS x, y.range AS y, " +
+        "(doc_id * 7 + x.range * 3 + y.range * 5) % 256 AS g " +
+        "FROM documents, range(8) x, range(8) y), " +
+        "s AS (SELECT doc_id, sum(g)::BIGINT AS sum_gray FROM px GROUP BY doc_id), " +
+        "b AS (SELECT p.doc_id, " +
+        "coalesce(sum(CASE WHEN p.g * 64 > s.sum_gray AND p.y * 8 + p.x < 32 " +
+        "THEN (1::BIGINT << (p.y * 8 + p.x)) END), 0)::BIGINT AS ahash_lo, " +
+        "coalesce(sum(CASE WHEN p.g * 64 > s.sum_gray AND p.y * 8 + p.x >= 32 " +
+        "THEN (1::BIGINT << (p.y * 8 + p.x - 32)) END), 0)::BIGINT AS ahash_hi " +
+        "FROM px p JOIN s ON s.doc_id = p.doc_id GROUP BY p.doc_id) " +
+        "SELECT b.doc_id, 8::BIGINT AS width, 8::BIGINT AS height, s.sum_gray, " +
+        "b.ahash_lo, b.ahash_hi FROM b JOIN s ON s.doc_id = b.doc_id"),
+
+    // the nearest-neighbor sample replayed: resized pixel (x,y) reads
+    // pattern((x*8)/4, (y*8)/3)
+    "pipe_mm_resize_real" ->
+      ("WITH px AS (SELECT doc_id, x.range AS x, y.range AS y, " +
+        "(doc_id * 7 + ((x.range * 8) // 4) * 3 + ((y.range * 8) // 3) * 5) % 256 AS g " +
+        "FROM documents, range(4) x, range(3) y) " +
+        "SELECT doc_id, 4::BIGINT AS out_w, 3::BIGINT AS out_h, " +
+        "sum(g)::BIGINT AS sum_gray FROM px GROUP BY doc_id"),
 
     // planted stream parameters recomputed arithmetically
     "pipe_mm_audio_meta" ->

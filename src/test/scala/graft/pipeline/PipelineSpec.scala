@@ -530,6 +530,51 @@ class PipelineSpec extends SparkTestBase {
     assert(imageMeta(trunc).isEmpty)
   }
 
+  test("real image decode: pixels, luminance, and aHash behave like a decoder") {
+    import Multimodal._
+    // the planted pattern round-trips through REAL png encode + decode
+    val d = decodeImage(5L, grayPatternPng(5L)).get
+    assert(d.width == 8 && d.height == 8)
+    assert(d.sum_gray == (for (y <- 0 until 8; x <- 0 until 8)
+      yield (5L * 7 + x * 3 + y * 5) % 256).sum)
+    // aHash is a PERCEPTUAL fingerprint: identical images hash equal,
+    // a one-pixel nudge moves few bits, a different pattern moves many
+    def hamming(a: DecodedImage, b: DecodedImage): Int =
+      java.lang.Long.bitCount(a.ahash_lo ^ b.ahash_lo) +
+        java.lang.Long.bitCount(a.ahash_hi ^ b.ahash_hi)
+    val base = decodeImage(1L, grayPatternPng(1L)).get
+    assert(hamming(base, decodeImage(1L, grayPatternPng(1L)).get) == 0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(grayPatternPng(1L)))
+    img.setRGB(3, 3, 0xffffff) // one hot pixel
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val nudged = decodeImage(1L, bos.toByteArray).get
+    // a different SEED only shifts the gradient by a constant — aHash is
+    // (correctly) invariant to global brightness, so those hash EQUAL:
+    assert(hamming(base, decodeImage(1L, grayPatternPng(99L)).get) == 0)
+    // a genuinely different composition (checkerboard) lands far away
+    val cb = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = if ((x + y) % 2 == 0) 230 else 20
+      cb.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val cbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(cb, "png", cbos)
+    val distinct = decodeImage(1L, cbos.toByteArray).get
+    assert(hamming(base, nudged) < hamming(base, distinct),
+      s"perceptual ordering broken: nudge ${hamming(base, nudged)} vs " +
+        s"distinct ${hamming(base, distinct)}")
+    // the JDK's own JPEG/BMP/GIF readers also feed the same path
+    val bmp = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmp)
+    assert(decodeImage(1L, bmp.toByteArray).get.width == 8)
+    // undecodable payloads: None, never a throw
+    assert(decodeImage(1L, "not an image".getBytes).isEmpty)
+    assert(decodeImage(1L, Array[Byte]()).isEmpty)
+  }
+
   test("audio header parsing recovers real stream parameters") {
     import Multimodal._
     assert(audioMeta(wavHeaderBytes(44100, 2)) ==
