@@ -267,15 +267,38 @@ object Dedup {
     * (60/(k+1) bits ⇒ coarser buckets, more candidates) — the precision
     * knob, same occupancy story as the LSH rowsPerBand sizing. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      hotBucketCap: Int = 256): DataFrame = {
+      hotBucketCap: Int = 256): DataFrame =
+    hammingPairs(simhash(docs).localCheckpoint(), "simhash", 60,
+      maxHamming, hotBucketCap)
+
+  /** Perceptual image near-duplicate pairs: hamming join over the 64-bit
+    * aHash fingerprints [[Multimodal.decodeImage]] emits — the standard
+    * image-dedup pass of a multimodal corpus (re-encoded, resized or
+    * brightness-shifted copies of a picture land within a few bits; see
+    * the aHash invariance pinned in the decode spec). Same pigeonhole
+    * machinery as [[simhashPairs]], over 64 bits. */
+  def ahashPairs(decoded: DataFrame, maxHamming: Int = 7,
+      hotBucketCap: Int = 256): DataFrame =
+    hammingPairs(
+      decoded.select(col("doc_id"),
+        col("ahash_lo").bitwiseOR(shiftleft(col("ahash_hi"), 32)).as("ahash"))
+        .localCheckpoint(),
+      "ahash", 64, maxHamming, hotBucketCap)
+
+  /** Pigeonhole hamming-pair join over any integer signature: maxHamming+1
+    * signature blocks guarantee every pair within maxHamming bits agrees
+    * exactly on one block, so the bucket join is a COMPLETE candidate
+    * generator; every candidate is verified with the true bit_count.
+    * Shared by text SimHash (60-bit) and image aHash (64-bit). */
+  private[pipeline] def hammingPairs(sigs: DataFrame, sigCol: String,
+      sigBits: Int, maxHamming: Int, hotBucketCap: Int): DataFrame = {
     val nBlocks = maxHamming + 1
-    require(nBlocks > 0 && 60 % nBlocks == 0,
-      s"simhashPairs: maxHamming + 1 must divide 60 (got $maxHamming)")
-    val blockBits = 60 / nBlocks
-    val sigs = simhash(docs).localCheckpoint() // signature pass runs once
+    require(nBlocks > 0 && sigBits % nBlocks == 0,
+      s"hammingPairs: maxHamming + 1 must divide $sigBits (got $maxHamming)")
+    val blockBits = sigBits / nBlocks
     val keyed = sigs.select(col("doc_id"),
       explode(array((0 until nBlocks).map(i => struct(lit(i).as("blk"),
-        shiftright(col("simhash"), i * blockBits)
+        shiftright(col(sigCol), i * blockBits)
           .bitwiseAND(lit((1L << blockBits) - 1)).as("bval"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.blk").as("blk"), col("bk.bval").as("bval"))
     // Hot-bucket guard: a regular corpus concentrates docs on few block
@@ -301,8 +324,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("__sa")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("__sb")), Seq("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col(sigCol).as("__sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col(sigCol).as("__sb")), Seq("doc_b"))
       .withColumn("hamming",
         expr("bit_count(__sa ^ __sb)").cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -71,6 +71,28 @@ object PipelineQueries {
         .toDF("doc_id", "payload")
       Multimodal.decodeImages(s, planted)
     }),
+    // perceptual image near-dup pairs: groups of 5 docs share a gradient
+    // orientation, each member differs by one hot pixel — decode the REAL
+    // PNGs, aHash, pigeonhole hamming join at <= 7 bits
+    "pipe_mm_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val planted = docs(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val grp = id / 5
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8; x <- 0 until 8) {
+            val g =
+              if (x == (id % 8) && y == ((id / 8) % 8)) 255
+              else (((3 + (grp % 5) * 13) * x + (5 + (grp % 7) * 11) * y + grp) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }).toDF("doc_id", "payload")
+      Dedup.ahashPairs(Multimodal.decodeImages(s, planted), maxHamming = 7)
+    }),
     // REAL resize of the decoded pixels — nearest-neighbor with the
     // explicit integer mapping src=(dst*srcDim)/dstDim, 8x8 -> 4x3
     "pipe_mm_resize_real" -> ((s, d) => {
@@ -742,6 +764,27 @@ object PipelineQueries {
         "FROM px p JOIN s ON s.doc_id = p.doc_id GROUP BY p.doc_id) " +
         "SELECT b.doc_id, 8::BIGINT AS width, 8::BIGINT AS height, s.sum_gray, " +
         "b.ahash_lo, b.ahash_hi FROM b JOIN s ON s.doc_id = b.doc_id"),
+
+    // aHashes recomputed from the planted patterns, brute-force hamming
+    // as halves (the pigeonhole join is a complete generator, so engine
+    // output equals the quadratic reference exactly)
+    "pipe_mm_image_neardup" ->
+      ("WITH d AS (SELECT doc_id, doc_id // 5 AS grp FROM documents), " +
+        "px AS (SELECT doc_id, x.range AS x, y.range AS y, " +
+        "CASE WHEN x.range = doc_id % 8 AND y.range = (doc_id // 8) % 8 THEN 255 " +
+        "ELSE ((3 + (grp % 5) * 13) * x.range + (5 + (grp % 7) * 11) * y.range + grp) % 256 END AS g " +
+        "FROM d, range(8) x, range(8) y), " +
+        "s AS (SELECT doc_id, sum(g) AS sm FROM px GROUP BY doc_id), " +
+        "h AS (SELECT p.doc_id, " +
+        "coalesce(sum(CASE WHEN p.g * 64 > s.sm AND p.y * 8 + p.x < 32 " +
+        "THEN (1::BIGINT << (p.y * 8 + p.x)) END), 0)::BIGINT AS lo, " +
+        "coalesce(sum(CASE WHEN p.g * 64 > s.sm AND p.y * 8 + p.x >= 32 " +
+        "THEN (1::BIGINT << (p.y * 8 + p.x - 32)) END), 0)::BIGINT AS hi " +
+        "FROM px p JOIN s ON s.doc_id = p.doc_id GROUP BY p.doc_id) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming " +
+        "FROM h a JOIN h b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7"),
 
     // the nearest-neighbor sample replayed: resized pixel (x,y) reads
     // pattern((x*8)/4, (y*8)/3)
