@@ -98,6 +98,13 @@ object MqlQueries {
         "files from dsns:ds2 where core.run < 20").select("fid")
       Mql.provenanceClosure(cat, seeds)
     }),
+    // the derived-data direction: everything downstream of the seed set
+    "mql_descendants" -> ((s, dir) => {
+      val cat = new DerivedCatalog(s, dir)
+      val seeds = Mql.query(s, cat,
+        "files from dsns:ds1 where core.run < 10").select("fid")
+      Mql.provenanceClosure(cat, seeds, ancestors = false)
+    }),
 
     // --- ordering / pagination (SURVEY §2.8) ---
     "mql_skip_limit" -> q("files from dsns:all ordered skip 100 limit 20") _,
@@ -285,6 +292,14 @@ object MqlQueries {
         "SELECT pc.parent_fid, 1::BIGINT FROM mc_parent_child pc JOIN sd ON pc.child_fid = sd.fid " +
         "UNION " +
         "SELECT pc.parent_fid, w.depth + 1 FROM walk w JOIN mc_parent_child pc ON pc.child_fid = w.fid) " +
+        "SELECT fid, min(depth)::BIGINT AS depth FROM walk GROUP BY fid"),
+    "mql_descendants" ->
+      (s"WITH RECURSIVE ${OracleCatalog.cte}, " +
+        "sd AS (SELECT fid FROM mc_files WHERE NOT retired AND k % 5 = 1 AND m_run < 10), " +
+        "walk(fid, depth) AS (" +
+        "SELECT pc.child_fid, 1::BIGINT FROM mc_parent_child pc JOIN sd ON pc.parent_fid = sd.fid " +
+        "UNION " +
+        "SELECT pc.child_fid, w.depth + 1 FROM walk w JOIN mc_parent_child pc ON pc.parent_fid = w.fid) " +
         "SELECT fid, min(depth)::BIGINT AS depth FROM walk GROUP BY fid"),
     "mql_skip_limit" -> o(
       s"SELECT $FileCols FROM mc_files WHERE NOT retired ORDER BY fid LIMIT 20 OFFSET 100"),
