@@ -92,6 +92,65 @@ object Sampling {
     docs.filter(bucket(seed, col("doc_id")) < keepBelow)
   }
 
+  /** Token-budget selection per source — "take the first B tokens of each
+    * source" with B expressed as a fraction of the source's total: docs
+    * are ordered by seeded hash (a deterministic shuffle of each source),
+    * a running token sum accumulates in that order, and a document stays
+    * iff its cumulative total still fits the budget. This is how a
+    * training mix pins PER-SOURCE TOKEN counts (not doc counts) when
+    * sources have wildly different document lengths.
+    *
+    * Determinism: ordering is (md5(seed:doc_id), doc_id) — no RNG state —
+    * and the running sum is integer, so the cut point is exact; the
+    * budget comparison is one IEEE multiply, identical in any engine.
+    *
+    * Scale shape: token counts are in-row expressions; the only shuffle
+    * is the per-source window. Sources are few and may be huge — at
+    * cluster scale the same construction runs per (source, shard) with
+    * budget/shards per shard (hash-split each source first), keeping
+    * every window partition bounded; the single-window form here is the
+    * per-shard kernel of that. */
+  def tokenBudgetMix(docs: DataFrame, budgetFrac: Double = 0.4,
+      seed: String = "tb"): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("__h"))
+    val totals = base.groupBy("source").agg(sum(col("n_tokens")).as("__tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(broadcast(totals), "source")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens").cast("double") <= col("__tot").cast("double") * budgetFrac)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Epoch-based source upsampling — the Llama-style mixture where
+    * high-priority sources are seen MORE than once per pass: a source
+    * with weight 2.5 repeats every document twice and a deterministic
+    * 50% hash-selected half a third time, so the expected token count
+    * scales by exactly the weight with no RNG. Output is one row per
+    * (document, epoch) — the frame a sequence packer consumes.
+    *
+    * Scale shape: pure per-row arithmetic plus an `explode(sequence)` —
+    * no shuffle at all; the expansion factor is the weight, bounded by
+    * design. Weights come from a driver-side map (dimension-sized). */
+  def epochUpsample(docs: DataFrame, weights: Map[String, Double] = Map(),
+      defaultWeight: Double = 1.0, seed: String = "ep"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0),
+      "epochUpsample: weights must be positive")
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (g, v)) => when(col("source") === g, lit(v)).otherwise(acc)
+    }
+    val frac1000 = (w * 1000).cast("long") % 1000
+    val nEpochs = floor(w).cast("long") +
+      when(bucket(seed, col("doc_id")) < frac1000, 1L).otherwise(0L)
+    docs.select(col("doc_id"), col("source"), nEpochs.as("__n"))
+      .filter(col("__n") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(CAST(1 AS BIGINT), __n)")).as("epoch"))
+  }
+
   /** Deterministic train/val/test assignment by seeded content hash — the
     * split every training pipeline needs pinned: a document's subset
     * depends ONLY on (seed, doc_id), so it is reproducible across runs and

@@ -40,7 +40,16 @@ object TextAnalysis {
 
   /** heuristic quality metrics: length, punctuation density, stopword
     * ratio, all-caps ratio, and a composite score in [0,1] */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame): DataFrame =
+    withQuality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("stop_ratio"), col("quality_score"),
+        (col("quality_score") >= 0.5).as("passes"))
+
+  /** the quality metric columns appended to `docs` (all source columns
+    * retained) — shared by [[quality]] and [[qualityGateByLang]] so the
+    * two can never diverge on the score definition */
+  private def withQuality(docs: DataFrame): DataFrame = {
     val stopArr = array(Stopwords.map(lit): _*)
     docs.withColumn("__t", split(lower(col("text")), " "))
       .withColumn("n_tokens", size(col("__t")).cast("long"))
@@ -53,9 +62,113 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1L)), 4))
       .withColumn("quality_score",
         round(least(lit(1.0), col("n_tokens").cast("double") / 50) * (lit(1.0) - col("punct_ratio")), 4))
-      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
-        col("stop_ratio"), col("quality_score"),
-        (col("quality_score") >= 0.5).as("passes"))
+  }
+
+  /** Per-language adaptive quality gate: keep a document iff its quality
+    * score clears its OWN language's q-th percentile — the
+    * CCNet/RefinedWeb posture where thresholds are calibrated per
+    * language (a fixed global cutoff over-prunes low-resource languages
+    * whose score distribution sits lower).
+    *
+    * Determinism: scores are 4-dec-rounded before the percentile, and the
+    * interpolated `percentile` is the engine-exact arithmetic already
+    * pinned by the `q_percentile` gate (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` bit-for-bit on these inputs); the filter compares
+    * against the UNROUNDED cutoff on both sides.
+    *
+    * Scale shape: one corpus scan computes scores (pure codegen'd
+    * expressions), the per-language cutoff table is language-count-sized
+    * (a map-side-combined agg), and the join back is an explicit
+    * broadcast — the corpus itself never shuffles. */
+  def qualityGateByLang(docs: DataFrame, q: Double = 0.25): DataFrame = {
+    val scored = withQuality(docs)
+    val cuts = scored.groupBy("lang")
+      .agg(expr(s"percentile(quality_score, $q)").as("__cut"))
+    scored.join(broadcast(cuts), "lang")
+      .filter(col("quality_score") >= col("__cut"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        round(col("__cut"), 4).as("lang_cutoff"))
+  }
+
+  /** BM25 ranked retrieval (Okapi, k1=1.2, b=0.75) for a fixed query term
+    * set — the relevance scorer behind corpus search / RAG candidate
+    * retrieval; complements [[tfidfTopTerms]] (per-doc keywords) with the
+    * per-QUERY document ranking.
+    *
+    * Determinism: BM25's idf `ln((N−df+0.5)/(df+0.5) + 1)` is rewritten
+    * exactly as `ln(2N+2) − ln(2df+1)` — both logs over INTEGER
+    * arguments (the engine-exact tf-idf discipline); each term's
+    * contribution is fixed to micro-units (round(·1e6) as LONG) so the
+    * per-doc sum across query terms is integer and order-free; ties rank
+    * by doc_id.
+    *
+    * Scale shape: the explode is filtered to the query terms BEFORE the
+    * (doc_id, term) aggregation, so only matching postings shuffle — the
+    * corpus never does. df comes from that same tiny frame (broadcast
+    * back), N and total token count are one agg job (driver scalars), and
+    * the global top-k is TakeOrdered (k rows per partition to the driver,
+    * never a single-partition window). */
+  def bm25TopDocs(docs: DataFrame,
+      queryTerms: Seq[String] = Seq("table", "spark", "hash", "merge", "window"),
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = docs.select(size(split(lower(col("text")), " ")).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("n"), sum("__dl").as("tot")).head()
+    val nDocs = stats.getLong(0)
+    val totalTokens = stats.getLong(1)
+    val toks = docs.withColumn("__t", split(lower(col("text")), " "))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tc"), first(col("dl")).as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = round(log(lit((2 * nDocs + 2).toDouble)) -
+      log((col("df") * 2 + 1).cast("double")), 6)
+    val dlNorm = col("dl").cast("double") * nDocs / totalTokens
+    val contrib = idf * (col("tc").cast("double") * (k1 + 1)) /
+      (col("tc").cast("double") + lit(k1) * (lit(1 - b) + lit(b) * dlNorm))
+    val perDoc = tf.join(broadcast(dfT), "term")
+      .withColumn("__c", round(contrib * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("__s").desc, col("doc_id")).limit(k)
+    // rank the k survivors; the window runs on k rows, not the corpus
+    perDoc.withColumn("rk",
+        row_number().over(Window.orderBy(col("__s").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("__s").cast("double") / 1e6, 4).as("bm25"), col("rk"))
+  }
+
+  /** Inverted-index segment build: per term, document frequency, total
+    * collection frequency, and the head postings block (first
+    * `maxPostings` doc_ids by id, encoded `doc:tf`) — the search-index
+    * construction pass, emitted segment-wise exactly as a distributed
+    * index builder writes it.
+    *
+    * Scale shape: one (term, doc_id) aggregation for tf (map-side
+    * combine), then df/cf as a second term-keyed agg — both shuffles key
+    * on the term, so AQE co-locates the final join. The head block is cut
+    * by a per-term row_number window BEFORE collect_list, which plans as
+    * WindowGroupLimit (partial limits run map-side), so no term — not
+    * even a stopword — ever gathers more than `maxPostings` rows into a
+    * single state; full postings lists at 100 TB are exactly this,
+    * repeated per block. */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 32): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tc"))
+      .localCheckpoint()
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tc")).as("cf"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val head = tf.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPostings)
+      .groupBy("term")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tc")))).as("__p"))
+      .select(col("term"), concat_ws(",",
+        expr("transform(__p, x -> concat(x.doc_id, ':', x.tc))")).as("postings"))
+    stats.join(head, "term")
+      .select(col("term"), col("df"), col("cf"), col("postings"))
   }
 
   /** n-gram-free language-ID heuristic: score = stopword-marker hits per

@@ -234,7 +234,21 @@ object PipelineQueries {
     // weighted reservoir (A-ES): top-5 length-weighted docs per source
     "pipe_weighted_sample" -> ((s, d) => Sampling.weightedSample(docs(s, d))),
     // per-(lang, source) composition rollup
-    "pipe_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(docs(s, d))))
+    "pipe_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(docs(s, d))),
+    // BM25 ranked retrieval for a fixed query term set (top-10 docs)
+    "pipe_text_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(docs(s, d))),
+    // inverted-index segment build: df/cf + head postings block per term
+    "pipe_text_invindex" -> ((s, d) => TextAnalysis.invertedIndex(docs(s, d))),
+    // per-language adaptive quality gate: clear your own language's p25
+    "pipe_quality_bylang" -> ((s, d) => TextAnalysis.qualityGateByLang(docs(s, d))),
+    // per-source token budget: first 40% of each source's tokens in
+    // seeded-hash order
+    "pipe_token_budget" -> ((s, d) => Sampling.tokenBudgetMix(docs(s, d))),
+    // epoch-based upsampling: source weight 1.0/1.5/2.0/2.5 by src number,
+    // fractional epochs hash-selected
+    "pipe_source_epochs" -> ((s, d) =>
+      Sampling.epochUpsample(docs(s, d),
+        (0 until 20).map(i => s"src$i" -> (1.0 + (i % 4) * 0.5)).toMap)))
 
   // shared oracle fragments
   private val Toks =
@@ -1025,5 +1039,74 @@ object PipelineQueries {
         "sum(length(text))::BIGINT AS total_chars, " +
         "sum(len(string_split(text, ' ')))::BIGINT AS total_tokens, " +
         "round(sum(length(text))::DOUBLE / count(*), 2) AS avg_doc_chars " +
-        "FROM documents GROUP BY 1, 2"))
+        "FROM documents GROUP BY 1, 2"),
+
+    // BM25: idf = ln(2N+2) - ln(2df+1) (integer-arg logs, the tf-idf
+    // discipline); per-term contributions fixed to micro-unit LONGs so
+    // the cross-term per-doc sum is integer and order-free
+    "pipe_text_bm25" ->
+      (s"WITH $Toks, " +
+        "st AS (SELECT count(*)::BIGINT AS n, sum(len(t))::BIGINT AS tot FROM toks), " +
+        "tw AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks), " +
+        "f AS (SELECT doc_id, term, count(*)::BIGINT AS tc, max(dl) AS dl FROM tw " +
+        "WHERE term IN ('table','spark','hash','merge','window') GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*)::BIGINT AS df FROM f GROUP BY 1), " +
+        "sc AS (SELECT doc_id, CAST(round(" +
+        "round(ln((2 * n + 2)::DOUBLE) - ln((df * 2 + 1)::DOUBLE), 6) * " +
+        "(tc::DOUBLE * 2.2) / " +
+        "(tc::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE * n::DOUBLE / tot::DOUBLE))) " +
+        "* 1e6) AS BIGINT) AS c FROM f JOIN dfq USING (term) CROSS JOIN st), " +
+        "pd AS (SELECT doc_id, sum(c)::BIGINT AS s, count(*)::BIGINT AS n_terms_hit FROM sc GROUP BY 1), " +
+        "r AS (SELECT doc_id, n_terms_hit, s, " +
+        "row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM pd) " +
+        "SELECT doc_id, n_terms_hit, round(s::DOUBLE / 1e6, 4) AS bm25, rk " +
+        "FROM r WHERE rk <= 10"),
+
+    // inverted index: head postings block = first 32 doc_ids per term
+    "pipe_text_invindex" ->
+      (s"WITH $Toks, " +
+        "tw AS (SELECT doc_id, unnest(t) AS term FROM toks), " +
+        "f AS (SELECT term, doc_id, count(*)::BIGINT AS tc FROM tw GROUP BY 1, 2), " +
+        "st AS (SELECT term, count(*)::BIGINT AS df, sum(tc)::BIGINT AS cf FROM f GROUP BY 1), " +
+        "r AS (SELECT term, doc_id, tc, row_number() OVER " +
+        "(PARTITION BY term ORDER BY doc_id) AS rk FROM f), " +
+        "hp AS (SELECT term, string_agg(doc_id || ':' || tc, ',' ORDER BY doc_id) " +
+        "AS postings FROM r WHERE rk <= 32 GROUP BY term) " +
+        "SELECT term, df, cf, postings FROM st JOIN hp USING (term)"),
+
+    // per-language p25 cutoffs; the filter compares against the
+    // UNROUNDED interpolated percentile on both sides (quantile_cont ≡
+    // Spark percentile, pinned by q_percentile)
+    "pipe_quality_bylang" ->
+      (s"WITH $Toks, m AS (SELECT doc_id, lang, len(t) AS n_tokens, " +
+        "round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(len(text), 1), 4) AS punct_ratio " +
+        "FROM toks), " +
+        "q AS (SELECT doc_id, lang, round(least(1.0, n_tokens::DOUBLE / 50) * (1.0 - punct_ratio), 4) AS quality_score FROM m), " +
+        "c AS (SELECT lang, quantile_cont(quality_score, 0.25) AS cut FROM q GROUP BY 1) " +
+        "SELECT doc_id, lang, quality_score, round(cut, 4) AS lang_cutoff " +
+        "FROM q JOIN c USING (lang) WHERE quality_score >= cut"),
+
+    // per-source running token sum in seeded-hash order, cut at 40% of
+    // the source's total tokens — integer window sum, exact cut point
+    "pipe_token_budget" ->
+      ("WITH b AS (SELECT doc_id, source, " +
+        "len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+        "md5('tb:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "tt AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM b GROUP BY 1), " +
+        "r AS (SELECT b.*, tt.tot, sum(n_tokens) OVER (PARTITION BY b.source " +
+        "ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens " +
+        "FROM b JOIN tt USING (source)) " +
+        "SELECT source, doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens FROM r " +
+        "WHERE cum_tokens::DOUBLE <= tot::DOUBLE * 0.4"),
+
+    // weight = 1 + (src# % 4)/2; integer epochs always kept, the
+    // fractional epoch hash-selected with the shared bucket rule
+    "pipe_source_epochs" ->
+      ("WITH w AS (SELECT doc_id, source, " +
+        "1.0 + (CAST(substr(source, 4) AS BIGINT) % 4) * 0.5 AS wt FROM documents), " +
+        "n AS (SELECT doc_id, source, CAST(floor(wt) AS BIGINT) + " +
+        "(CASE WHEN CAST('0x' || substr(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < " +
+        "CAST(wt * 1000 AS BIGINT) % 1000 THEN 1 ELSE 0 END) AS ne FROM w) " +
+        "SELECT doc_id, source, unnest(generate_series(1, ne))::BIGINT AS epoch " +
+        "FROM n WHERE ne >= 1"))
 }

@@ -217,6 +217,19 @@ object RelationalQueries {
           col("n"), col("avg_disc"))
     }),
 
+    // --- arbitrary grouping sets (beyond cube/rollup: a hand-picked
+    // subset lattice, one shuffle via the Expand operator) ---
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("revenue"))
+    }),
+
     // --- pivot (wide aggregation; fixed pivot domain so the schema is
     // static and both engines emit identical columns) ---
     "q_pivot" -> ((s, dir) => {
@@ -419,6 +432,12 @@ object RelationalQueries {
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
         |  count(*) AS n, round(avg(l_discount), 4) AS avg_disc
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag AS rflag,
         |  coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0) AS "F",

@@ -711,6 +711,97 @@ class PipelineSpec extends SparkTestBase {
     assert(st.agg(sum("n_docs")).head().getLong(0) == docs.count())
   }
 
+  test("bm25: ranks by score, bounds k, and prefers term-dense short docs") {
+    import spark.implicits._
+    val got = TextAnalysis.bm25TopDocs(docs, k = 10).collect()
+    assert(got.length <= 10 && got.nonEmpty)
+    // ranks are 1..n and scores non-increasing in rank order
+    val byRk = got.sortBy(_.getAs[Long]("rk"))
+    assert(byRk.map(_.getAs[Long]("rk")).toSeq == (1L to got.length).toSeq)
+    val scores = byRk.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // synthetic sanity: a doc stuffed with query terms outranks one with
+    // a single hit padded by off-terms, and a no-hit doc never appears
+    val synth = Seq(
+      (1L, "table spark hash merge window table spark"),
+      (2L, "table " + Seq.fill(50)("filler").mkString(" ")),
+      (3L, "nothing relevant here at all")).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25TopDocs(synth, k = 10).collect()
+    assert(s.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    assert(s.minBy(_.getAs[Long]("rk")).getAs[Long]("doc_id") == 1L)
+  }
+
+  test("inverted index: df/cf consistent, postings sorted and bounded") {
+    val idx = TextAnalysis.invertedIndex(docs, maxPostings = 8).cache()
+    // spot-check one frequent term against a direct count
+    val term = idx.orderBy(col("df").desc, col("term")).head().getString(0)
+    val direct = docs.filter(col("text").contains(term))
+    assert(idx.filter(col("term") === term).head().getAs[Long]("df") <=
+      direct.count() + 1) // contains() over-matches substrings; upper bound
+    val rows = idx.collect()
+    rows.foreach { r =>
+      val posts = r.getAs[String]("postings").split(",").map(_.split(":")(0).toLong)
+      assert(posts.length <= 8 && posts.sameElements(posts.sorted),
+        s"postings unsorted/overlong for ${r.getString(0)}")
+      assert(r.getAs[Long]("cf") >= r.getAs[Long]("df"))
+      assert(r.getAs[Long]("df") >= posts.length || posts.length == 8)
+    }
+    idx.unpersist()
+  }
+
+  test("per-language quality gate keeps ~p75 of each language") {
+    val kept = TextAnalysis.qualityGateByLang(docs).cache()
+    // every survivor clears its own language cutoff
+    assert(kept.filter(col("quality_score") < col("lang_cutoff") - 1e-9).count() == 0)
+    val perLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (l, n) =>
+      val k = perLang.getOrElse(l, 0L)
+      // p25 cutoff keeps at least ~70% (ties can keep more, never fewer)
+      assert(k >= (n * 0.70).toLong, s"lang $l kept only $k of $n")
+    }
+    kept.unpersist()
+  }
+
+  test("token budget: per-source prefix cut at 40% of source tokens") {
+    val got = Sampling.tokenBudgetMix(docs, budgetFrac = 0.4).cache()
+    val sel = got.groupBy("source")
+      .agg(sum("n_tokens").as("sel"), max("cum_tokens").as("maxcum")).collect()
+    val tot = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sel.foreach { r =>
+      val (src, s, mc) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(s <= (tot(src) * 0.4), s"$src over budget: $s vs ${tot(src)}")
+      // kept set is a PREFIX of the hash order: max cumulative == selected sum
+      assert(mc == s, s"$src not a prefix: maxcum $mc != sum $s")
+    }
+    // determinism
+    assert(got.exceptAll(Sampling.tokenBudgetMix(docs, budgetFrac = 0.4)).isEmpty)
+    got.unpersist()
+  }
+
+  test("epoch upsampling realizes integer + fractional epochs per weight") {
+    val w = (0 until 20).map(i => s"src$i" -> (1.0 + (i % 4) * 0.5)).toMap
+    val up = Sampling.epochUpsample(docs, w).cache()
+    val perDoc = up.groupBy("doc_id", "source").count().collect()
+    perDoc.foreach { r =>
+      val wt = w(r.getString(1))
+      val n = r.getLong(2)
+      assert(n == math.floor(wt).toLong || n == math.ceil(wt).toLong,
+        s"doc ${r.getLong(0)} got $n epochs for weight $wt")
+    }
+    // weight-1.0 sources replicate exactly once
+    val flat = up.filter(col("source").isin("src0", "src4", "src8", "src12", "src16"))
+      .groupBy("doc_id").count().filter(col("count") =!= 1).count()
+    assert(flat == 0)
+    // epochs are 1..n dense
+    assert(up.filter(col("epoch") < 1).count() == 0)
+    up.unpersist()
+  }
+
   test("split assignment is total, disjoint and growth-stable") {
     val s1 = Sampling.splitAssign(docs)
     assert(s1.count() == docs.count())
