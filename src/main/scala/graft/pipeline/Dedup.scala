@@ -195,6 +195,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Exact DIRECTED containment pairs: |A ∩ B| / |A| ≥ t over shingle
+    * sets — "doc A is mostly inside doc B", the asymmetric relation
+    * Jaccard misses when sizes differ (quote farms, article+boilerplate
+    * wrappers, subset scrapes; C4/RealNews-style cleanup drops the
+    * contained side). Emits one row per direction that clears t.
+    *
+    * Candidate generation is the containment prefix filter: if
+    * |A∩B| ≥ t·|A| then at most (1−t)·|A| of A's shingles miss B, so
+    * among A's ⌊(1−t)·n_a⌋+1 RAREST shingles (the same global
+    * document-frequency order [[jaccardPairs]] uses) at least one is in
+    * B — A's prefix joins against the full index, candidates collapse to
+    * "B shares one of A's rare shingles". No false negatives; every
+    * candidate verified with the true intersection. The size filter
+    * n_b ≥ ⌈t·n_a⌉ prunes the impossible before the verify join.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — broadcast DF table,
+    * prefix explode bounded per doc, verify join moves each shingle set
+    * once per surviving candidate side. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val sh = withShingles(docs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+    val freq = sh.select(explode(col("shingles")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val exploded = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+      .join(broadcast(freq), Seq("s"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = exploded
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val full = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+      explode(col("shingles")).as("s"))
+    val cand = prefix.join(full, Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("n_b") >= ceil(col("n_a") * threshold))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
+  }
+
   /** Exact duplicated-span detection (substring-level dedup — the
     * granularity below document-level `exact`/`minhashPairs`): fingerprint
     * every `l`-token window (md5 of the space-joined window), count corpus-

@@ -111,4 +111,36 @@ object Packing {
         least(lit(size.toLong), col("__n") - col("pos") * stride).as("chunk_len"),
         col("col").as("chunk_fp"))
   }
+
+  /** Z-order (Morton) layout assignment over two query dimensions — the
+    * Delta `OPTIMIZE ZORDER BY` posture: interleave the bit patterns of
+    * the per-dimension buckets so rows close in BOTH dimensions land in
+    * the same file group, giving min/max file-skipping on either
+    * predicate axis (a single-column sort prunes only its own axis).
+    *
+    * Buckets are VALUE-derived (fixed-width ranges / a fixed category
+    * map), not rank-derived — no global sort or ntile window, so the
+    * pass is a pure per-row expression and new data buckets identically
+    * (the same growth-stability argument as [[Sampling.splitAssign]]).
+    * At cluster scale the emitted `file_group` feeds
+    * `repartitionByRange(file_group)` + per-group writes; here it is the
+    * assignment itself, engine-replayable bit-for-bit. */
+  def zorderLayout(docs: DataFrame, lenBits: Int = 8,
+      groupShift: Int = 12): DataFrame = {
+    // dimension 1: length bucket (64-char ranges, capped to 8 bits);
+    // dimension 2: language category id spread across the 8-bit range so
+    // interleaving has high-order bits to work with
+    val bx = least(lit((1 << lenBits) - 1), floor(col("n_chars") / 64)).cast("long")
+    val langIdx = when(col("lang") === "de", 0L).when(col("lang") === "en", 1L)
+      .when(col("lang") === "es", 2L).when(col("lang") === "fr", 3L)
+      .when(col("lang") === "zh", 4L).otherwise(5L)
+    val by = langIdx * 42L
+    val zval = (0 until lenBits).map { i =>
+      (shiftleft(shiftright(bx, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(by, i).bitwiseAND(1L), 2 * i + 1)).cast("long")
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      bx.as("len_bucket"), by.as("lang_bucket"), zval.as("zval"),
+      shiftright(zval, groupShift).cast("long").as("file_group"))
+  }
 }

@@ -218,6 +218,62 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, find
+    * near-duplicate pairs ONLY within clusters, contract them into
+    * groups, and keep one representative per group — the member with the
+    * LOWEST cosine to its cluster centroid (SemDeDup's diversity rule:
+    * edge examples survive, redundant center mass is dropped). This is
+    * the embedding-space analog of MinHash dedup for paraphrase-level
+    * redundancy that token shingles cannot see.
+    *
+    * Scale shape: the centroid assignment is a narrow pass over plan-time
+    * centroid literals (no shuffle); the pair join shuffles on the bucket
+    * id so the quadratic is PER CLUSTER — production scales nCentroids
+    * with the corpus (FAISS posture) to hold cluster size constant, which
+    * is exactly the knob exposed here. The CC contraction runs on the
+    * near-dup edge set (pair-sized, not corpus-sized).
+    *
+    * Determinism: assignment ties and rank ties break by id; sims compare
+    * 6-dec-rounded; the keep rule ranks by round(sim, 6) and emits
+    * round(sim, 4) — both from the raw value. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.45,
+      nCentroids: Int = 16, iters: Int = 2, seed: Long = LshSeed): DataFrame = {
+    val cents = kmeansCentroids(emb, nCentroids, iters, seed)
+    val withNorm = emb.withColumn("norm", norm(col("embedding")))
+    // raw cosine to the ASSIGNED centroid: bucket via the shared argmax,
+    // then a linear when-chain recovers the unrounded sim for that cid
+    val rawSim = cents.foldLeft(lit(null).cast("double")) {
+      case (acc, (cid, vec, cn)) =>
+        when(col("bucket") === cid,
+          dotProduct(typedLit(vec.toSeq), col("embedding")) / (col("norm") * cn))
+          .otherwise(acc)
+    }
+    val assigned = withNorm
+      .withColumn("bucket", bestCentroidExpr(cents))
+      .withColumn("__rsim", rawSim)
+      .localCheckpoint()
+    val a = assigned.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = assigned.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select("id_a", "id_b")
+    val groups = ConnectedComponents.clusters(pairs, aCol = "id_a", bCol = "id_b")
+      .withColumnRenamed("doc_id", "vec_id").withColumnRenamed("cluster_id", "__cc")
+    val w = Window.partitionBy("group_id")
+      .orderBy(round(col("__rsim"), 6).asc, col("vec_id").asc)
+    assigned.join(groups, Seq("vec_id"), "left")
+      .withColumn("group_id", coalesce(col("__cc"), col("vec_id")))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("vec_id"), col("bucket").as("cent_id"),
+        round(col("__rsim"), 4).as("cent_sim"), col("group_id"),
+        (col("__rk") === 1).as("keep"))
+  }
+
   /** Recall@k of the k-means IVF index against exact brute force — the
     * "measure, don't guess" gate for the approximate path: per query, the
     * fraction of the true top-k that the probed search returns. Tuning

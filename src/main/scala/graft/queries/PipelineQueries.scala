@@ -248,7 +248,15 @@ object PipelineQueries {
     // fractional epochs hash-selected
     "pipe_source_epochs" -> ((s, d) =>
       Sampling.epochUpsample(docs(s, d),
-        (0 until 20).map(i => s"src$i" -> (1.0 + (i % 4) * 0.5)).toMap)))
+        (0 until 20).map(i => s"src$i" -> (1.0 + (i % 4) * 0.5)).toMap)),
+    // SemDeDup: k-means partition -> within-cluster cosine pairs -> CC
+    // groups -> keep the member FURTHEST from its centroid
+    "pipe_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(emb(s, d))),
+    // directed shingle containment (|A∩B|/|A| >= 0.6): subset-dup
+    // detection Jaccard misses when sizes differ
+    "pipe_containment_pairs" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
+    // z-order (Morton) file-group assignment over (length, language)
+    "pipe_layout_zorder" -> ((s, d) => Packing.zorderLayout(docs(s, d))))
 
   // shared oracle fragments
   private val Toks =
@@ -1098,6 +1106,56 @@ object PipelineQueries {
         "FROM b JOIN tt USING (source)) " +
         "SELECT source, doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens FROM r " +
         "WHERE cum_tokens::DOUBLE <= tot::DOUBLE * 0.4"),
+
+    // SemDeDup replay: the shared kmeans chain assigns buckets (rsim =
+    // raw cosine to the winning centroid), within-bucket pairs at >= 0.45
+    // feed the recursive min-id closure, and the keep rule ranks
+    // round(rsim, 6) ASC with id tie-break
+    "pipe_dedup_semantic" ->
+      (s"WITH RECURSIVE $EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
+        "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
+        " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
+        kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
+        "asgs AS (SELECT vec_id, bucket, rsim FROM (" +
+        s"SELECT v.vec_id, c.cid AS bucket, ${dotVC("v", "c")} / (v.norm * c.cnorm) AS rsim, " +
+        "row_number() OVER (PARTITION BY v.vec_id" +
+        s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
+        " FROM n v, cent2 c) WHERE rn = 1), " +
+        "pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asgs a " +
+        "JOIN asgs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+        "JOIN n va ON va.vec_id = a.vec_id JOIN n vb ON vb.vec_id = b.vec_id " +
+        s"WHERE round(${dot("va", "vb")} / (va.norm * vb.norm), 6) >= 0.45), " +
+        "se AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr), " +
+        "sn AS (SELECT DISTINCT src AS id FROM se), " +
+        "sreach(id, r) AS (SELECT id, id FROM sn UNION " +
+        "SELECT rc.id, se.dst FROM sreach rc JOIN se ON se.src = rc.r), " +
+        "ccg AS (SELECT id AS vec_id, min(r) AS cluster_id FROM sreach GROUP BY id), " +
+        "mm AS (SELECT a.vec_id, a.bucket AS cent_id, a.rsim, " +
+        "coalesce(ccg.cluster_id, a.vec_id) AS group_id FROM asgs a LEFT JOIN ccg USING (vec_id)), " +
+        "rkk AS (SELECT mm.*, row_number() OVER (PARTITION BY group_id " +
+        "ORDER BY round(rsim, 6) ASC, vec_id) AS rn FROM mm) " +
+        "SELECT vec_id, cent_id, round(rsim, 4) AS cent_sim, group_id, rn = 1 AS keep FROM rkk"),
+
+    // directed containment over the same distinct-shingle sets; the
+    // engine's prefix filter is exact, so the quadratic reference matches
+    "pipe_containment_pairs" ->
+      (s"WITH $Shingles, scored AS (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS cont " +
+        "FROM sh a JOIN sh b ON a.doc_id != b.doc_id) " +
+        "SELECT doc_a, doc_b, round(cont, 4) AS containment FROM scored WHERE cont >= 0.6"),
+
+    // Morton interleave of (length bucket, spread language id), group =
+    // zval >> 12 — pure integer bit arithmetic, engine-exact
+    "pipe_layout_zorder" ->
+      ("WITH z AS (SELECT doc_id, lang, n_chars, " +
+        "least(255, n_chars // 64)::BIGINT AS bx, " +
+        "((CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 " +
+        "WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 ELSE 5 END) * 42)::BIGINT AS by FROM documents), " +
+        "m AS (SELECT *, list_sum(list_transform(range(0, 8), i -> " +
+        "(((bx >> i) & 1) << (2 * i)) + (((by >> i) & 1) << (2 * i + 1))))::BIGINT AS zval FROM z) " +
+        "SELECT doc_id, lang, n_chars, bx AS len_bucket, by AS lang_bucket, " +
+        "zval, (zval >> 12)::BIGINT AS file_group FROM m"),
 
     // weight = 1 + (src# % 4)/2; integer epochs always kept, the
     // fractional epoch hash-selected with the shared bucket rule

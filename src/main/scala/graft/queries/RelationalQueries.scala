@@ -217,6 +217,22 @@ object RelationalQueries {
           col("n"), col("avg_disc"))
     }),
 
+    // --- salted skew join: the deterministic hot-key fallback when even
+    // AQE's runtime skew splitting can't spread one key; same rows as the
+    // plain join (the oracle IS the plain join), hot key spread over 16
+    // salt streams ---
+    "q_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"), col("l_extendedprice"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, sup, "suppkey", nSalts = 16)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
     // --- arbitrary grouping sets (beyond cube/rollup: a hand-picked
     // subset lattice, one shuffle via the Expand operator) ---
     "q_grouping_sets" -> ((s, dir) => {
@@ -432,6 +448,12 @@ object RelationalQueries {
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
         |  count(*) AS n, round(avg(l_discount), 4) AS avg_disc
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_skew_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |  coalesce(l_linestatus, 'ALL') AS lstatus,

@@ -802,6 +802,65 @@ class PipelineSpec extends SparkTestBase {
     up.unpersist()
   }
 
+  test("semantic dedup: one keeper per group, furthest-from-centroid wins") {
+    val sd = Similarity.semanticDedup(emb).cache()
+    assert(sd.count() == emb.count()) // total: every vector verdicted
+    // exactly one keeper per group
+    val bad = sd.groupBy("group_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("k")).filter(col("k") =!= 1)
+    assert(bad.count() == 0)
+    // groups never span clusters (edges exist only within a bucket)
+    assert(sd.groupBy("group_id").agg(countDistinct("cent_id").as("nc"))
+      .filter(col("nc") > 1).count() == 0)
+    // the keeper is the member with the LOWEST centroid similarity
+    val rows = sd.collect().groupBy(_.getAs[Long]("group_id"))
+    rows.values.filter(_.length > 1).foreach { g =>
+      val keeper = g.find(_.getAs[Boolean]("keep")).get
+      val minSim = g.map(_.getAs[Double]("cent_sim")).min
+      assert(keeper.getAs[Double]("cent_sim") <= minSim + 1e-3)
+    }
+    sd.unpersist()
+  }
+
+  test("containment prefix filtering loses no directed pairs vs brute force") {
+    val smart = Dedup.containmentPairs(docs, 0.6)
+    val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
+    val brute = sh.toDF("doc_a", "sh_a")
+      .crossJoin(sh.toDF("doc_b", "sh_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")))
+      .filter(col("containment") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
+    assert(smart.exceptAll(brute).isEmpty && brute.exceptAll(smart).isEmpty)
+    // directionality: a short doc inside a long one scores one-way
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val dir = Dedup.containmentPairs(synth, 0.9).collect()
+    assert(dir.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("z-order groups are constant in the high interleaved bits") {
+    val z = Packing.zorderLayout(docs).cache()
+    assert(z.count() == docs.count())
+    // group id == interleave of the top 2 bits of each dimension: every
+    // group holds exactly one (bx >> 6, by >> 6) cell
+    val cells = z.select(col("file_group"),
+      (col("len_bucket") / 64).cast("long").as("bxh"),
+      (col("lang_bucket") / 64).cast("long").as("byh"))
+      .distinct().groupBy("file_group").count()
+    assert(cells.filter(col("count") > 1).count() == 0)
+    // same lang + same 4096-char length block => same file group
+    val probe = z.filter(col("lang") === "en")
+      .select((col("n_chars") / 4096).cast("long").as("blk"), col("file_group"))
+      .distinct().groupBy("blk").count()
+    assert(probe.filter(col("count") > 1).count() == 0)
+    z.unpersist()
+  }
+
   test("split assignment is total, disjoint and growth-stable") {
     val s1 = Sampling.splitAssign(docs)
     assert(s1.count() == docs.count())
