@@ -78,4 +78,40 @@ object Sketches {
         size(col("__mins")).cast("long").as("k_used"),
         kmvEstimate(col("__mins"), k).as("kmv_est"))
   }
+
+  /** Pairwise cross-source vocabulary overlap from KMV sketches alone —
+    * the theta-sketch-style set algebra: the union sketch of (A, B) is
+    * the k smallest of the merged minima, the Jaccard estimate is the
+    * fraction of the union sketch present in BOTH input sketches, and
+    * the intersection estimate is jaccard × union. This answers "how
+    * much do two corpora share" over every pair WITHOUT ever holding a
+    * distinct set — the exact answer is a distinct-set-sized shuffle per
+    * pair, the sketch answer is k longs per source and a dimension-sized
+    * cross join.
+    *
+    * Deterministic end-to-end: portable md5 hashes, order-independent
+    * minima, integer membership counts, one IEEE multiply/divide chain —
+    * the gate replays the whole algebra in DuckDB bit-for-bit. */
+  def kmvOverlap(docs: DataFrame, k: Int = 16): DataFrame = {
+    val sk = docs
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .select(col("source"), Dedup.hex60(col("w")).as("h"))
+      .groupBy("source").agg(KmvSketch.kMinValues(col("h"), k).as("mins"))
+    val a = sk.select(col("source").as("src_a"), col("mins").as("mins_a"))
+    val b = sk.select(col("source").as("src_b"), col("mins").as("mins_b"))
+    val mu = slice(array_sort(array_union(col("mins_a"), col("mins_b"))), 1, k)
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .withColumn("__mu", mu)
+      .withColumn("__ku", size(col("__mu")))
+      .withColumn("__ic",
+        size(array_intersect(col("__mu"), array_intersect(col("mins_a"), col("mins_b")))))
+      .withColumn("__eu",
+        when(col("__ku") < k, col("__ku").cast("double"))
+          .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
+            element_at(col("__mu"), k)))
+      .select(col("src_a"), col("src_b"), col("__ku").cast("long").as("k_used"),
+        round(col("__eu"), 4).as("est_union"),
+        round(col("__ic").cast("double") / col("__ku"), 4).as("est_jaccard"),
+        round(col("__ic").cast("double") / col("__ku") * col("__eu"), 4).as("est_intersect"))
+  }
 }

@@ -109,18 +109,34 @@ object TextAnalysis {
     * the global top-k is TakeOrdered (k rows per partition to the driver,
     * never a single-partition window). */
   def bm25TopDocs(docs: DataFrame,
-      queryTerms: Seq[String] = Seq("table", "spark", "hash", "merge", "window"),
+      queryTerms: Seq[String] = BM25QueryTerms,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = docs.select(size(split(lower(col("text")), " ")).cast("long").as("__dl"))
       .agg(count(lit(1)).as("n"), sum("__dl").as("tot")).head()
-    val nDocs = stats.getLong(0)
-    val totalTokens = stats.getLong(1)
-    val toks = docs.withColumn("__t", split(lower(col("text")), " "))
+    bm25Rank(bm25Postings(docs, queryTerms), stats.getLong(0), stats.getLong(1),
+      k, k1, b)
+  }
+
+  val BM25QueryTerms: Seq[String] = Seq("table", "spark", "hash", "merge", "window")
+
+  /** the (doc_id, term, tc, dl) postings frame for the query terms —
+    * filtered BEFORE aggregation so only matching tokens shuffle; also
+    * the incremental state a streaming index maintainer keeps (whole
+    * documents arrive, so a doc's postings never change once emitted —
+    * the aggregation is monotone across micro-batches) */
+  def bm25Postings(docs: DataFrame, queryTerms: Seq[String] = BM25QueryTerms): DataFrame =
+    docs.withColumn("__t", split(lower(col("text")), " "))
       .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
         explode(col("__t")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-    val tf = toks.groupBy("doc_id", "term")
+      .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tc"), first(col("dl")).as("dl"))
+
+  /** BM25 scoring over a postings frame + corpus scalars — shared by the
+    * batch operator and the streaming index maintainer so the two can
+    * never diverge on the arithmetic */
+  def bm25Rank(tf: DataFrame, nDocs: Long, totalTokens: Long,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = round(log(lit((2 * nDocs + 2).toDouble)) -
       log((col("df") * 2 + 1).cast("double")), 6)

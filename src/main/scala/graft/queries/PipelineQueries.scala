@@ -256,7 +256,10 @@ object PipelineQueries {
     // detection Jaccard misses when sizes differ
     "pipe_containment_pairs" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
     // z-order (Morton) file-group assignment over (length, language)
-    "pipe_layout_zorder" -> ((s, d) => Packing.zorderLayout(docs(s, d))))
+    "pipe_layout_zorder" -> ((s, d) => Packing.zorderLayout(docs(s, d))),
+    // pairwise cross-source vocabulary overlap from KMV sketches alone
+    // (theta-sketch set algebra: union/jaccard/intersection estimates)
+    "pipe_sketch_overlap" -> ((s, d) => Sketches.kmvOverlap(docs(s, d))))
 
   // shared oracle fragments
   private val Toks =
@@ -1156,6 +1159,25 @@ object PipelineQueries {
         "(((bx >> i) & 1) << (2 * i)) + (((by >> i) & 1) << (2 * i + 1))))::BIGINT AS zval FROM z) " +
         "SELECT doc_id, lang, n_chars, bx AS len_bucket, by AS lang_bucket, " +
         "zval, (zval >> 12)::BIGINT AS file_group FROM m"),
+
+    // the KMV set algebra replayed: per-source 16-minima lists, merged
+    // union sketch, membership-fraction jaccard, intersection = j x union
+    "pipe_sketch_overlap" ->
+      ("WITH tw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+        s"h AS (SELECT DISTINCT source, ${Hex60("w")} AS h FROM tw), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
+        "s AS (SELECT source, list(h ORDER BY h) AS mins FROM r WHERE rn <= 16 GROUP BY source), " +
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, a.mins AS ma, b.mins AS mb " +
+        "FROM s a JOIN s b ON a.source < b.source), " +
+        "m AS (SELECT src_a, src_b, ma, mb, " +
+        "list_sort(list_distinct(list_concat(ma, mb)))[1:16] AS mu FROM p), " +
+        "c AS (SELECT src_a, src_b, ma, mb, mu, len(mu) AS ku, " +
+        "len(list_intersect(mu, list_intersect(ma, mb))) AS ic FROM m), " +
+        "e AS (SELECT src_a, src_b, ku, ic, " +
+        "CASE WHEN ku < 16 THEN ku::DOUBLE ELSE (15.0 * 1152921504606846976.0) / mu[16] END AS eu FROM c) " +
+        "SELECT src_a, src_b, ku::BIGINT AS k_used, round(eu, 4) AS est_union, " +
+        "round(ic::DOUBLE / ku, 4) AS est_jaccard, " +
+        "round(ic::DOUBLE / ku * eu, 4) AS est_intersect FROM e"),
 
     // weight = 1 + (src# % 4)/2; integer epochs always kept, the
     // fractional epoch hash-selected with the shared bucket rule

@@ -217,6 +217,42 @@ object RelationalQueries {
           col("n"), col("avg_disc"))
     }),
 
+    // --- SQL surface: correlated EXISTS (Catalyst rewrites to a semi
+    // join — `.explain` shows the same plan as q_semi_join, proving the
+    // SQL text a reference user types reaches the identical strategy) ---
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+          |FROM g_orders WHERE EXISTS (
+          |  SELECT 1 FROM g_lineitem
+          |  WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin)
+    }),
+
+    // --- SQL surface: uncorrelated scalar subquery (one extra scalar
+    // job, folded into the filter; avg of integer-valued quantities is
+    // an exact sum / count — engine-identical) ---
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n FROM g_lineitem
+          |WHERE l_quantity > (SELECT avg(l_quantity) FROM g_lineitem)
+          |GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // --- SQL surface: correlated scalar aggregate subquery (rewritten to
+    // an aggregated left join; integer-valued sums so the correlated
+    // scalar is order-free) ---
+    "q_corr_scalar" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS tp FROM g_orders o
+          |WHERE 100 < (SELECT coalesce(sum(l_quantity), 0) FROM g_lineitem l
+          |             WHERE l.l_orderkey = o.o_orderkey)""".stripMargin)
+    }),
+
     // --- salted skew join: the deterministic hot-key fallback when even
     // AQE's runtime skew splitting can't spread one key; same rows as the
     // plain join (the oracle IS the plain join), hot key spread over 16
@@ -448,6 +484,19 @@ object RelationalQueries {
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
         |  count(*) AS n, round(avg(l_discount), 4) AS avg_disc
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_corr_scalar" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS tp FROM orders o
+        |WHERE 100 < (SELECT coalesce(sum(l_quantity), 0) FROM lineitem l
+        |             WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
     "q_skew_join" ->
       """SELECT s_nationkey, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream, IntervalJoinStream, IvfAssignStream, SketchStream}
+import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream, IntervalJoinStream, IvfAssignStream, RetrievalStream, SketchStream}
 
 /** Structured Streaming entries for the correctness gate: each runs a real
   * incremental query (AvailableNow trigger) over the events files and is
@@ -47,7 +47,12 @@ object StreamingQueries {
     // time-bounded stream-stream join (watermarked state eviction): each
     // purchase joins the same user's clicks in the preceding hour
     "stream_interval_join" -> ((s, d) =>
-      IntervalJoinStream.runToBatch(s, s"$d/events.parquet", "v_stream_ivj")))
+      IntervalJoinStream.runToBatch(s, s"$d/events.parquet", "v_stream_ivj")),
+    // streaming retrieval-index maintenance: postings + corpus scalars
+    // held as complete-mode state, BM25 ranked batch-side from that
+    // state; must equal the batch operator (shared oracle)
+    "stream_bm25" -> ((s, d) =>
+      RetrievalStream.runToBatch(s, s"$d/documents.parquet", "v_stream_bm25")))
 
   val oracles: Map[String, String] = Map(
     "stream_events_hourly" ->
@@ -106,5 +111,8 @@ object StreamingQueries {
         |  purchase_us - click_us AS gap_us
         |FROM p JOIN c ON user_id = c_user
         |  AND click_us <= purchase_us
-        |  AND click_us >= purchase_us - 3600000000""".stripMargin)
+        |  AND click_us >= purchase_us - 3600000000""".stripMargin,
+    // the streamed index state scored batch-side must equal the batch
+    // BM25 operator exactly (shared oracle)
+    "stream_bm25" -> PipelineQueries.oracles("pipe_text_bm25"))
 }

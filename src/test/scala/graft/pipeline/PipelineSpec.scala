@@ -861,6 +861,26 @@ class PipelineSpec extends SparkTestBase {
     z.unpersist()
   }
 
+  test("kmv overlap: identical sources estimate jaccard 1, disjoint 0") {
+    import spark.implicits._
+    val synth = ((0 until 40).map(i => (i.toLong, s"alpha$i beta$i gamma$i", "A")) ++
+      (0 until 40).map(i => (100L + i, s"alpha$i beta$i gamma$i", "B")) ++
+      (0 until 40).map(i => (200L + i, s"zeta$i eta$i theta$i", "C")))
+      .toDF("doc_id", "text", "source")
+    val ov = Sketches.kmvOverlap(synth).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(ov(("A", "B")).getAs[Double]("est_jaccard") == 1.0)
+    assert(ov(("A", "C")).getAs[Double]("est_jaccard") == 0.0)
+    assert(ov(("B", "C")).getAs[Double]("est_intersect") == 0.0)
+    // real corpus: estimates are positive and intersection <= union
+    val real = Sketches.kmvOverlap(docs).collect()
+    assert(real.length == 190)
+    real.foreach { r =>
+      assert(r.getAs[Double]("est_intersect") <= r.getAs[Double]("est_union") + 1e-9)
+      assert(r.getAs[Long]("k_used") > 0)
+    }
+  }
+
   test("split assignment is total, disjoint and growth-stable") {
     val s1 = Sampling.splitAssign(docs)
     assert(s1.count() == docs.count())
