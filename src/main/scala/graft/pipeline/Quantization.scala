@@ -303,4 +303,44 @@ object Quantization {
       .select(col("query_id"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
   }
+
+  /** Asymmetric int8-SQ search: RAW queries scored against the
+    * DEQUANTIZED [[quantizeInt8]] corpus — the standard scalar-quantized
+    * serving path (4× memory cut, queries stay full-precision so only
+    * the corpus side pays distortion). Complements the PQ/ADC family:
+    * SQ8 is the cheap high-recall compression, PQ the aggressive one;
+    * `pipe_sim_recall_sq8` vs `pipe_sim_recall_ivfadc` measures that
+    * trade directly.
+    *
+    * Determinism: dequantization replays the exact quantizer arithmetic
+    * (floor(x·127/scale + 0.5)·scale/127 — floor is engine-exact), all
+    * dots/norms are ascending ordered folds, ranks tie to the id. */
+  def sq8TopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = transform(col("embedding"), (x: Column) => x.cast("double"))
+    val scale = array_max(transform(e, (x: Column) => abs(x)))
+    val sqNorm = (c: Column) =>
+      sqrt(aggregate(transform(c, (x: Column) => x * x), lit(0.0), _ + _))
+    val corpus = emb.withColumn("__e", e).withColumn("__s", scale)
+      .withColumn("__d",
+        when(col("__s") === 0d, transform(col("__e"), (_: Column) => lit(0.0)))
+          .otherwise(transform(col("__e"), (x: Column) =>
+            floor((x * lit(127.0)) / col("__s") + lit(0.5)) * col("__s") / lit(127.0))))
+      .select(col("vec_id"), col("__d"), sqNorm(col("__d")).as("dnorm"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .withColumn("__e", e)
+      .select(col("vec_id").as("query_id"), col("__e").as("q_emb"),
+        sqNorm(col("__e")).as("q_norm"))
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        aggregate(zip_with(col("q_emb"), col("__d"), (a, b) => a * b),
+          lit(0.0), _ + _) / (col("dnorm") * col("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
+  }
 }

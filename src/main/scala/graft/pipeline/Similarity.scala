@@ -237,22 +237,27 @@ object Similarity {
     * Determinism: assignment ties and rank ties break by id; sims compare
     * 6-dec-rounded; the keep rule ranks by round(sim, 6) and emits
     * round(sim, 4) — both from the raw value. */
-  def semanticDedup(emb: DataFrame, threshold: Double = 0.45,
-      nCentroids: Int = 16, iters: Int = 2, seed: Long = LshSeed): DataFrame = {
-    val cents = kmeansCentroids(emb, nCentroids, iters, seed)
-    val withNorm = emb.withColumn("norm", norm(col("embedding")))
-    // raw cosine to the ASSIGNED centroid: bucket via the shared argmax,
-    // then a linear when-chain recovers the unrounded sim for that cid
+  /** every vector with its assigned bucket and the RAW cosine to that
+    * centroid (`__rsim`): bucket via the shared rounded argmax, then a
+    * linear when-chain recovers the unrounded sim for the winning cid —
+    * shared by [[semanticDedup]] and [[embeddingOutliers]] */
+  private def assignWithCentroidSim(emb: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
     val rawSim = cents.foldLeft(lit(null).cast("double")) {
       case (acc, (cid, vec, cn)) =>
         when(col("bucket") === cid,
           dotProduct(typedLit(vec.toSeq), col("embedding")) / (col("norm") * cn))
           .otherwise(acc)
     }
-    val assigned = withNorm
+    emb.withColumn("norm", norm(col("embedding")))
       .withColumn("bucket", bestCentroidExpr(cents))
       .withColumn("__rsim", rawSim)
-      .localCheckpoint()
+  }
+
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.45,
+      nCentroids: Int = 16, iters: Int = 2, seed: Long = LshSeed): DataFrame = {
+    val cents = kmeansCentroids(emb, nCentroids, iters, seed)
+    val assigned = assignWithCentroidSim(emb, cents).localCheckpoint()
     val a = assigned.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("norm").as("na"))
     val b = assigned.select(col("bucket"), col("vec_id").as("id_b"),
@@ -272,6 +277,28 @@ object Similarity {
       .select(col("vec_id"), col("bucket").as("cent_id"),
         round(col("__rsim"), 4).as("cent_sim"), col("group_id"),
         (col("__rk") === 1).as("keep"))
+  }
+
+  /** Embedding-space outlier flagging — the data-quality sweep that
+    * catches encoding junk, wrong-modality payloads and adversarial
+    * noise BEFORE they poison training: a vector whose cosine to its own
+    * (nearest) k-means centroid falls below the corpus's q-th percentile
+    * sits far from every density mass and is flagged. Centroid
+    * assignment is the same narrow literal pass as the IVF index, the
+    * cutoff is one interpolated percentile over the sim column
+    * (engine-exact, the q_percentile discipline), and the verdict is a
+    * pure per-row comparison — no shuffle beyond the percentile agg.
+    * Production keeps the flag as a column and filters downstream, which
+    * is exactly the emitted shape. */
+  def embeddingOutliers(emb: DataFrame, q: Double = 0.05,
+      nCentroids: Int = 16, iters: Int = 2, seed: Long = LshSeed): DataFrame = {
+    val cents = kmeansCentroids(emb, nCentroids, iters, seed)
+    val assigned = assignWithCentroidSim(emb, cents).localCheckpoint()
+    val cut = assigned.agg(expr(s"percentile(__rsim, $q)")).head().getDouble(0)
+    assigned.select(col("vec_id"), col("bucket").as("cent_id"),
+      round(col("__rsim"), 4).as("cent_sim"),
+      round(lit(cut), 6).as("cutoff6"),
+      (col("__rsim") < cut).as("is_outlier"))
   }
 
   /** Recall@k of the k-means IVF index against exact brute force — the

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, lpad}
-import graft.pipeline.{ConnectedComponents, CorpusClean, Decontam, Dedup, Multimodal, Packing, Quantization, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{BpeTrainer, ConnectedComponents, CorpusClean, Decontam, Dedup, Multimodal, Packing, Quantization, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) over the driver's `documents` and `embeddings` tables, each
@@ -259,7 +259,28 @@ object PipelineQueries {
     "pipe_layout_zorder" -> ((s, d) => Packing.zorderLayout(docs(s, d))),
     // pairwise cross-source vocabulary overlap from KMV sketches alone
     // (theta-sketch set algebra: union/jaccard/intersection estimates)
-    "pipe_sketch_overlap" -> ((s, d) => Sketches.kmvOverlap(docs(s, d))))
+    "pipe_sketch_overlap" -> ((s, d) => Sketches.kmvOverlap(docs(s, d))),
+    // asymmetric int8-SQ search: raw queries vs dequantized corpus
+    "pipe_sim_sq8" -> ((s, d) => Quantization.sq8TopK(emb(s, d))),
+    // recall@5 of the SQ8 path vs exact — the cheap-compression side of
+    // the trade pipe_sim_recall_ivfadc measures for PQ
+    "pipe_sim_recall_sq8" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.recallVs(e, Quantization.sq8TopK(e))
+    }),
+    // embedding-space outliers: cosine-to-own-centroid below the corpus
+    // p05 flags junk/noise vectors before they poison training
+    "pipe_emb_outliers" -> ((s, d) => Similarity.embeddingOutliers(emb(s, d))),
+    // BPE merge-rule TRAINING over the corpus (8 rounds, vocab-sized
+    // working set) — the learn side of the tokenizer
+    "pipe_bpe_train" -> ((s, d) => BpeTrainer.trainMerges(docs(s, d))),
+    // apply the learned merge table and count pieces per doc — the
+    // encode side closing the loop
+    "pipe_bpe_encode" -> ((s, d) => {
+      val rules = BpeTrainer.trainMerges(docs(s, d)).orderBy("rk").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrainer.encodeWithMerges(docs(s, d), rules)
+    }))
 
   // shared oracle fragments
   private val Toks =
@@ -495,6 +516,52 @@ object PipelineQueries {
   /** recall@5 rollup vs exact brute force, appended after any chain that
     * defines `n` (EmbNorm) and `r` (per-query results ranked in `rk`);
     * queries missing entirely from `r` still count 0 via the left join */
+  /** the BPE training chain: distinct-word counts, guard-encoded symbol
+    * strings, then `merges` rounds of (pair-count → argmax → replace) as
+    * chained CTEs — the literal replay of [[graft.pipeline.BpeTrainer]] */
+  private def bpeChainSql(merges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "wd AS (SELECT w, count(*)::BIGINT AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents) GROUP BY w), "
+    sb ++= "w0 AS (SELECT w, array_to_string(list_transform(range(1, length(w) + 1), i -> chr(1) || substr(w, i, 1) || chr(2)), '') AS sym, cnt FROM wd)"
+    for (k <- 1 to merges) {
+      sb ++= s", p$k AS (SELECT pr.l AS l, pr.r AS r, sum(cnt)::BIGINT AS pc FROM ("
+      sb ++= "SELECT cnt, unnest(list_transform(range(1, len(s)), i -> {'l': s[i], 'r': s[i+1]})) AS pr FROM ("
+      sb ++= s"SELECT cnt, string_split(substring(sym, 2, length(sym) - 2), chr(2) || chr(1)) AS s FROM w${k - 1})) GROUP BY 1, 2)"
+      sb ++= s", t$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1)"
+      sb ++= s", w$k AS (SELECT w, replace(sym, chr(1) || l || chr(2) || chr(1) || r || chr(2), chr(1) || l || r || chr(2)) AS sym, cnt FROM w${k - 1} CROSS JOIN t$k)"
+    }
+    sb.toString
+  }
+
+  /** the kmeans assignment chain WITH the raw cosine to the winning
+    * centroid (`asgs(vec_id, bucket, rsim)`) — shared by the SemDeDup
+    * and embedding-outlier oracles */
+  private def kmAsgsChain: String =
+    s"$EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
+      " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
+      kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
+      "asgs AS (SELECT vec_id, bucket, rsim FROM (" +
+      s"SELECT v.vec_id, c.cid AS bucket, ${dotVC("v", "c")} / (v.norm * c.cnorm) AS rsim, " +
+      "row_number() OVER (PARTITION BY v.vec_id" +
+      s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
+      " FROM n v, cent2 c) WHERE rn = 1)"
+
+  /** int8-SQ dequantized search chain (quantize → dequantize → rank into
+    * `r`), shared by the sq8 top-k gate and its recall gate */
+  private def sq8Chain: String =
+    s"$EmbNorm, ee AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings), " +
+      "sc8 AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM ee), " +
+      "dqc AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0) " +
+      "ELSE list_transform(e, x -> (floor((x * 127.0) / scale + 0.5) * scale) / 127.0) END AS d FROM sc8), " +
+      "dqn AS (SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS dnorm FROM dqc), " +
+      "qn8 AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS qnorm FROM ee WHERE vec_id < 10), " +
+      "j8 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "list_sum(list_transform(range(1, 65), k -> q.e[k] * c.d[k])) / (c.dnorm * q.qnorm) AS sim " +
+      "FROM qn8 q JOIN dqn c ON c.vec_id != q.vec_id), " +
+      "r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rk FROM j8)"
+
   private def recallTailSql: String =
     "aprx AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 5), " +
       s"bj AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${dot("q", "c")} / (q.norm * c.norm) AS sim " +
@@ -1115,15 +1182,7 @@ object PipelineQueries {
     // feed the recursive min-id closure, and the keep rule ranks
     // round(rsim, 6) ASC with id tie-break
     "pipe_dedup_semantic" ->
-      (s"WITH RECURSIVE $EmbNorm, $KmTrain, cent0 AS (SELECT vec_id AS cid, " +
-        "list_transform(embedding, x -> x::DOUBLE) AS cvec, norm AS cnorm" +
-        " FROM n ORDER BY md5('7:' || vec_id) LIMIT 16), " +
-        kmeansIterSql(0) + ", " + kmeansIterSql(1) + ", " +
-        "asgs AS (SELECT vec_id, bucket, rsim FROM (" +
-        s"SELECT v.vec_id, c.cid AS bucket, ${dotVC("v", "c")} / (v.norm * c.cnorm) AS rsim, " +
-        "row_number() OVER (PARTITION BY v.vec_id" +
-        s" ORDER BY round(${dotVC("v", "c")} / (v.norm * c.cnorm), 6) DESC, c.cid) AS rn" +
-        " FROM n v, cent2 c) WHERE rn = 1), " +
+      (s"WITH RECURSIVE $kmAsgsChain, " +
         "pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asgs a " +
         "JOIN asgs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
         "JOIN n va ON va.vec_id = a.vec_id JOIN n vb ON vb.vec_id = b.vec_id " +
@@ -1159,6 +1218,35 @@ object PipelineQueries {
         "(((bx >> i) & 1) << (2 * i)) + (((by >> i) & 1) << (2 * i + 1))))::BIGINT AS zval FROM z) " +
         "SELECT doc_id, lang, n_chars, bx AS len_bucket, by AS lang_bucket, " +
         "zval, (zval >> 12)::BIGINT AS file_group FROM m"),
+
+    // the 8 learned merge rules with their selection-time counts
+    "pipe_bpe_train" ->
+      (s"WITH ${bpeChainSql(8)} " +
+        (1 to 8).map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS rk, l AS "left", r AS "right", l || r AS merged, pc AS pair_count FROM t$k""")
+          .mkString(" UNION ALL ")),
+
+    // apply the learned table: piece counts per doc from the final
+    // word->symbols state joined back to the corpus
+    "pipe_bpe_encode" ->
+      (s"WITH ${bpeChainSql(8)}, " +
+        "dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents) " +
+        "SELECT doc_id, sum(len(string_split(substring(w8.sym, 2, length(w8.sym) - 2), chr(2) || chr(1))))::BIGINT AS bpe_pieces " +
+        "FROM dw JOIN w8 USING (w) GROUP BY doc_id"),
+
+    // the corpus p05 of cosine-to-own-centroid as the outlier cutoff;
+    // verdict compares the UNROUNDED percentile on both sides
+    "pipe_emb_outliers" ->
+      (s"WITH $kmAsgsChain, ct AS (SELECT quantile_cont(rsim, 0.05) AS cut FROM asgs) " +
+        "SELECT vec_id, bucket AS cent_id, round(rsim, 4) AS cent_sim, " +
+        "round(cut, 6) AS cutoff6, rsim < cut AS is_outlier " +
+        "FROM asgs CROSS JOIN ct"),
+
+    "pipe_sim_sq8" ->
+      (s"WITH $sq8Chain " +
+        "SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM r WHERE rk <= 5"),
+
+    "pipe_sim_recall_sq8" -> (s"WITH $sq8Chain, $recallTailSql"),
 
     // the KMV set algebra replayed: per-source 16-minima lists, merged
     // union sketch, membership-fraction jaccard, intersection = j x union

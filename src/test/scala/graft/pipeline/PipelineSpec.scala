@@ -881,6 +881,68 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("sq8 search: near-exact recall, never invents neighbors") {
+    val rec = Similarity.recallVs(emb, Quantization.sq8TopK(emb)).collect()
+    assert(rec.length == 10)
+    // int8 distortion is tiny — SQ8 should recover nearly all true
+    // neighbors (PQ at m=4 loses far more; that contrast is the point)
+    val mean = rec.map(_.getAs[Double]("recall")).sum / rec.length
+    assert(mean >= 0.8, s"sq8 mean recall $mean")
+    // ranked lists are dense 1..5 per query
+    val tk = Quantization.sq8TopK(emb)
+    assert(tk.count() == 50)
+    assert(tk.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+  }
+
+  test("embedding outliers: ~5% flagged, clean separation, monotone in q") {
+    import spark.implicits._
+    val out = Similarity.embeddingOutliers(emb).cache()
+    val n = out.count()
+    val flagged = out.filter(col("is_outlier")).count()
+    // p05 cutoff: close to 5% (ties can move it slightly)
+    assert(flagged >= n / 40 && flagged <= n / 10, s"$flagged of $n flagged")
+    // every outlier scores below every keeper
+    val maxOut = out.filter(col("is_outlier")).agg(max("cent_sim")).head().getDouble(0)
+    val minIn = out.filter(!col("is_outlier")).agg(min("cent_sim")).head().getDouble(0)
+    assert(maxOut <= minIn)
+    out.unpersist()
+    // tightening q monotonically shrinks the flagged set (and stays a
+    // subset); the operator is a pure function of its inputs
+    val strict = Similarity.embeddingOutliers(emb, q = 0.02)
+    val strictIds = strict.filter(col("is_outlier")).select("vec_id")
+    val looseIds = Similarity.embeddingOutliers(emb, q = 0.05)
+      .filter(col("is_outlier")).select("vec_id")
+    assert(strictIds.count() <= looseIds.count())
+    assert(strictIds.exceptAll(looseIds).isEmpty)
+    assert(Similarity.embeddingOutliers(emb)
+      .exceptAll(Similarity.embeddingOutliers(emb)).isEmpty)
+  }
+
+  test("bpe trainer: frequency-ordered merges, greedy overlap, early stop") {
+    import spark.implicits._
+    // ab x3 beats cd x2; after both merge no pairs remain -> early stop
+    val c1 = Seq((1L, "ab ab ab cd cd")).toDF("doc_id", "text")
+    val r1 = BpeTrainer.trainMerges(c1, merges = 4).orderBy("rk").collect()
+    assert(r1.map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq ==
+      Seq(("a", "b", 3L), ("c", "d", 2L)))
+    // greedy left-to-right: aaaa -> [aa][aa] (3 adjacent pairs count as
+    // occurrences, but the merge realizes only the non-overlapping two)
+    val c2 = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val r2 = BpeTrainer.trainMerges(c2, merges = 2).orderBy("rk").collect()
+    assert(r2.map(r => (r.getString(3), r.getLong(4))).toSeq ==
+      Seq(("aa", 6L), ("aaaa", 2L)))
+    // encode applies rules in rank order
+    val enc = BpeTrainer.encodeWithMerges(
+      Seq((7L, "ab ab cd")).toDF("doc_id", "text"), Seq(("a", "b")))
+    assert(enc.head().getLong(1) == 4L) // ab=1, ab=1, cd=2
+    // real corpus: rules are distinct and counts non-increasing
+    val real = BpeTrainer.trainMerges(docs).orderBy("rk").collect()
+    assert(real.length == 8)
+    val counts = real.map(_.getLong(4))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(real.map(_.getString(3)).distinct.length == 8)
+  }
+
   test("split assignment is total, disjoint and growth-stable") {
     val s1 = Sampling.splitAssign(docs)
     assert(s1.count() == docs.count())
