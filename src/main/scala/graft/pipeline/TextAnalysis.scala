@@ -81,7 +81,12 @@ object TextAnalysis {
     * (a map-side-combined agg), and the join back is an explicit
     * broadcast — the corpus itself never shuffles. */
   def qualityGateByLang(docs: DataFrame, q: Double = 0.25): DataFrame = {
+    // checkpoint the 3-column scored frame: it feeds BOTH the cutoff agg
+    // and the verdict join, and the regexp-heavy score expressions are
+    // the expensive part — one corpus scan instead of two
     val scored = withQuality(docs)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .localCheckpoint()
     val cuts = scored.groupBy("lang")
       .agg(expr(s"percentile(quality_score, $q)").as("__cut"))
     scored.join(broadcast(cuts), "lang")
