@@ -823,16 +823,19 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("containment prefix filtering loses no directed pairs vs brute force") {
-    val smart = Dedup.containmentPairs(docs, 0.6)
     val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
-    val brute = sh.toDF("doc_a", "sh_a")
-      .crossJoin(sh.toDF("doc_b", "sh_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")))
-      .filter(col("containment") >= 0.6)
-      .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
-    assert(smart.exceptAll(brute).isEmpty && brute.exceptAll(smart).isEmpty)
+    for (t <- Seq(0.4, 0.6, 0.85)) {
+      val smart = Dedup.containmentPairs(docs, t)
+      val brute = sh.toDF("doc_a", "sh_a")
+        .crossJoin(sh.toDF("doc_b", "sh_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .withColumn("containment",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")))
+        .filter(col("containment") >= t)
+        .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
+      assert(smart.exceptAll(brute).isEmpty && brute.exceptAll(smart).isEmpty,
+        s"containment mismatch at t=$t")
+    }
     // directionality: a short doc inside a long one scores one-way
     import spark.implicits._
     val synth = Seq(
@@ -941,6 +944,27 @@ class PipelineSpec extends SparkTestBase {
     val counts = real.map(_.getLong(4))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
     assert(real.map(_.getString(3)).distinct.length == 8)
+  }
+
+  test("new-op plan shapes: zorder shuffle-free, invindex group-limited, bm25 pre-filtered") {
+    // z-order assignment is a pure per-row projection — NO Exchange
+    val zplan = Packing.zorderLayout(docs).queryExecution.executedPlan.toString
+    assert(!zplan.contains("Exchange"), s"zorder shuffled:\n$zplan")
+    // epoch upsampling likewise: explode only, no shuffle
+    val eplan = Sampling.epochUpsample(docs, Map("src0" -> 1.5))
+      .queryExecution.executedPlan.toString
+    assert(!eplan.contains("Exchange"), s"epochUpsample shuffled:\n$eplan")
+    // inverted index: the head postings cut plans as WindowGroupLimit so
+    // no term gathers unbounded rows into one window state
+    val iplan = TextAnalysis.invertedIndex(docs).queryExecution.executedPlan.toString
+    assert(iplan.contains("WindowGroupLimit"), s"no group limit:\n$iplan")
+    // bm25: the query-term filter sits BELOW the first aggregation, so
+    // only matching postings shuffle (filter before any Exchange)
+    val bplan = TextAnalysis.bm25Postings(docs).queryExecution.executedPlan.toString
+    val firstExchange = bplan.indexOf("Exchange")
+    val termFilter = bplan.indexOf("table")
+    assert(firstExchange > 0 && termFilter > firstExchange,
+      s"term filter not below the shuffle:\n$bplan")
   }
 
   test("split assignment is total, disjoint and growth-stable") {
