@@ -149,13 +149,20 @@ object Mql {
       .limit(0) // visited starts EMPTY: seeds are re-emittable as ancestors
     var frontier = seeds.select("fid").distinct().localCheckpoint(eager = true)
     var depth = 0
-    while (depth < maxDepth && frontier.limit(1).collect().nonEmpty) {
+    // probe emptiness on the already-materialized checkpoint (reads
+    // cached blocks, no fresh traversal). Keeping `visited` as ONE
+    // re-materialized frame per round is deliberate: a growing union of
+    // per-round frames makes the anti-join's plan (and AQE re-planning)
+    // grow with depth — measured slower at sf0.1 despite the saved job.
+    var frontierNonEmpty = frontier.limit(1).collect().nonEmpty
+    while (depth < maxDepth && frontierNonEmpty) {
       depth += 1
       val next = edges
         .join(frontier.withColumnRenamed("fid", "src"), Seq("src"), "left_semi")
         .select(col("dst").as("fid")).distinct()
         .join(visited, Seq("fid"), "left_anti")
         .localCheckpoint(eager = true)
+      frontierNonEmpty = next.limit(1).collect().nonEmpty
       result = result.unionByName(next.withColumn("depth", lit(depth.toLong)))
       visited = visited.unionByName(next).localCheckpoint(eager = true)
       frontier = next
