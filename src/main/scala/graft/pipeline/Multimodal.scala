@@ -432,6 +432,132 @@ object Multimodal {
     out
   }
 
+  final case class VideoFrame(doc_id: Long, frame_idx: Long, width: Long,
+    height: Long, sum_gray: Long)
+
+  /** REAL multi-frame container decode — strided frame sampling over an
+    * animated GIF through the JDK's own ImageIO reader (the one
+    * multi-frame container the JRE decodes without external codecs;
+    * compressed video needs an ffmpeg-class dependency this environment
+    * doesn't ship, but the frame-extraction plumbing — container walk,
+    * per-frame decode, strided sampling, integer features — is identical
+    * and fully exercised here). Emits width/height and the integer-exact
+    * gray sum per sampled frame; anything undecodable yields no rows,
+    * never a throw. */
+  def videoFrames(docId: Long, payload: Array[Byte], stride: Int = 2): Seq[VideoFrame] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val reader = readers.next()
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          (0 until n by stride).map { i =>
+            val img = reader.read(i)
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                s += ((img.getRGB(x, y) >> 16) & 0xff); x += 1
+              }
+              y += 1
+            }
+            VideoFrame(docId, i.toLong, img.getWidth.toLong,
+              img.getHeight.toLong, s)
+          }
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** batched one-to-many frame extraction over (doc_id, payload) rows */
+  def videoFrameSamples(spark: SparkSession, payloadRows: DataFrame,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    payloadRows.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions(_.flatMap(p => videoFrames(p.doc_id, p.payload, stride)))
+      .toDF()
+  }
+
+  /** Deterministic animated 8×8 gray GIF: frame i pixel (x,y) carries
+    * `(seed*7 + i*11 + x*3 + y*5) % 256` — REAL encoded bytes (JDK GIF
+    * sequence writer) that [[videoFrames]] must decode back to the
+    * arithmetic pattern. The raster is INDEXED with an identity 256-gray
+    * palette so values survive the GIF round trip bit-exactly (a
+    * TYPE_BYTE_GRAY raster would pass through a gray→sRGB colorspace
+    * conversion and come back shifted). */
+  def grayPatternGif(seed: Long, nFrames: Int = 6): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until nFrames) {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0,
+          ((seed * 7 + i * 11 + x * 3 + y * 5) % 256).toInt)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** [[grayPatternGif]] with an explicit per-frame seed list: frame i
+    * carries `(seeds(i)*7 + x*3 + y*5) % 256` — lets a test plant videos
+    * that SHARE specific frames (same seed ⇒ bit-identical frame). */
+  def grayPatternGifSeeds(seeds: Seq[Long]): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (seed <- seeds) {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, ((seed * 7 + x * 3 + y * 5) % 256).toInt)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Video near-duplicate pairs by FRAME-SET overlap — the shot-level
+    * dedup a video pipeline runs: fingerprint every sampled frame (here
+    * the integer-exact gray sum from the real decode; production swaps
+    * in a perceptual hash, same shape), collect each video's distinct
+    * fingerprint set, and score candidate pairs by exact Jaccard.
+    * Candidates come from an inverted index on the fingerprint (videos
+    * sharing ANY frame meet in one bucket) — never a quadratic pass.
+    * Expects [[videoFrameSamples]] output. */
+  def frameJaccardPairs(frames: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val sets = frames.groupBy("doc_id")
+      .agg(collect_set(col("sum_gray")).as("codes"))
+    val ex = sets.select(col("doc_id"), explode(col("codes")).as("code"))
+    val cand = ex.select(col("code"), col("doc_id").as("doc_a"))
+      .join(ex.select(col("code"), col("doc_id").as("doc_b")), Seq("code"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("codes").as("ca")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("codes").as("cb")), Seq("doc_b"))
+      .withColumn("jac", size(array_intersect(col("ca"), col("cb"))).cast("double") /
+        size(array_union(col("ca"), col("cb"))))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Long, frame_code: Long)
 
   /** frame sampling: treat the payload as a fake video of

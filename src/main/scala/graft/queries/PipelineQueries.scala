@@ -71,6 +71,30 @@ object PipelineQueries {
         .toDF("doc_id", "payload")
       Multimodal.decodeImages(s, planted)
     }),
+    // REAL multi-frame decode: plant 6-frame animated gray GIFs carrying
+    // an arithmetic per-frame pattern, decode the actual container with
+    // the JDK reader, sample every 2nd frame, emit integer-exact sums
+    "pipe_mm_frames_real" -> ((s, d) => {
+      import s.implicits._
+      val planted = docs(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.grayPatternGif(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.videoFrameSamples(s, planted)
+    }),
+    // video near-dup: groups of 5 docs share their first 4 frame seeds,
+    // last 2 are per-doc — REAL GIFs decoded, frame-set Jaccard >= 0.45
+    // recovers exactly the within-group pairs
+    "pipe_mm_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      val planted = docs(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val seeds = (0 until 4).map(j => (id / 5) * 1000 + j) ++
+            (4 until 6).map(j => 700000 + id * 1000 + j)
+          (id, Multimodal.grayPatternGifSeeds(seeds.map(_.toLong)))
+        }).toDF("doc_id", "payload")
+      Multimodal.frameJaccardPairs(
+        Multimodal.videoFrameSamples(s, planted, stride = 1))
+    }),
     // perceptual image near-dup pairs: groups of 5 docs share a gradient
     // orientation, each member differs by one hot pixel — decode the REAL
     // PNGs, aHash, pigeonhole hamming join at <= 7 bits
@@ -856,6 +880,32 @@ object PipelineQueries {
         "FROM px p JOIN s ON s.doc_id = p.doc_id GROUP BY p.doc_id) " +
         "SELECT b.doc_id, 8::BIGINT AS width, 8::BIGINT AS height, s.sum_gray, " +
         "b.ahash_lo, b.ahash_hi FROM b JOIN s ON s.doc_id = b.doc_id"),
+
+    // the planted animated-GIF pattern recomputed arithmetically for the
+    // sampled frames 0, 2, 4
+    "pipe_mm_frames_real" ->
+      ("WITH fr AS (SELECT doc_id, f.range AS frame_idx FROM documents, range(0, 6, 2) f), " +
+        "px AS (SELECT doc_id, frame_idx, " +
+        "(doc_id * 7 + frame_idx * 11 + x.range * 3 + y.range * 5) % 256 AS g " +
+        "FROM fr, range(8) x, range(8) y) " +
+        "SELECT doc_id, frame_idx::BIGINT AS frame_idx, 8::BIGINT AS width, " +
+        "8::BIGINT AS height, sum(g)::BIGINT AS sum_gray FROM px GROUP BY 1, 2"),
+
+    // frame codes recomputed arithmetically from the planted seeds; the
+    // quadratic reference (the engine's candidate index is exact)
+    "pipe_mm_video_neardup" ->
+      ("WITH fs AS (SELECT doc_id, j.range AS j, " +
+        "CASE WHEN j.range < 4 THEN (doc_id // 5) * 1000 + j.range " +
+        "ELSE 700000 + doc_id * 1000 + j.range END AS seed " +
+        "FROM documents, range(6) j), " +
+        "cd AS (SELECT doc_id, j, sum((seed * 7 + x.range * 3 + y.range * 5) % 256)::BIGINT AS code " +
+        "FROM fs, range(8) x, range(8) y GROUP BY doc_id, j, seed), " +
+        "st AS (SELECT doc_id, list(DISTINCT code) AS codes FROM cd GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "len(list_intersect(a.codes, b.codes))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.codes, b.codes))) AS jac " +
+        "FROM st a JOIN st b ON a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, round(jac, 4) AS jac FROM pr WHERE jac >= 0.45"),
 
     // aHashes recomputed from the planted patterns, brute-force hamming
     // as halves (the pigeonhole join is a complete generator, so engine

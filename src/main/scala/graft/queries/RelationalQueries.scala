@@ -217,6 +217,18 @@ object RelationalQueries {
           col("n"), col("avg_disc"))
     }),
 
+    // --- RANGE-frame window (value-based frame over epoch seconds —
+    // the trailing-window analytic, distinct from the ROWS running sum;
+    // order-free aggregates (count/max) so frames hash identically) ---
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_30d"),
+        round(max(col("o_totalprice")).over(w), 2).as("max_price_30d"))
+    }),
+
     // --- SQL surface: correlated EXISTS (Catalyst rewrites to a semi
     // join — `.explain` shows the same plan as q_semi_join, proving the
     // SQL text a reference user types reaches the identical strategy) ---
@@ -484,6 +496,13 @@ object RelationalQueries {
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
         |  count(*) AS n, round(avg(l_discount), 4) AS avg_disc
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS n_30d,
+        |  round(max(o_totalprice) OVER w, 2) AS max_price_30d
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY epoch(o_orderdate)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_exists_subquery" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE EXISTS (

@@ -967,6 +967,44 @@ class PipelineSpec extends SparkTestBase {
       s"term filter not below the shuffle:\n$bplan")
   }
 
+  test("video frames: real animated-GIF decode, stride, corruption safety") {
+    val gif = Multimodal.grayPatternGif(3L, nFrames = 6)
+    // every 2nd frame of 6 -> indices 0, 2, 4; pattern decodes exactly
+    val fr = Multimodal.videoFrames(3L, gif, stride = 2)
+    assert(fr.map(_.frame_idx) == Seq(0L, 2L, 4L))
+    fr.foreach { f =>
+      val expect = (for (y <- 0 until 8; x <- 0 until 8)
+        yield (3L * 7 + f.frame_idx * 11 + x * 3 + y * 5) % 256).sum
+      assert(f.sum_gray == expect && f.width == 8 && f.height == 8)
+    }
+    // stride 1 sees all six
+    assert(Multimodal.videoFrames(3L, gif, stride = 1).length == 6)
+    // a single-frame container (PNG) yields exactly one frame; garbage none
+    assert(Multimodal.videoFrames(4L, Multimodal.grayPatternPng(4L)).length == 1)
+    assert(Multimodal.videoFrames(5L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.videoFrames(6L, gif.take(30)).isEmpty ||
+      Multimodal.videoFrames(6L, gif.take(30)).nonEmpty) // truncation never throws
+  }
+
+  test("video near-dup recovers shared-frame groups from real GIFs") {
+    import spark.implicits._
+    // 3 groups of 3 videos: 4 shared group frames + 2 unique frames
+    val planted = (0L until 9L).map { id =>
+      val seeds = (0 until 4).map(j => (id / 3) * 1000 + j.toLong) ++
+        (4 until 6).map(j => 900000 + id * 1000 + j.toLong)
+      (id, Multimodal.grayPatternGifSeeds(seeds))
+    }.toDF("doc_id", "payload")
+    val pairs = Multimodal.frameJaccardPairs(
+      Multimodal.videoFrameSamples(spark, planted, stride = 1)).collect()
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      g <- 0L until 3L; a <- 0L until 3L; b <- 0L until 3L if a < b
+    } yield (g * 3 + a, g * 3 + b)).toSet
+    assert(got == expect, s"got $got expect $expect")
+    // shared 4 of 6 frames each side -> jaccard 4/8
+    pairs.foreach(r => assert(r.getDouble(2) == 0.5))
+  }
+
   test("split assignment is total, disjoint and growth-stable") {
     val s1 = Sampling.splitAssign(docs)
     assert(s1.count() == docs.count())
