@@ -433,7 +433,7 @@ object Multimodal {
   }
 
   final case class VideoFrame(doc_id: Long, frame_idx: Long, width: Long,
-    height: Long, sum_gray: Long)
+    height: Long, sum_gray: Long, frame_fp: Long)
 
   /** REAL multi-frame container decode — strided frame sampling over an
     * animated GIF through the JDK's own ImageIO reader (the one
@@ -458,16 +458,32 @@ object Multimodal {
           (0 until n by stride).map { i =>
             val img = reader.read(i)
             var s = 0L
+            // frame fingerprint: 60-bit md5 of the row-major gray CSV —
+            // a COLLISION-RESISTANT identity (the integer gray sum lives
+            // in a ~16k value space; at 50k videos a sum-keyed inverted
+            // index drowns in collision buckets — measured 393 s at 10×
+            // before this fp existed). CSV-of-integers keeps the hash
+            // replayable by any engine (the oracle rebuilds the same
+            // string arithmetically).
+            val csv = new java.lang.StringBuilder(img.getWidth * img.getHeight * 4)
             var y = 0
             while (y < img.getHeight) {
               var x = 0
               while (x < img.getWidth) {
-                s += ((img.getRGB(x, y) >> 16) & 0xff); x += 1
+                val g = (img.getRGB(x, y) >> 16) & 0xff
+                s += g
+                if (csv.length > 0) csv.append(',')
+                csv.append(g)
+                x += 1
               }
               y += 1
             }
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(csv.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
             VideoFrame(docId, i.toLong, img.getWidth.toLong,
-              img.getHeight.toLong, s)
+              img.getHeight.toLong, s,
+              java.lang.Long.parseLong(hex.substring(0, 15), 16))
           }
         }
       } finally iis.close()
@@ -511,8 +527,13 @@ object Multimodal {
   }
 
   /** [[grayPatternGif]] with an explicit per-frame seed list: frame i
-    * carries `(seeds(i)*7 + x*3 + y*5) % 256` — lets a test plant videos
-    * that SHARE specific frames (same seed ⇒ bit-identical frame). */
+    * pixel (x,y) carries
+    * `(seed*7 + (seed/256)*11*(y*8+x) + x*3 + y*5) % 256` — same seed ⇒
+    * bit-identical frame, and the (seed/256) per-pixel mixing term keeps
+    * DISTINCT seeds producing distinct frames across a ~65k seed window
+    * (a pattern driven by `seed % 256` alone collapses every corpus to
+    * 256 frame identities, which floods any fingerprint index with
+    * same-content buckets — measured as a 393 s pair join at 10×). */
   def grayPatternGifSeeds(seeds: Seq[Long]): Array[Byte] = {
     val grays = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
@@ -525,7 +546,8 @@ object Multimodal {
       val img = new java.awt.image.BufferedImage(8, 8,
         java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
       for (y <- 0 until 8; x <- 0 until 8)
-        img.getRaster.setSample(x, y, 0, ((seed * 7 + x * 3 + y * 5) % 256).toInt)
+        img.getRaster.setSample(x, y, 0,
+          ((seed * 7 + (seed / 256) * 11 * (y * 8 + x) + x * 3 + y * 5) % 256).toInt)
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
     }
     writer.endWriteSequence()
@@ -534,16 +556,17 @@ object Multimodal {
   }
 
   /** Video near-duplicate pairs by FRAME-SET overlap — the shot-level
-    * dedup a video pipeline runs: fingerprint every sampled frame (here
-    * the integer-exact gray sum from the real decode; production swaps
-    * in a perceptual hash, same shape), collect each video's distinct
-    * fingerprint set, and score candidate pairs by exact Jaccard.
+    * dedup a video pipeline runs: fingerprint every sampled frame (the
+    * 60-bit md5 `frame_fp` from the real decode; a perceptual hash slots
+    * into the same shape for near-identical-frame tolerance), collect
+    * each video's distinct fingerprint set, and score candidate pairs by
+    * exact Jaccard.
     * Candidates come from an inverted index on the fingerprint (videos
     * sharing ANY frame meet in one bucket) — never a quadratic pass.
     * Expects [[videoFrameSamples]] output. */
   def frameJaccardPairs(frames: DataFrame, threshold: Double = 0.45): DataFrame = {
     val sets = frames.groupBy("doc_id")
-      .agg(collect_set(col("sum_gray")).as("codes"))
+      .agg(collect_set(col("frame_fp")).as("codes"))
     val ex = sets.select(col("doc_id"), explode(col("codes")).as("code"))
     val cand = ex.select(col("code"), col("doc_id").as("doc_a"))
       .join(ex.select(col("code"), col("doc_id").as("doc_b")), Seq("code"))

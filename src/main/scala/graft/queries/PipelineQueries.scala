@@ -887,9 +887,17 @@ object PipelineQueries {
       ("WITH fr AS (SELECT doc_id, f.range AS frame_idx FROM documents, range(0, 6, 2) f), " +
         "px AS (SELECT doc_id, frame_idx, " +
         "(doc_id * 7 + frame_idx * 11 + x.range * 3 + y.range * 5) % 256 AS g " +
-        "FROM fr, range(8) x, range(8) y) " +
-        "SELECT doc_id, frame_idx::BIGINT AS frame_idx, 8::BIGINT AS width, " +
-        "8::BIGINT AS height, sum(g)::BIGINT AS sum_gray FROM px GROUP BY 1, 2"),
+        "FROM fr, range(8) x, range(8) y), " +
+        // row-major gray CSV rebuilt arithmetically (k = y*8+x), then the
+        // shared 60-bit md5 prefix — identical to the JVM's frame_fp
+        "fp AS (SELECT doc_id, frame_idx, CAST('0x' || substr(md5(array_to_string(" +
+        "list_transform(range(0, 64), k -> CAST((doc_id * 7 + frame_idx * 11 + " +
+        "(k % 8) * 3 + (k // 8) * 5) % 256 AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS frame_fp " +
+        "FROM fr) " +
+        "SELECT p.doc_id, p.frame_idx::BIGINT AS frame_idx, 8::BIGINT AS width, " +
+        "8::BIGINT AS height, sum(p.g)::BIGINT AS sum_gray, max(fp.frame_fp) AS frame_fp " +
+        "FROM px p JOIN fp ON fp.doc_id = p.doc_id AND fp.frame_idx = p.frame_idx " +
+        "GROUP BY 1, 2"),
 
     // frame codes recomputed arithmetically from the planted seeds; the
     // quadratic reference (the engine's candidate index is exact)
@@ -898,8 +906,10 @@ object PipelineQueries {
         "CASE WHEN j.range < 4 THEN (doc_id // 5) * 1000 + j.range " +
         "ELSE 700000 + doc_id * 1000 + j.range END AS seed " +
         "FROM documents, range(6) j), " +
-        "cd AS (SELECT doc_id, j, sum((seed * 7 + x.range * 3 + y.range * 5) % 256)::BIGINT AS code " +
-        "FROM fs, range(8) x, range(8) y GROUP BY doc_id, j, seed), " +
+        "cd AS (SELECT doc_id, j, CAST('0x' || substr(md5(array_to_string(" +
+        "list_transform(range(0, 64), k -> CAST((seed * 7 + (seed // 256) * 11 * k + " +
+        "(k % 8) * 3 + (k // 8) * 5) % 256 AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS code " +
+        "FROM fs), " +
         "st AS (SELECT doc_id, list(DISTINCT code) AS codes FROM cd GROUP BY doc_id), " +
         "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "len(list_intersect(a.codes, b.codes))::DOUBLE / " +
