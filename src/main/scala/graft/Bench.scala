@@ -70,15 +70,21 @@ object Bench {
         if (ok.isEmpty) -1.0
         else if (ok.size % 2 == 1) ok(ok.size / 2)
         else math.rint((ok(ok.size / 2 - 1) + ok(ok.size / 2)) * 5e2) / 1e3
-      name -> med
+      // min-of-runs alongside the median: same-code sf0.1 totals were
+      // measured 23% apart 33 min apart (r7) — the min is the
+      // scheduling-noise-free floor a regression gate can trust when a
+      // single median run swings
+      name -> (med, if (ok.isEmpty) -1.0 else ok.head)
     }
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = math.rint(results.values.filter(_ >= 0).sum * 1e3) / 1e3
+    val qsMin = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = math.rint(results.values.map(_._1).filter(_ >= 0).sum * 1e3) / 1e3
     // full artifact (incl. per-query map) on disk; the stdout line stays
     // short so a log-tail capture can't clip it
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }
     // append-only, git-retained history: bench_last.json is overwritten by

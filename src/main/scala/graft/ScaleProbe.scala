@@ -37,6 +37,17 @@ object ScaleProbe {
       println(f"PROBE n=$n%d t=$threshold%.2f rowsPerBand=$r%d buckets/band=${1 << r}%d " +
         f"pairs=$pairs%d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
+    // the density-adaptive default (rowsPerBand = 0): report the sampled
+    // pick and its end-to-end time on the same corpus, so the auto path
+    // is measured against the manual sweep above
+    val tPick = System.nanoTime()
+    val auto = graft.pipeline.Similarity.lshPickRowsPerBand(emb)
+    val pickSecs = (System.nanoTime() - tPick) / 1e9
+    val t0 = System.nanoTime()
+    val pairs = graft.pipeline.Similarity
+      .lshCosinePairs(emb, rowsPerBand = auto, threshold = threshold).count()
+    println(f"PROBE n=$n%d t=$threshold%.2f rowsPerBand=AUTO($auto%d) " +
+      f"pick=$pickSecs%5.2f s pairs=$pairs%d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     spark.stop()
   }
 }

@@ -853,6 +853,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * against concurrent readers: after the swap the base already equals
     * the merged view, so re-applying the not-yet-deleted log is a no-op
     * (upserts match the base rows they shadow; tombstoned fids are gone). */
+  /** Test seam: invoked between compaction's base swap and the log
+    * truncation — the one window where the base already holds the merged
+    * state while the log still holds the folded mutations. The LIVE view
+    * is consistent throughout (re-applying the log over the merged base
+    * is a no-op); time-travel reads concurrent with this window degrade
+    * to the post-compaction boundary for already-folded fids, the same
+    * way a Delta `VERSION AS OF` racing VACUUM resolves to the surviving
+    * boundary — asserted by `WritePathFuzzSpec`'s mid-compaction arm. */
+  private[metacat] var onCompactMidpoint: () => Unit = () => ()
+
   def compactFilesLog(): Unit = {
     if (!mergeOnRead || !logNonEmpty()) return
     val log = spark.read.schema(logSchema).parquet(path("files_log"))
@@ -863,6 +873,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .union(log.filter(col("__op") === LogUpsert).select("namespace"))
       .distinct().collect().map(_.getString(0)).toSeq
     rewriteFilesScoped(storedFiles(), touched)
+    onCompactMidpoint()
     fsOf(hPath("files_log")).delete(hPath("files_log"), true)
     // restart the sequence: the truncated log is what seeds a reopened
     // instance, so the live counter must agree with it — post-compaction

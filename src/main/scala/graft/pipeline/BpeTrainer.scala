@@ -71,20 +71,24 @@ object BpeTrainer {
       .select(charEncodeSql("w").as("sym"), col("cnt"))
       .localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (rk <- 1 to merges) {
+    var rk = 1
+    var dry = false // pairs exhausted → later rounds would be no-op jobs
+    while (rk <= merges && !dry) {
       val top = words
         .select(col("cnt"), explode(pairsOfSql("sym")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
         .collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) dry = true
+      else {
         val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         rules += ((rk, l, r, pc))
         words = words
           .withColumn("sym", applyMerge(col("sym"), l, r))
           .localCheckpoint()
       }
+      rk += 1
     }
     rules.toSeq
       .map { case (rk, l, r, pc) => (rk.toLong, l, r, l + r, pc) }

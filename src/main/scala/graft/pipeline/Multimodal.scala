@@ -453,8 +453,10 @@ object Multimodal {
         if (!readers.hasNext) Seq.empty
         else {
           val reader = readers.next()
+          try {
           reader.setInput(iis, false, true)
           val n = reader.getNumImages(true)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
           (0 until n by stride).map { i =>
             val img = reader.read(i)
             var s = 0L
@@ -478,13 +480,15 @@ object Multimodal {
               }
               y += 1
             }
-            val hex = java.security.MessageDigest.getInstance("MD5")
+            md5.reset()
+            val hex = md5
               .digest(csv.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               .map("%02x".format(_)).mkString
             VideoFrame(docId, i.toLong, img.getWidth.toLong,
               img.getHeight.toLong, s,
               java.lang.Long.parseLong(hex.substring(0, 15), 16))
           }
+          } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
@@ -563,15 +567,24 @@ object Multimodal {
     * exact Jaccard.
     * Candidates come from an inverted index on the fingerprint (videos
     * sharing ANY frame meet in one bucket) — never a quadratic pass.
+    *
+    * Hot-fingerprint guard: a frame shared by B videos makes its bucket a
+    * B² candidate task, and real corpora have genuinely common frames
+    * (black frames, intro cards) — the structural failure mode behind the
+    * r7 393 s incident. Fingerprints whose document frequency exceeds
+    * `maxFrameDf` are dropped from CANDIDATE GENERATION only (the exact
+    * Jaccard verify still scores the FULL frame sets), the same
+    * document-frequency posture as `topNgrams`' boilerplate cut. The hot
+    * list is ≤ totalFrames/maxFrameDf entries by construction, so the
+    * broadcast stays bounded at any corpus size; per-fingerprint candidate
+    * volume is capped at maxFrameDf². Pairs overlapping ONLY on
+    * boilerplate frames are by design not candidates.
     * Expects [[videoFrameSamples]] output. */
-  def frameJaccardPairs(frames: DataFrame, threshold: Double = 0.45): DataFrame = {
+  def frameJaccardPairs(frames: DataFrame, threshold: Double = 0.45,
+      maxFrameDf: Int = 1000): DataFrame = {
     val sets = frames.groupBy("doc_id")
       .agg(collect_set(col("frame_fp")).as("codes"))
-    val ex = sets.select(col("doc_id"), explode(col("codes")).as("code"))
-    val cand = ex.select(col("code"), col("doc_id").as("doc_a"))
-      .join(ex.select(col("code"), col("doc_id").as("doc_b")), Seq("code"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = frameCandidates(sets, maxFrameDf).distinct()
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("codes").as("ca")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("codes").as("cb")), Seq("doc_b"))
@@ -579,6 +592,21 @@ object Multimodal {
         size(array_union(col("ca"), col("cb"))))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** Pre-distinct candidate stream of [[frameJaccardPairs]], exposed so
+    * the forced-collision spec can assert the raw candidate VOLUME the
+    * hot-fingerprint guard bounds (not just the deduped pair set).
+    * `sets` is (doc_id, codes) — the per-video fingerprint sets. */
+  private[pipeline] def frameCandidates(sets: DataFrame, maxFrameDf: Int): DataFrame = {
+    val ex = sets.select(col("doc_id"), explode(col("codes")).as("code"))
+    val hot = ex.groupBy("code").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxFrameDf).select("code")
+    val exC = ex.join(broadcast(hot), Seq("code"), "left_anti")
+    exC.select(col("code"), col("doc_id").as("doc_a"))
+      .join(exC.select(col("code"), col("doc_id").as("doc_b")), Seq("code"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
   }
 
   final case class Frame(doc_id: Long, frame_idx: Long, frame_code: Long)

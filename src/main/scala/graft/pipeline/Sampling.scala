@@ -142,7 +142,11 @@ object Sampling {
     val w = weights.foldLeft(lit(defaultWeight)) {
       case (acc, (g, v)) => when(col("source") === g, lit(v)).otherwise(acc)
     }
-    val frac1000 = (w * 1000).cast("long") % 1000
+    // round, don't truncate: a weight like 1.7 is 1699.999… after *1000
+    // and a truncating cast would select with probability 699/1000, not
+    // the documented "scales by exactly the weight" 700/1000 (and would
+    // diverge from the oracle's rounding CAST).
+    val frac1000 = round(w * 1000).cast("long") % 1000
     val nEpochs = floor(w).cast("long") +
       when(bucket(seed, col("doc_id")) < frac1000, 1L).otherwise(0L)
     docs.select(col("doc_id"), col("source"), nEpochs.as("__n"))

@@ -90,6 +90,59 @@ object Similarity {
     math.max(LshRowsPerBand, math.min(24, needed))
   }
 
+  /** Density-adaptive r — the occupancy-SAMPLED refinement of
+    * [[lshRowsPerBandFor]]'s uniform rule: real corpora cluster, so
+    * bucket occupancy (and with it candidate volume) is skewed far above
+    * the n/2^r uniform estimate. Draws a bounded deterministic sample
+    * (`sampleSize` vectors — driver-side, ~1 MB at dim 64, independent of
+    * corpus size), computes band-0 keys for each candidate r from the
+    * same seeded planes the operator will use, and estimates total
+    * candidate pairs as bands × Σ_b C(c_b,2) × (n/s)² — the sample's own
+    * skew carries into the estimate. Picks the smallest r whose estimated
+    * candidates per vector stay under `targetPairsPerVec`.
+    *
+    * Cost: one count + one bounded collect + O(sampleSize·r·dim) driver
+    * arithmetic — negligible against the pair join it sizes. Raising r
+    * tightens per-band precision (lower recall at fixed `bands`); the
+    * oracle gates pin (r=4, b=8) and never take this path. */
+  def lshPickRowsPerBand(emb: DataFrame, bands: Int = LshBands,
+      targetPairsPerVec: Double = 64.0, seed: Long = LshSeed, dim: Int = EmbDim,
+      sampleSize: Int = 2048): Int = {
+    val n = emb.count()
+    if (n <= sampleSize * 2) return LshRowsPerBand
+    val m = math.max(1L, n / sampleSize)
+    val sample = emb
+      .filter(pmod(xxhash64(lit(seed), col("vec_id")), lit(m)) === 0)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val s = sample.length.toLong
+    if (s < 32) return lshRowsPerBandFor(n)
+    val scale = (n.toDouble / s) * (n.toDouble / s) * bands
+    var r = LshRowsPerBand
+    while (r < 24) {
+      val planes = randomPlanes(seed, bands * r, dim)
+      val occ = new java.util.HashMap[Int, Long]()
+      sample.foreach { v =>
+        var key = 0
+        var j = 0
+        while (j < r) {
+          val p = planes(j)
+          var d = 0.0
+          var i = 0
+          while (i < math.min(dim, v.length)) { d += p(i) * v(i); i += 1 }
+          if (d > 0) key |= 1 << j
+          j += 1
+        }
+        occ.merge(key, 1L, _ + _)
+      }
+      var pairs = 0.0
+      occ.values.forEach(c => pairs += c.toDouble * (c - 1) / 2)
+      if (pairs * scale / n <= targetPairsPerVec) return r
+      r += 1
+    }
+    24
+  }
+
   /** Banded SRP-LSH near-neighbor pairs (the scale path for similarity
     * search): `bands`×`rowsPerBand` seeded random hyperplanes; a vector's
     * key in band t is the `rowsPerBand` sign bits of that band's planes;
@@ -100,14 +153,23 @@ object Similarity {
     * Scale shape: the band explode carries only (vec_id, band, key); the
     * bucket join and the pair-dedup shuffle never move embeddings. Exact
     * cosines are computed once per distinct candidate pair by joining the
-    * embedding table back on each side. No O(n²) stage anywhere. */
+    * embedding table back on each side. No O(n²) stage anywhere.
+    *
+    * `rowsPerBand = 0` (the default) picks r density-adaptively via
+    * [[lshPickRowsPerBand]] — on corpora small enough to brute the sample
+    * (≤2× the sample size) that resolves to the pinned [[LshRowsPerBand]],
+    * so the oracle gates (which also pin r explicitly) see identical
+    * plans; at scale the knob tracks measured occupancy instead of a
+    * constant. */
   def lshCosinePairs(emb: DataFrame, bands: Int = LshBands,
-      rowsPerBand: Int = LshRowsPerBand, threshold: Double = 0.35,
+      rowsPerBand: Int = 0, threshold: Double = 0.35,
       seed: Long = LshSeed, dim: Int = EmbDim): DataFrame = {
-    val planes = randomPlanes(seed, bands * rowsPerBand, dim)
+    val r = if (rowsPerBand > 0) rowsPerBand
+            else lshPickRowsPerBand(emb, bands, seed = seed, dim = dim)
+    val planes = randomPlanes(seed, bands * r, dim)
     def bandKey(t: Int): Column =
-      (0 until rowsPerBand).map { j =>
-        when(dotProduct(typedLit(planes(t * rowsPerBand + j).toSeq),
+      (0 until r).map { j =>
+        when(dotProduct(typedLit(planes(t * r + j).toSeq),
           col("embedding")) > 0d, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
 
@@ -177,6 +239,41 @@ object Similarity {
     -array_max(array(scored: _*)).getField("negCid")
   }
 
+  /** How many centroids ride the plan as an [[bestCentroidExpr]] literal
+    * argmax before assignment switches to the broadcast-join shape —
+    * array_max over k structs is codegen-flat but plan SIZE is O(k·dim)
+    * literals, which is the right trade only up to a few hundred
+    * centroids. */
+  val LiteralAssignCap = 256
+
+  /** Join-based centroid assignment — the production shape past
+    * [[LiteralAssignCap]]: centroids as a broadcast TABLE, one cosine per
+    * (vector, centroid) row via a broadcast nested-loop join, argmax per
+    * vector under the same (6-dec rounding, ties to lowest cid) rule as
+    * [[bestCentroidExpr]] — output-identical (spec-asserted), but the
+    * plan stays O(1) in k, so `centroidsForCorpus` can track the corpus
+    * into the thousands (FAISS-posture nlist) without exploding plan
+    * serialization or codegen. Emits (vec_id, bucket, __rsim) where
+    * `__rsim` is the winner's RAW cosine. */
+  private[pipeline] def assignByJoin(emb: DataFrame,
+      centroids: Seq[(Long, Array[Double], Double)]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = centroids.map { case (cid, v, cn) => (cid, v.toSeq, cn) }
+      .toDF("__cid", "__cvec", "__cnorm")
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("norm", norm(col("embedding")))
+      .crossJoin(broadcast(centDf))
+      .withColumn("__sim", dotProduct(col("__cvec"), col("embedding")) /
+        (col("norm") * col("__cnorm")))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("__cid").as("bucket"), col("__sim").as("__rsim")),
+        struct(round(col("__sim"), 6).as("s"), (-col("__cid")).as("nc"))).as("w"))
+      .select(col("vec_id"), col("w.bucket").as("bucket"),
+        col("w.__rsim").as("__rsim"))
+  }
+
   /** per query: rank centroids by cosine (6-dec rounding, ties to lowest
     * cid — the same rule everywhere), keep the nProbe closest buckets.
     * Expects (query_id, q_emb, q_norm); emits one row per probed bucket. */
@@ -243,6 +340,9 @@ object Similarity {
     * shared by [[semanticDedup]] and [[embeddingOutliers]] */
   private def assignWithCentroidSim(emb: DataFrame,
       cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
+    if (cents.size > LiteralAssignCap)
+      return emb.withColumn("norm", norm(col("embedding")))
+        .join(assignByJoin(emb, cents), Seq("vec_id"))
     val rawSim = cents.foldLeft(lit(null).cast("double")) {
       case (acc, (cid, vec, cn)) =>
         when(col("bucket") === cid,
@@ -254,9 +354,27 @@ object Similarity {
       .withColumn("__rsim", rawSim)
   }
 
+  /** FAISS-posture centroid sizing: hold the EXPECTED CLUSTER SIZE
+    * constant as the corpus grows (k ≈ n / targetPerCluster), because the
+    * within-cluster pair join is quadratic in cluster size — a fixed k
+    * makes SemDeDup's per-cluster cost grow as (n/k)². Assignment rides
+    * plan literals up to [[LiteralAssignCap]] centroids and the
+    * broadcast-join shape ([[assignByJoin]]) beyond it, so `maxK` is
+    * bounded only by what a k×dim centroid table can broadcast
+    * (4096 × 64 doubles ≈ 2 MB — far under any broadcast limit). */
+  def centroidsForCorpus(n: Long, targetPerCluster: Int = 128,
+      minK: Int = 16, maxK: Int = 4096): Int =
+    math.max(minK, math.min(maxK.toLong,
+      n / math.max(1, targetPerCluster)).toInt)
+
+  /** `nCentroids = 0` (the default) applies [[centroidsForCorpus]] — at
+    * the oracle-gate corpus (2k vectors) that resolves to the pinned 16,
+    * so gates (which also pin k explicitly) see identical plans; at scale
+    * k tracks the corpus and per-cluster cost stays flat. */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.45,
-      nCentroids: Int = 16, iters: Int = 2, seed: Long = LshSeed): DataFrame = {
-    val cents = kmeansCentroids(emb, nCentroids, iters, seed)
+      nCentroids: Int = 0, iters: Int = 2, seed: Long = LshSeed): DataFrame = {
+    val k = if (nCentroids > 0) nCentroids else centroidsForCorpus(emb.count())
+    val cents = kmeansCentroids(emb, k, iters, seed)
     val assigned = assignWithCentroidSim(emb, cents).localCheckpoint()
     val a = assigned.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("norm").as("na"))
@@ -385,8 +503,14 @@ object Similarity {
             (r.getLong(0), vec, nm)
           }.sortBy(_._1).toSeq
       for (_ <- 0 until iters) {
-        val means = train
-          .withColumn("bucket", bestCentroidExpr(cents))
+        // past the literal cap the Lloyd assignment rides the broadcast
+        // join too (same argmax rule, O(1)-size plan at any k)
+        val assignedTrain =
+          if (cents.size > LiteralAssignCap)
+            train.join(assignByJoin(train, cents).select("vec_id", "bucket"),
+              Seq("vec_id"))
+          else train.withColumn("bucket", bestCentroidExpr(cents))
+        val means = assignedTrain
           .groupBy("bucket")
           .agg(count(lit(1)).as("cnt"),
             sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))

@@ -28,12 +28,14 @@ object PipelineQueries {
     // substring-level dedup: duplicated 8-token-span signals per doc
     "pipe_dedup_substring" -> ((s, d) => Dedup.duplicatedSpans(docs(s, d))),
     "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
-    "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d))),
+    "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d),
+      rowsPerBand = Similarity.LshRowsPerBand)),
     "pipe_sim_ivf" -> ((s, d) => Similarity.ivfCosineTopK(emb(s, d))),
     "pipe_sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKmeansTopK(emb(s, d))),
     // embedding-cosine near-duplicate detection = LSH pairs at a high
     // threshold (same plan, dedup use-case)
-    "pipe_dedup_embedding" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), threshold = 0.45)),
+    "pipe_dedup_embedding" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d),
+      rowsPerBand = Similarity.LshRowsPerBand, threshold = 0.45)),
     "pipe_text_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     "pipe_text_bpe" -> ((s, d) => TextAnalysis.bpeTokens(docs(s, d))),
     "pipe_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
@@ -73,7 +75,12 @@ object PipelineQueries {
     }),
     // REAL multi-frame decode: plant 6-frame animated gray GIFs carrying
     // an arithmetic per-frame pattern, decode the actual container with
-    // the JDK reader, sample every 2nd frame, emit integer-exact sums
+    // the JDK reader, sample every 2nd frame, emit integer-exact sums.
+    // Codec boundary: GIF is the one container the JRE decodes natively;
+    // MP4 et al. need an ffmpeg-class decoder dropped into the same
+    // mapPartitions slot — see README "Video-codec boundary" and
+    // Multimodal.videoFrames; everything above the frame fingerprint
+    // (frameJaccardPairs) is codec-agnostic.
     "pipe_mm_frames_real" -> ((s, d) => {
       import s.implicits._
       val planted = docs(s, d).select(col("doc_id")).as[Long]
@@ -181,7 +188,8 @@ object PipelineQueries {
     // over the SRP-LSH cosine pair set at the near-dup threshold
     "pipe_dedup_emb_clusters" -> ((s, d) =>
       ConnectedComponents
-        .clusters(Similarity.lshCosinePairs(emb(s, d), threshold = 0.45),
+        .clusters(Similarity.lshCosinePairs(emb(s, d),
+          rowsPerBand = Similarity.LshRowsPerBand, threshold = 0.45),
           aCol = "id_a", bCol = "id_b")
         .select(col("doc_id").as("vec_id"), col("cluster_id"))),
     // flagship composition: quality -> lang -> exact dedup -> near-dup
@@ -275,7 +283,8 @@ object PipelineQueries {
         (0 until 20).map(i => s"src$i" -> (1.0 + (i % 4) * 0.5)).toMap)),
     // SemDeDup: k-means partition -> within-cluster cosine pairs -> CC
     // groups -> keep the member FURTHEST from its centroid
-    "pipe_dedup_semantic" -> ((s, d) => Similarity.semanticDedup(emb(s, d))),
+    "pipe_dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(emb(s, d), nCentroids = 16)),
     // directed shingle containment (|A∩B|/|A| >= 0.6): subset-dup
     // detection Jaccard misses when sizes differ
     "pipe_containment_pairs" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
@@ -552,7 +561,13 @@ object PipelineQueries {
       sb ++= "SELECT cnt, unnest(list_transform(range(1, len(s)), i -> {'l': s[i], 'r': s[i+1]})) AS pr FROM ("
       sb ++= s"SELECT cnt, string_split(substring(sym, 2, length(sym) - 2), chr(2) || chr(1)) AS s FROM w${k - 1})) GROUP BY 1, 2)"
       sb ++= s", t$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1)"
-      sb ++= s", w$k AS (SELECT w, replace(sym, chr(1) || l || chr(2) || chr(1) || r || chr(2), chr(1) || l || r || chr(2)) AS sym, cnt FROM w${k - 1} CROSS JOIN t$k)"
+      // LEFT JOIN, not CROSS JOIN: if the corpus exhausts mergeable pairs
+      // before round k, t_k is empty and a cross join would wipe the word
+      // state for all later rounds; degrade w_k to w_{k-1} instead
+      // (mirrors the trainer, which simply records no rule that round).
+      sb ++= s", w$k AS (SELECT w, CASE WHEN l IS NULL THEN sym ELSE " +
+        s"replace(sym, chr(1) || l || chr(2) || chr(1) || r || chr(2), chr(1) || l || r || chr(2)) END AS sym, cnt " +
+        s"FROM w${k - 1} LEFT JOIN t$k ON TRUE)"
     }
     sb.toString
   }
@@ -1334,7 +1349,7 @@ object PipelineQueries {
         "1.0 + (CAST(substr(source, 4) AS BIGINT) % 4) * 0.5 AS wt FROM documents), " +
         "n AS (SELECT doc_id, source, CAST(floor(wt) AS BIGINT) + " +
         "(CASE WHEN CAST('0x' || substr(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < " +
-        "CAST(wt * 1000 AS BIGINT) % 1000 THEN 1 ELSE 0 END) AS ne FROM w) " +
+        "CAST(round(wt * 1000) AS BIGINT) % 1000 THEN 1 ELSE 0 END) AS ne FROM w) " +
         "SELECT doc_id, source, unnest(generate_series(1, ne))::BIGINT AS epoch " +
         "FROM n WHERE ne >= 1"))
 }

@@ -150,6 +150,7 @@ object RelationalQueries {
         .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
         .select(col("o_custkey"), col("o_orderkey"),
           sum(col("cents")).over(w).as("run_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
     // lead/lag: seconds since the customer's previous order (null first)
@@ -467,10 +468,10 @@ object RelationalQueries {
         |ORDER BY o_orderkey LIMIT 10 OFFSET 100""".stripMargin,
     "q_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
-        |FROM orders""".stripMargin,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_lead_lag" ->
       """SELECT o_custkey, o_orderkey,
         |  epoch(o_orderdate)::BIGINT - lag(epoch(o_orderdate)::BIGINT, 1) OVER (

@@ -246,4 +246,103 @@ class WritePathFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  test("MOR reads interleaved DURING a compaction swap stay consistent") {
+    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 13).getOrElse(55L))
+    val rounds = sys.env.get("GRAFT_FUZZ_N").map(_.toInt / 40 max 2).getOrElse(2)
+
+    for (round <- 0 until rounds) {
+      val root = Files.createTempDirectory("graft-fuzz-mc-").toString
+      val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
+      val model = scala.collection.mutable.LinkedHashMap.empty[String, State]
+      var nextId = 0
+
+      def readView(df: org.apache.spark.sql.DataFrame): Map[String, State] =
+        df.select(col("fid"), col("namespace"),
+            expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"),
+            expr("try_variant_get(metadata, \"$['opt.mark']\", 'string')").as("mark"),
+            col("retired"))
+          .collect()
+          .map(r => r.getString(0) ->
+            ((r.getString(1), r.getLong(2), Option(r.getString(3)), r.getBoolean(4))))
+          .toMap
+
+      // guaranteed multi-version prologue: one fid mutated at two
+      // sequences, so the log is never empty regardless of the random
+      // burst below (a lucky seed once produced declares only)
+      val pids = (nextId until nextId + 3)
+      nextId = pids.last + 1
+      cat.declareFiles(declareDf(pids))
+      pids.foreach(i => model(f"Z$i%08d") = ((s"zns${i % 3}", i.toLong, None, false)))
+      val p0 = f"Z${pids.head}%08d"
+      cat.updateFileMeta(Seq(p0), """{"core.run":7001,"opt.mark":"p1"}""")
+      model(p0) = ((model(p0)._1, 7001L, Some("p1"), false))
+      cat.updateFileMeta(Seq(p0), """{"core.run":7002,"opt.mark":"p2"}""")
+      model(p0) = ((model(p0)._1, 7002L, Some("p2"), false))
+
+      // a random mutation burst so the log holds multi-version fids
+      // (the same fid mutated at several sequences) before compacting
+      for (step <- 0 until 6) {
+        rnd.nextInt(4) match {
+          case 0 =>
+            val ids = (nextId until nextId + 2 + rnd.nextInt(5))
+            nextId = ids.last + 1
+            cat.declareFiles(declareDf(ids))
+            ids.foreach(i =>
+              model(f"Z$i%08d") = ((s"zns${i % 3}", i.toLong, None, false)))
+          case 1 =>
+            val picks = rnd.shuffle(model.collect {
+              case (f, st) if !st._4 => f }.toSeq).take(1 + rnd.nextInt(3))
+            if (picks.nonEmpty) {
+              cat.updateFileMeta(picks,
+                s"""{"core.run":${9000 + step},"opt.mark":"s$step"}""")
+              picks.foreach(f => model(f) =
+                ((model(f)._1, 9000L + step, Some(s"s$step"), model(f)._4)))
+            }
+          case 2 =>
+            val picks = rnd.shuffle(model.collect {
+              case (f, st) if !st._4 => f }.toSeq).take(1 + rnd.nextInt(2))
+            if (picks.nonEmpty) {
+              cat.retireFiles(picks)
+              picks.foreach(f => model(f) =
+                ((model(f)._1, model(f)._2, model(f)._3, true)))
+            }
+          case 3 =>
+            val picks = rnd.shuffle(model.keys.toSeq).take(1)
+            if (picks.nonEmpty && !model(picks.head)._4) {
+              cat.moveNamespace(picks, s"mved$step")
+              picks.foreach(f => model(f) =
+                ((s"mved$step", model(f)._2, model(f)._3, model(f)._4)))
+            }
+        }
+      }
+      val preSeq = cat.currentLogSeq()
+      assert(preSeq > 0, "burst produced no log records; fuzz arm is vacuous")
+
+      // interleave reads at the EXACT midpoint: base swapped, log not yet
+      // truncated. Guarantees asserted: (1) the LIVE view is torn-free and
+      // equals the model; (2) as-of the newest sequence equals the live
+      // view; (3) as-of 0 (the post-compaction boundary these snapshots
+      // are being folded INTO) equals the live view for already-folded
+      // state — the documented VACUUM-race degradation, never a torn mix.
+      var midpointRan = false
+      cat.onCompactMidpoint = () => {
+        midpointRan = true
+        assert(readView(cat.files) == model.toMap,
+          s"round $round live view torn mid-compaction")
+        assert(readView(cat.filesAsOf(preSeq)) == model.toMap,
+          s"round $round asOf(latest) torn mid-compaction")
+        assert(readView(cat.filesAsOf(0L)) == model.toMap,
+          s"round $round asOf(0) mid-compaction not at the fold boundary")
+      }
+      try cat.compactFilesLog()
+      finally cat.onCompactMidpoint = () => ()
+      assert(midpointRan, "compaction never reached the midpoint seam")
+      // and the post-compaction state is the same fold
+      assert(cat.currentLogSeq() == 0L)
+      assert(readView(cat.files) == model.toMap,
+        s"round $round post-compaction view diverged")
+      assert(readView(cat.filesAsOf(0L)) == model.toMap)
+    }
+  }
 }

@@ -1005,6 +1005,70 @@ class PipelineSpec extends SparkTestBase {
     pairs.foreach(r => assert(r.getDouble(2) == 0.5))
   }
 
+  test("video near-dup hot-fingerprint guard bounds candidate volume") {
+    import spark.implicits._
+    // forced collision: 40 videos ALL share one boilerplate frame (an
+    // intro card), plus 4 group frames shared within pairs, plus 1 unique
+    val nVid = 40L
+    val sets = (0L until nVid).map { id =>
+      val boiler = 777L
+      val group = (0 until 4).map(j => (id / 2) * 100 + j.toLong)
+      (id, (Seq(boiler) ++ group ++ Seq(10000 + id)).toArray)
+    }.toDF("doc_id", "codes")
+    // unguarded (cap above df): the boilerplate bucket alone contributes
+    // C(40,2) = 780 candidate rows
+    val unguarded = Multimodal.frameCandidates(sets, maxFrameDf = 1000).count()
+    assert(unguarded >= 780, s"expected the forced B^2 blow-up, got $unguarded")
+    // guarded: the df=40 fingerprint is cut; only the 4-per-pair group
+    // frames generate candidates -> exactly 20 pairs x 4 rows
+    val guarded = Multimodal.frameCandidates(sets, maxFrameDf = 10).count()
+    assert(guarded == 80, s"guarded candidate volume not bounded: $guarded")
+    // and the guard does not lose real pairs: each (2g, 2g+1) pair shares
+    // 4 group frames of 6 each -> jaccard 5/7 with the boilerplate frame
+    // still COUNTED in the verify (sets untouched, only candidates cut)
+    val frames = sets.select(col("doc_id"), explode(col("codes")).as("frame_fp"))
+    val got = Multimodal.frameJaccardPairs(frames, threshold = 0.45, maxFrameDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = (0L until nVid / 2).map(g => (2 * g, 2 * g + 1, 0.7143)).toSet
+    assert(got == expect, s"got $got")
+  }
+
+  test("join-based centroid assignment matches the literal argmax") {
+    val cents = Similarity.kmeansCentroids(emb, 16, iters = 2)
+    val viaLit = emb
+      .withColumn("norm", Similarity.norm(col("embedding")))
+      .withColumn("bucket", Similarity.bestCentroidExpr(cents))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = Similarity.assignByJoin(emb, cents)
+      .select(col("vec_id"), col("bucket"), round(col("__rsim"), 6).as("r6"))
+      .collect()
+    val viaJoin = joined.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin == viaLit, "assignment paths diverged")
+    // and the emitted raw sim is the winner's true cosine (cross-check
+    // one vector against a driver-side recompute)
+    assert(joined.forall(r => r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9))
+    // end-to-end: SemDeDup forced PAST the literal cap — widen the corpus
+    // (3 shifted copies) so k-means can actually hand back > cap centroids
+    // and assignWithCentroidSim takes the join path
+    val wide = emb.union(emb.withColumn("vec_id", col("vec_id") + 10000))
+      .union(emb.withColumn("vec_id", col("vec_id") + 20000))
+    val sd = Similarity.semanticDedup(wide,
+      nCentroids = Similarity.LiteralAssignCap + 4)
+    val perGroup = sd.filter(col("keep")).groupBy("group_id").count()
+      .filter(col("count") =!= 1).count()
+    assert(perGroup == 0, "a group lost its single representative on the join path")
+    assert(sd.count() == wide.count())
+    // the 3 exact copies of each vector are same-cluster near-dups:
+    // every original id must share a group with its +10000 twin
+    val grouped = sd.select("vec_id", "group_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val together = grouped.keys.filter(_ < 10000)
+      .count(id => grouped(id) == grouped(id + 10000))
+    assert(together.toDouble / grouped.count(_._1 < 10000) > 0.95,
+      "exact twins not grouped on the join path")
+  }
+
   test("split assignment is total, disjoint and growth-stable") {
     val s1 = Sampling.splitAssign(docs)
     assert(s1.count() == docs.count())

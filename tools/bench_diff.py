@@ -1,10 +1,23 @@
 #!/usr/bin/env python3
-"""Round-over-round bench comparison: tools/bench_diff.py OLD.json NEW.json
+"""Bench comparison.
+
+  tools/bench_diff.py OLD.json NEW.json
+      per-query deltas NEW vs a single OLD run
+
+  tools/bench_diff.py --history bench_history.jsonl NEW.json
+      per-query deltas NEW vs the HISTORICAL per-query median across all
+      recorded runs at the same sf — single runs swing up to 5x per query
+      on identical code (r7 measured 23% total between two same-code runs),
+      so a regression gate that diffs one run against one run will
+      eventually misfire on noise; the cross-run median is the stable bar.
 
 Accepts either a raw one-line graft.Bench JSON or a driver BENCH_r{N}.json
 wrapper (uses its "parsed" field when present). Prints per-query deltas
-beyond a noise floor, plus added/removed queries and totals."""
-import json, sys
+beyond a noise floor, plus added/removed queries and totals. When the NEW
+artifact carries "queries_min" (min-of-runs per query), a query is only
+flagged SLOWER if its MIN also exceeds the bar — a slow median with a
+fast min is scheduling noise, not a plan regression."""
+import json, statistics, sys
 
 NOISE = 0.30  # seconds AND 25% — both must be exceeded to count
 
@@ -17,27 +30,77 @@ def load(path):
     return d
 
 
-def main(old_path, new_path):
-    old, new = load(old_path), load(new_path)
-    oq, nq = old.get("queries", {}), new.get("queries", {})
-    print(f"total: {old.get('value')} -> {new.get('value')} s "
-          f"({len(oq)} -> {len(nq)} queries, catalog_init "
-          f"{old.get('catalog_init')} -> {new.get('catalog_init')})")
+def history_medians(path, sf):
+    """per-query median (and count) across all history entries at this sf"""
+    per = {}
+    totals = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if sf and d.get("sf") and d["sf"] != sf:
+                continue
+            totals.append(d.get("value"))
+            for k, v in d.get("queries", {}).items():
+                if v >= 0:
+                    per.setdefault(k, []).append(v)
+    med = {k: statistics.median(v) for k, v in per.items()}
+    n = {k: len(v) for k, v in per.items()}
+    return med, n, totals
+
+
+def diff(oq, nq, new, n_runs=None):
+    nmin = new.get("queries_min", {})
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
         if a < 0 or b < 0:
             print(f"  BROKEN {name}: {a} -> {b}")
-        elif abs(b - a) > NOISE and abs(b - a) > 0.25 * max(a, 0.001):
+            continue
+        bar_exceeded = abs(b - a) > NOISE and abs(b - a) > 0.25 * max(a, 0.001)
+        if bar_exceeded and b > a and name in nmin and nmin[name] >= 0:
+            m = nmin[name]
+            if not (m - a > NOISE and m - a > 0.25 * max(a, 0.001)):
+                print(f"  noise? {name}: median {a:.2f} -> {b:.2f} s "
+                      f"but min {m:.2f} s is within the bar")
+                continue
+        if bar_exceeded:
             tag = "SLOWER" if b > a else "faster"
-            print(f"  {tag} {name}: {a:.2f} -> {b:.2f} s")
+            extra = f" (n_hist={n_runs[name]})" if n_runs else ""
+            print(f"  {tag} {name}: {a:.2f} -> {b:.2f} s{extra}")
     for name in sorted(set(nq) - set(oq)):
         print(f"  new    {name}: {nq[name]:.2f} s")
     for name in sorted(set(oq) - set(nq)):
         print(f"  gone   {name}: was {oq[name]:.2f} s")
 
 
+def main_pair(old_path, new_path):
+    old, new = load(old_path), load(new_path)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    print(f"total: {old.get('value')} -> {new.get('value')} s "
+          f"({len(oq)} -> {len(nq)} queries, catalog_init "
+          f"{old.get('catalog_init')} -> {new.get('catalog_init')})")
+    diff(oq, nq, new)
+
+
+def main_history(hist_path, new_path):
+    new = load(new_path)
+    nq = new.get("queries", {})
+    med, n_runs, totals = history_medians(hist_path, new.get("sf"))
+    ok_totals = [t for t in totals if t is not None]
+    base = statistics.median(ok_totals) if ok_totals else None
+    print(f"historical median total: {base} s over {len(ok_totals)} runs "
+          f"at sf={new.get('sf')} -> new {new.get('value')} s "
+          f"({len(nq)} queries)")
+    diff(med, nq, new, n_runs)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) != 3:
+    if len(sys.argv) == 4 and sys.argv[1] == "--history":
+        main_history(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) == 3:
+        main_pair(sys.argv[1], sys.argv[2])
+    else:
         print(__doc__)
         sys.exit(2)
-    main(sys.argv[1], sys.argv[2])
