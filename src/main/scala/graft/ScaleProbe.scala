@@ -41,13 +41,26 @@ object ScaleProbe {
     // pick and its end-to-end time on the same corpus, so the auto path
     // is measured against the manual sweep above
     val tPick = System.nanoTime()
-    val auto = graft.pipeline.Similarity.lshPickRowsPerBand(emb)
+    val (autoR, autoB) = graft.pipeline.Similarity.lshPickParams(emb, threshold)
     val pickSecs = (System.nanoTime() - tPick) / 1e9
     val t0 = System.nanoTime()
     val pairs = graft.pipeline.Similarity
-      .lshCosinePairs(emb, rowsPerBand = auto, threshold = threshold).count()
-    println(f"PROBE n=$n%d t=$threshold%.2f rowsPerBand=AUTO($auto%d) " +
-      f"pick=$pickSecs%5.2f s pairs=$pairs%d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      .lshCosinePairs(emb, bands = autoB, rowsPerBand = autoR,
+        threshold = threshold).count()
+    println(f"PROBE n=$n%d t=$threshold%.2f rowsPerBand=AUTO($autoR%d) " +
+      f"bands=$autoB%d pick=$pickSecs%5.2f s pairs=$pairs%d  " +
+      f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    // SemDeDup centroid-count knob: the oracle-pinned k=16 vs the
+    // corpus-tracking default (k ≈ n/128, join-path assignment past the
+    // literal cap) — per-cluster pair cost is (n/k)², so the default must
+    // hold wall-clock ~flat as n grows where pinned k grows it ~100× at 10×
+    for (k <- Seq(16, graft.pipeline.Similarity.centroidsForCorpus(n))) {
+      val t1 = System.nanoTime()
+      val kept = graft.pipeline.Similarity
+        .semanticDedup(emb, nCentroids = k).filter(org.apache.spark.sql.functions.col("keep")).count()
+      println(f"PROBE semdedup n=$n%d k=$k%d kept=$kept%d  " +
+        f"${(System.nanoTime() - t1) / 1e9}%6.2f s")
+    }
     spark.stop()
   }
 }

@@ -90,57 +90,70 @@ object Similarity {
     math.max(LshRowsPerBand, math.min(24, needed))
   }
 
-  /** Density-adaptive r — the occupancy-SAMPLED refinement of
-    * [[lshRowsPerBandFor]]'s uniform rule: real corpora cluster, so
-    * bucket occupancy (and with it candidate volume) is skewed far above
-    * the n/2^r uniform estimate. Draws a bounded deterministic sample
-    * (`sampleSize` vectors — driver-side, ~1 MB at dim 64, independent of
-    * corpus size), computes band-0 keys for each candidate r from the
-    * same seeded planes the operator will use, and estimates total
-    * candidate pairs as bands × Σ_b C(c_b,2) × (n/s)² — the sample's own
-    * skew carries into the estimate. Picks the smallest r whose estimated
-    * candidates per vector stay under `targetPairsPerVec`.
+  /** Density-adaptive (rowsPerBand, bands) — the occupancy-SAMPLED
+    * refinement of [[lshRowsPerBandFor]]'s uniform rule, recall-aware:
+    * real corpora cluster, so bucket occupancy (and with it candidate
+    * volume) is skewed far above the n/2^r uniform estimate, but raising
+    * r alone collapses recall (per-band collision prob is p1^r with
+    * p1 = 1 − arccos(t)/π — measured on the 10× corpus, r 4→11 at fixed
+    * b=8 dropped verified pairs 13,440 → 1,290). So the pick is JOINT:
+    * for each r, the bands needed to hold `recallTarget` at the threshold
+    * is b(r) = ln(1−recall)/ln(1−p1^r) (the standard AND-OR identity),
+    * and the estimated candidate volume is b(r) × Σ_b C(c_b,2) × (n/s)²
+    * from a bounded deterministic sample (`sampleSize` vectors,
+    * driver-side, ~1 MB at dim 64) keyed by the SAME seeded planes the
+    * operator will use — the sample's own skew carries into the estimate.
+    * Returns the (r, b) minimizing estimated volume with b ≤ `maxBands`
+    * (past which hashing cost dominates and deeper r stops paying).
     *
     * Cost: one count + one bounded collect + O(sampleSize·r·dim) driver
-    * arithmetic — negligible against the pair join it sizes. Raising r
-    * tightens per-band precision (lower recall at fixed `bands`); the
-    * oracle gates pin (r=4, b=8) and never take this path. */
-  def lshPickRowsPerBand(emb: DataFrame, bands: Int = LshBands,
-      targetPairsPerVec: Double = 64.0, seed: Long = LshSeed, dim: Int = EmbDim,
-      sampleSize: Int = 2048): Int = {
+    * arithmetic — negligible against the pair join it sizes. The oracle
+    * gates pin (r=4, b=8) and never take this path. */
+  def lshPickParams(emb: DataFrame, threshold: Double = 0.35,
+      recallTarget: Double = 0.5, maxBands: Int = 64, seed: Long = LshSeed,
+      dim: Int = EmbDim, sampleSize: Int = 2048): (Int, Int) = {
     val n = emb.count()
-    if (n <= sampleSize * 2) return LshRowsPerBand
+    if (n <= sampleSize * 2) return (LshRowsPerBand, LshBands)
     val m = math.max(1L, n / sampleSize)
     val sample = emb
       .filter(pmod(xxhash64(lit(seed), col("vec_id")), lit(m)) === 0)
       .select(col("embedding")).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     val s = sample.length.toLong
-    if (s < 32) return lshRowsPerBandFor(n)
-    val scale = (n.toDouble / s) * (n.toDouble / s) * bands
+    if (s < 32) return (lshRowsPerBandFor(n), LshBands)
+    val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val scale = (n.toDouble / s) * (n.toDouble / s)
+    var best = (LshRowsPerBand, LshBands)
+    var bestCost = Double.MaxValue
     var r = LshRowsPerBand
-    while (r < 24) {
-      val planes = randomPlanes(seed, bands * r, dim)
-      val occ = new java.util.HashMap[Int, Long]()
-      sample.foreach { v =>
-        var key = 0
-        var j = 0
-        while (j < r) {
-          val p = planes(j)
-          var d = 0.0
-          var i = 0
-          while (i < math.min(dim, v.length)) { d += p(i) * v(i); i += 1 }
-          if (d > 0) key |= 1 << j
-          j += 1
+    while (r <= 16) {
+      val bNeeded = math.ceil(
+        math.log(1.0 - recallTarget) / math.log(1.0 - math.pow(p1, r))).toInt
+      if (bNeeded <= maxBands) {
+        val b = math.max(LshBands, bNeeded)
+        val planes = randomPlanes(seed, b * r, dim)
+        val occ = new java.util.HashMap[Int, Long]()
+        sample.foreach { v =>
+          var key = 0
+          var j = 0
+          while (j < r) {
+            val p = planes(j)
+            var d = 0.0
+            var i = 0
+            while (i < math.min(dim, v.length)) { d += p(i) * v(i); i += 1 }
+            if (d > 0) key |= 1 << j
+            j += 1
+          }
+          occ.merge(key, 1L, _ + _)
         }
-        occ.merge(key, 1L, _ + _)
+        var pairs = 0.0
+        occ.values.forEach(c => pairs += c.toDouble * (c - 1) / 2)
+        val cost = pairs * scale * b
+        if (cost < bestCost) { bestCost = cost; best = (r, b) }
       }
-      var pairs = 0.0
-      occ.values.forEach(c => pairs += c.toDouble * (c - 1) / 2)
-      if (pairs * scale / n <= targetPairsPerVec) return r
       r += 1
     }
-    24
+    best
   }
 
   /** Banded SRP-LSH near-neighbor pairs (the scale path for similarity
@@ -155,18 +168,19 @@ object Similarity {
     * cosines are computed once per distinct candidate pair by joining the
     * embedding table back on each side. No O(n²) stage anywhere.
     *
-    * `rowsPerBand = 0` (the default) picks r density-adaptively via
-    * [[lshPickRowsPerBand]] — on corpora small enough to brute the sample
-    * (≤2× the sample size) that resolves to the pinned [[LshRowsPerBand]],
-    * so the oracle gates (which also pin r explicitly) see identical
-    * plans; at scale the knob tracks measured occupancy instead of a
-    * constant. */
+    * `rowsPerBand = 0` (the default) picks BOTH r and the band count
+    * density-adaptively via [[lshPickParams]] (the passed `bands` is then
+    * the floor) — on corpora small enough to brute the sample (≤2× the
+    * sample size) that resolves to the pinned ([[LshRowsPerBand]],
+    * [[LshBands]]), so the oracle gates (which also pin r explicitly) see
+    * identical plans; at scale the knobs track measured occupancy and the
+    * threshold's AND-OR recall identity instead of constants. */
   def lshCosinePairs(emb: DataFrame, bands: Int = LshBands,
       rowsPerBand: Int = 0, threshold: Double = 0.35,
       seed: Long = LshSeed, dim: Int = EmbDim): DataFrame = {
-    val r = if (rowsPerBand > 0) rowsPerBand
-            else lshPickRowsPerBand(emb, bands, seed = seed, dim = dim)
-    val planes = randomPlanes(seed, bands * r, dim)
+    val (r, b) = if (rowsPerBand > 0) (rowsPerBand, bands)
+      else lshPickParams(emb, threshold, seed = seed, dim = dim)
+    val planes = randomPlanes(seed, b * r, dim)
     def bandKey(t: Int): Column =
       (0 until r).map { j =>
         when(dotProduct(typedLit(planes(t * r + j).toSeq),
@@ -174,7 +188,7 @@ object Similarity {
       }.reduce(_ + _)
 
     val keyed = emb.select(col("vec_id"),
-      explode(array((0 until bands).map(t =>
+      explode(array((0 until b).map(t =>
         struct(lit(t).as("band"), bandKey(t).as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = keyed.select(col("band"), col("key"), col("vec_id").as("id_a"))
@@ -211,17 +225,26 @@ object Similarity {
     *
     * Ties everywhere break by id; sims compare 6-decimal-rounded — both
     * pinned so any engine reproduces the same buckets and ranks. */
+  /** `nCentroids = 0` (the default) applies [[centroidsForCorpus]] —
+    * FAISS-posture nlist tracking the corpus; past [[LiteralAssignCap]]
+    * both the corpus assignment and the query probe ride the broadcast
+    * centroid table. At the oracle-gate corpus it resolves to the pinned
+    * 16 (gates also pin it explicitly). */
   def ivfCosineTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = LshSeed): DataFrame =
-    probeTopK(emb, centroidVectors(emb, nCentroids, seed), nQueries, k, nProbe)
+      nCentroids: Int = 0, nProbe: Int = 4, seed: Long = LshSeed): DataFrame = {
+    val c = if (nCentroids > 0) nCentroids else centroidsForCorpus(emb.count())
+    probeTopK(emb, centroidVectors(emb, c, seed), nQueries, k, nProbe)
+  }
 
   /** IVF with Lloyd-refined centroids ([[kmeansCentroids]]) — closes the
     * "production would run k-means" caveat of [[ivfCosineTopK]]'s sampled
     * training while keeping the identical probe plan. */
   def ivfKmeansTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
-      seed: Long = LshSeed): DataFrame =
-    probeTopK(emb, kmeansCentroids(emb, nCentroids, iters, seed), nQueries, k, nProbe)
+      nCentroids: Int = 0, nProbe: Int = 4, iters: Int = 2,
+      seed: Long = LshSeed): DataFrame = {
+    val c = if (nCentroids > 0) nCentroids else centroidsForCorpus(emb.count())
+    probeTopK(emb, kmeansCentroids(emb, c, iters, seed), nQueries, k, nProbe)
+  }
 
   /** argmax over centroid cosines via array_max on (rounded sim, -cid)
     * structs: lexicographic struct comparison gives max sim with ties to
@@ -242,9 +265,10 @@ object Similarity {
   /** How many centroids ride the plan as an [[bestCentroidExpr]] literal
     * argmax before assignment switches to the broadcast-join shape —
     * array_max over k structs is codegen-flat but plan SIZE is O(k·dim)
-    * literals, which is the right trade only up to a few hundred
-    * centroids. */
-  val LiteralAssignCap = 256
+    * literals, and the raw-sim recovery when-chain nests k deep (past
+    * ~64 levels codegen falls back to interpreted eval: measured at 10×,
+    * k=156 literal 27.6 s vs join 18.2 s for the same semanticDedup). */
+  val LiteralAssignCap = 64
 
   /** Join-based centroid assignment — the production shape past
     * [[LiteralAssignCap]]: centroids as a broadcast TABLE, one cosine per
@@ -276,27 +300,46 @@ object Similarity {
 
   /** per query: rank centroids by cosine (6-dec rounding, ties to lowest
     * cid — the same rule everywhere), keep the nProbe closest buckets.
-    * Expects (query_id, q_emb, q_norm); emits one row per probed bucket. */
+    * Expects (query_id, q_emb, q_norm); emits one row per probed bucket.
+    * Past [[LiteralAssignCap]] the centroid explode rides a broadcast
+    * centroid TABLE instead of plan literals (same rank rule, O(1) plan
+    * size at any nlist). */
   private[pipeline] def probeBuckets(queries: DataFrame,
-      centroids: Seq[(Long, Array[Double], Double)], nProbe: Int): DataFrame =
-    queries.select(col("query_id"), col("q_emb"), col("q_norm"),
-      explode(array(centroids.map { case (cid, vec, n) =>
-        struct(lit(cid).as("bucket"),
-          (dotProduct(typedLit(vec.toSeq), col("q_emb")) / (col("q_norm") * n)).as("csim"))
-      }: _*)).as("p"))
-      .select(col("query_id"), col("q_emb"), col("q_norm"),
-        col("p.bucket").as("bucket"), col("p.csim").as("csim"))
+      centroids: Seq[(Long, Array[Double], Double)], nProbe: Int): DataFrame = {
+    val scored =
+      if (centroids.size > LiteralAssignCap) {
+        val spark = queries.sparkSession
+        import spark.implicits._
+        val centDf = centroids.map { case (cid, v, cn) => (cid, v.toSeq, cn) }
+          .toDF("bucket", "__cvec", "__cnorm")
+        queries.crossJoin(broadcast(centDf))
+          .withColumn("csim", dotProduct(col("__cvec"), col("q_emb")) /
+            (col("q_norm") * col("__cnorm")))
+          .select(col("query_id"), col("q_emb"), col("q_norm"),
+            col("bucket"), col("csim"))
+      } else
+        queries.select(col("query_id"), col("q_emb"), col("q_norm"),
+          explode(array(centroids.map { case (cid, vec, n) =>
+            struct(lit(cid).as("bucket"),
+              (dotProduct(typedLit(vec.toSeq), col("q_emb")) / (col("q_norm") * n)).as("csim"))
+          }: _*)).as("p"))
+          .select(col("query_id"), col("q_emb"), col("q_norm"),
+            col("p.bucket").as("bucket"), col("p.csim").as("csim"))
+    scored
       .withColumn("prk", row_number().over(
         Window.partitionBy("query_id").orderBy(round(col("csim"), 6).desc, col("bucket"))))
       .filter(col("prk") <= nProbe)
       .select("query_id", "q_emb", "q_norm", "bucket")
+  }
 
   private def probeTopK(emb: DataFrame, centroids: Seq[(Long, Array[Double], Double)],
       nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    val bestCentroid = bestCentroidExpr(centroids)
-
     val withNorm = emb.withColumn("norm", norm(col("embedding")))
-    val assigned = withNorm.withColumn("bucket", bestCentroid)
+    val assigned =
+      if (centroids.size > LiteralAssignCap)
+        withNorm.join(assignByJoin(emb, centroids).select("vec_id", "bucket"),
+          Seq("vec_id"))
+      else withNorm.withColumn("bucket", bestCentroidExpr(centroids))
 
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -429,7 +472,7 @@ object Similarity {
     * join and the per-query rollup are negligible next to the two scans
     * that produce them; nothing here adds a corpus-sized stage. */
   def recallAtK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
-    recallVs(emb, ivfKmeansTopK(emb, nQueries, k), nQueries, k)
+    recallVs(emb, ivfKmeansTopK(emb, nQueries, k, nCentroids = 16), nQueries, k)
 
   /** Recall@k of ANY approximate top-k result against exact brute force —
     * the same rollup as [[recallAtK]] with the approximate side supplied

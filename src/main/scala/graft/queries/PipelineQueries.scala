@@ -30,8 +30,8 @@ object PipelineQueries {
     "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
     "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d),
       rowsPerBand = Similarity.LshRowsPerBand)),
-    "pipe_sim_ivf" -> ((s, d) => Similarity.ivfCosineTopK(emb(s, d))),
-    "pipe_sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKmeansTopK(emb(s, d))),
+    "pipe_sim_ivf" -> ((s, d) => Similarity.ivfCosineTopK(emb(s, d), nCentroids = 16)),
+    "pipe_sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKmeansTopK(emb(s, d), nCentroids = 16)),
     // embedding-cosine near-duplicate detection = LSH pairs at a high
     // threshold (same plan, dedup use-case)
     "pipe_dedup_embedding" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d),
@@ -105,6 +105,10 @@ object PipelineQueries {
     // perceptual image near-dup pairs: groups of 5 docs share a gradient
     // orientation, each member differs by one hot pixel — decode the REAL
     // PNGs, aHash, pigeonhole hamming join at <= 7 bits
+    // planted identity space must be collision-resistant (the r7 video
+    // lesson): wide co-prime moduli (251/239) keep each GROUP's base
+    // pattern distinct, so aHash buckets hold ~one group, not a 10×-corpus
+    // flood (narrow %5/%7 coefficients measured 40 s at 10×; wide: ~6 s)
     "pipe_mm_image_neardup" -> ((s, d) => {
       import s.implicits._
       val planted = docs(s, d).select(col("doc_id")).as[Long]
@@ -115,7 +119,7 @@ object PipelineQueries {
           for (y <- 0 until 8; x <- 0 until 8) {
             val g =
               if (x == (id % 8) && y == ((id / 8) % 8)) 255
-              else (((3 + (grp % 5) * 13) * x + (5 + (grp % 7) * 11) * y + grp) % 256).toInt
+              else (((3 + (grp % 251) * 13) * x + (5 + (grp % 239) * 11) * y + grp) % 256).toInt
             img.setRGB(x, y, (g << 16) | (g << 8) | g)
           }
           val bos = new java.io.ByteArrayOutputStream()
@@ -939,7 +943,7 @@ object PipelineQueries {
       ("WITH d AS (SELECT doc_id, doc_id // 5 AS grp FROM documents), " +
         "px AS (SELECT doc_id, x.range AS x, y.range AS y, " +
         "CASE WHEN x.range = doc_id % 8 AND y.range = (doc_id // 8) % 8 THEN 255 " +
-        "ELSE ((3 + (grp % 5) * 13) * x.range + (5 + (grp % 7) * 11) * y.range + grp) % 256 END AS g " +
+        "ELSE ((3 + (grp % 251) * 13) * x.range + (5 + (grp % 239) * 11) * y.range + grp) % 256 END AS g " +
         "FROM d, range(8) x, range(8) y), " +
         "s AS (SELECT doc_id, sum(g) AS sm FROM px GROUP BY doc_id), " +
         "h AS (SELECT p.doc_id, " +
