@@ -280,6 +280,83 @@ object Dedup {
         round(col("dup_windows").cast("double") / col("n_windows"), 4).as("dup_frac"))
   }
 
+  /** C4/RefinedWeb-style GLOBAL segment dedup with text REBUILD: split
+    * every document into consecutive non-overlapping `segTokens`-token
+    * segments (the flat-text analog of C4's three-sentence granularity),
+    * keep only each distinct segment's FIRST global occurrence (ordered
+    * by (doc_id, seg_idx)), drop every later instance, and reassemble
+    * each document from its surviving segments — boilerplate (shared
+    * headers, injected banners) survives in exactly one document
+    * corpus-wide. Emits (doc_id, n_segments, n_dropped, clean_text).
+    *
+    * Scale shape: one shuffle keyed by segment content for the
+    * first-occurrence argmin (groupBy + min(struct) — PARTIAL-aggregated,
+    * so a boilerplate segment present in every document combines
+    * map-side instead of landing on a single reducer the way a
+    * corpus-wide row_number window would), one shuffle by doc_id for the
+    * rebuild (per-doc bounded). Segments here are short; for
+    * long-segment corpora key the argmin by md5(seg) (the
+    * [[duplicatedSpans]] posture) so only fingerprints shuffle. */
+  def dedupSegments(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+    val segs = docs
+      .withColumn("__t", toks)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, cast(ceil(size(__t) / ${segTokens}.0) as int) - 1), " +
+          s"i -> struct(cast(i as bigint) as seg_idx, " +
+          s"array_join(slice(__t, i * $segTokens + 1, $segTokens), ' ') as seg))")).as("s"))
+      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
+    val first = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+    val marked = segs.join(first, Seq("seg"))
+      .withColumn("keep",
+        col("f.doc_id") === col("doc_id") && col("f.seg_idx") === col("seg_idx"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg), ' ')")
+          .as("clean_text"))
+      .select(col("doc_id"), col("n_segments"),
+        col("n_dropped").cast("long").as("n_dropped"), col("clean_text"))
+  }
+
+  /** Document-frequency boilerplate STRIP — the RefinedWeb/CCNet rule
+    * [[dedupSegments]]'s first-occurrence policy doesn't express: a
+    * segment present in ≥ `maxDocFreq` DISTINCT documents is boilerplate
+    * (site chrome, license banners) and is removed from EVERY document,
+    * first occurrence included. Emits
+    * (doc_id, n_segments, n_boiler, clean_text).
+    *
+    * Scale shape: the doc-frequency table is one distinct + one counted
+    * groupBy on segment content (both partial-aggregated); the boiler
+    * set is ≤ segments/maxDocFreq entries by construction, and the
+    * rebuild is the same per-doc bounded groupBy as [[dedupSegments]]. */
+  def stripBoilerplate(docs: DataFrame, segTokens: Int = 10,
+      maxDocFreq: Int = 2): DataFrame = {
+    val segs = docs
+      .withColumn("__t", toks)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, cast(ceil(size(__t) / ${segTokens}.0) as int) - 1), " +
+          s"i -> struct(cast(i as bigint) as seg_idx, " +
+          s"array_join(slice(__t, i * $segTokens + 1, $segTokens), ' ') as seg))")).as("s"))
+      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
+    val boiler = segs.select("seg", "doc_id").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= maxDocFreq).select("seg")
+    segs.join(boiler.withColumn("__b", lit(1)), Seq("seg"), "left")
+      .withColumn("keep", col("__b").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_boiler"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg), ' ')")
+          .as("clean_text"))
+      .select(col("doc_id"), col("n_segments"),
+        col("n_boiler").cast("long").as("n_boiler"), col("clean_text"))
+  }
+
   /** 60-bit SimHash over the token stream (term-frequency weighted):
     * bit j is set iff the sum over tokens of ±1 (by bit j of the token's
     * portable hash) is positive. Near-dups have small Hamming distance.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+import org.apache.spark.sql.functions.{col, concat, lit, lpad, when}
 import graft.pipeline.{BpeTrainer, ConnectedComponents, CorpusClean, Decontam, Dedup, Multimodal, Packing, Quantization, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -27,6 +27,25 @@ object PipelineQueries {
     "pipe_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     // substring-level dedup: duplicated 8-token-span signals per doc
     "pipe_dedup_substring" -> ((s, d) => Dedup.duplicatedSpans(docs(s, d))),
+    // C4-style global segment dedup + rebuild: plant a 10-token
+    // boilerplate header on every 4th doc; exactly one copy survives
+    // corpus-wide and every other planted doc loses its first segment
+    "pipe_dedup_segments" -> ((s, d) => {
+      val planted = docs(s, d).withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("shared header banner intro card segment alpha beta gamma delta "),
+            col("text"))).otherwise(col("text")))
+      Dedup.dedupSegments(planted)
+    }),
+    // df-based boilerplate strip: same planted corpus; the header (df=125)
+    // is removed from EVERY planted doc, first occurrence included
+    "pipe_strip_boilerplate" -> ((s, d) => {
+      val planted = docs(s, d).withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("shared header banner intro card segment alpha beta gamma delta "),
+            col("text"))).otherwise(col("text")))
+      Dedup.stripBoilerplate(planted, maxDocFreq = 50)
+    }),
     "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
     "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d),
       rowsPerBand = Similarity.LshRowsPerBand)),
@@ -727,6 +746,40 @@ object PipelineQueries {
         "SELECT b.doc_id, b.n_windows, coalesce(d.dup_windows, 0)::BIGINT AS dup_windows, " +
         "round(coalesce(d.dup_windows, 0)::DOUBLE / b.n_windows, 4) AS dup_frac " +
         "FROM base b LEFT JOIN d USING (doc_id) WHERE b.n_windows > 0"),
+
+    // global segment dedup replay: same planting, same 10-token
+    // segmentation, first occurrence by (doc_id, seg_idx), rebuild by
+    // ordered string_agg of the survivors
+    "pipe_dedup_segments" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN " +
+        "'shared header banner intro card segment alpha beta gamma delta ' || lower(text) " +
+        "ELSE lower(text) END AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM p), " +
+        "sg AS (SELECT doc_id, tk, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS seg_idx FROM t), " +
+        "ss AS (SELECT doc_id, seg_idx, " +
+        "array_to_string(tk[seg_idx * 10 + 1 : least((seg_idx + 1) * 10, len(tk))], ' ') AS seg FROM sg), " +
+        "mk AS (SELECT doc_id, seg_idx, seg, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM ss) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_segments, " +
+        "sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::BIGINT AS n_dropped, " +
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text " +
+        "FROM mk GROUP BY doc_id"),
+
+    // boilerplate strip replay: distinct-doc frequency per segment,
+    // df >= 50 removed everywhere, ordered rebuild
+    "pipe_strip_boilerplate" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN " +
+        "'shared header banner intro card segment alpha beta gamma delta ' || lower(text) " +
+        "ELSE lower(text) END AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM p), " +
+        "sg AS (SELECT doc_id, tk, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS seg_idx FROM t), " +
+        "ss AS (SELECT doc_id, seg_idx, " +
+        "array_to_string(tk[seg_idx * 10 + 1 : least((seg_idx + 1) * 10, len(tk))], ' ') AS seg FROM sg), " +
+        "bf AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS df FROM ss GROUP BY seg) WHERE df >= 50) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_segments, " +
+        "sum(CASE WHEN seg IN (SELECT seg FROM bf) THEN 1 ELSE 0 END)::BIGINT AS n_boiler, " +
+        "coalesce(string_agg(CASE WHEN seg NOT IN (SELECT seg FROM bf) THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text " +
+        "FROM ss GROUP BY doc_id"),
 
     // KMV distinct sketch: the k minima are order-independent so DuckDB
     // replays the estimator bit-for-bit ((k-1)·2^60 / kth-smallest-hash,

@@ -1033,6 +1033,45 @@ class PipelineSpec extends SparkTestBase {
     assert(got == expect, s"got $got")
   }
 
+  test("segment dedup keeps first global occurrence and rebuilds text") {
+    import spark.implicits._
+    // 3 docs; "a b" is doc 0 seg 0, repeated as doc 1 seg 0 and doc 2
+    // seg 1; doc 2 also repeats its own first segment internally
+    val corpus = Seq(
+      (0L, "a b"),
+      (1L, "a b c d"),
+      (2L, "x y a b x y")).toDF("doc_id", "text")
+    val got = Dedup.dedupSegments(corpus, segTokens = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((1L, 0L, "a b")))          // the global first: kept
+    assert(got(1L) == ((2L, 1L, "c d")))          // "a b" dropped, rest kept
+    assert(got(2L) == ((3L, 2L, "x y")))          // "a b" AND the repeated "x y" dropped
+    // idempotence on the cleaned corpus: nothing left to drop across docs
+    val again = Dedup.dedupSegments(
+      corpus.sparkSession.createDataFrame(
+        got.toSeq.map { case (id, (_, _, t)) => (id, t) }).toDF("doc_id", "text"),
+      segTokens = 2)
+    assert(again.agg(sum(col("n_dropped"))).head().getLong(0) == 0L)
+  }
+
+  test("boilerplate strip removes every instance, first included") {
+    import spark.implicits._
+    // "h h" appears in 3 distinct docs (boiler at df>=3); "a b" in 2 (kept);
+    // within-doc repetition of "h h" in doc 2 counts ONE distinct doc
+    val corpus = Seq(
+      (0L, "h h a b"),
+      (1L, "h h c d"),
+      (2L, "h h h h e f"),
+      (3L, "a b g g")).toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplate(corpus, segTokens = 2, maxDocFreq = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((2L, 1L, "a b")))
+    assert(got(1L) == ((2L, 1L, "c d")))
+    assert(got(2L) == ((3L, 2L, "e f")))   // both "h h" instances stripped
+    assert(got(3L) == ((2L, 0L, "a b g g"))) // df=2 segment survives everywhere
+  }
+
   test("join-based centroid assignment matches the literal argmax") {
     val cents = Similarity.kmeansCentroids(emb, 16, iters = 2)
     val viaLit = emb
