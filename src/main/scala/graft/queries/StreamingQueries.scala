@@ -17,6 +17,10 @@ object StreamingQueries {
     // fully suppressed by dedup state from batch 1
     "stream_dedup_docs" -> ((s, d) =>
       DedupStream.runToBatch(s, s"$d/documents.parquet", "v_stream_dedup")),
+    // ingest-time segment admission: parity-half micro-batches of the
+    // planted-header corpus; the header is admitted ONCE across batches
+    "stream_dedup_segments" -> ((s, d) =>
+      DedupStream.runSegmentsToBatch(s, s"$d/documents.parquet", "v_stream_segs")),
     // incremental MinHash-LSH near-dup: corpus split into two parity
     // micro-batches; pairs spanning the halves exist only if bucket state
     // survives across batches. Oracle = the batch operator's oracle.
@@ -70,6 +74,16 @@ object StreamingQueries {
         |FROM g GROUP BY user_id""".stripMargin,
     "stream_dedup_docs" ->
       "SELECT DISTINCT md5(text) AS fingerprint, n_chars FROM documents",
+    // the admitted segment SET = the distinct segments of the planted
+    // corpus (same segmentation arithmetic as pipe_dedup_segments)
+    "stream_dedup_segments" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN " +
+        "'shared header banner intro card segment alpha beta gamma delta ' || lower(text) " +
+        "ELSE lower(text) END AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM p), " +
+        "sg AS (SELECT doc_id, tk, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS seg_idx FROM t), " +
+        "ss AS (SELECT array_to_string(tk[seg_idx * 10 + 1 : least((seg_idx + 1) * 10, len(tk))], ' ') AS seg FROM sg) " +
+        "SELECT DISTINCT seg, len(string_split(seg, ' '))::BIGINT AS n_tokens FROM ss"),
     "stream_neardup_docs" -> PipelineQueries.oracles("pipe_minhash_pairs"),
     "stream_decontam_docs" -> PipelineQueries.oracles("pipe_decontam"),
     // batch recomputation of the admission verdicts (train side only);

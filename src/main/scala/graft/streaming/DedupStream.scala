@@ -213,6 +213,67 @@ object DedupStream {
     * checkpoint creation; per-micro-batch cost scales with it regardless of
     * data volume, so we scope it down for this bounded local run (a real
     * cluster sizes it to executor count once, at deploy time). */
+  /** Streaming ingest-time SEGMENT admission — the state side of
+    * [[graft.pipeline.Dedup.dedupSegments]] at ingest: arriving documents
+    * split into non-overlapping `segTokens`-token segments; a segment is
+    * ADMITTED (emitted) only the first time its content is ever seen,
+    * ACROSS micro-batches. The output projects only the segment content
+    * (plus its token count), so the admitted SET is deterministic no
+    * matter which arriving instance wins the state race — the same
+    * determinism posture as [[dedupByFingerprint]]. Document reassembly
+    * from admitted segments is the batch operator's job downstream; the
+    * stream maintains the dedup INDEX (state keyed by segment —
+    * RocksDB-backed and shuffle-partitioned on a cluster).
+    *
+    * The gate stages the corpus as parity halves WITH the planted
+    * boilerplate header on every 4th doc: the header lives in BOTH
+    * halves, so its single admission proves cross-batch suppression, not
+    * batch-local distinct. */
+  def runSegmentsToBatch(spark: SparkSession, docFile: String, name: String,
+      segTokens: Int = 10): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-stream-segs-")
+    graft.TempDirs.register(d)
+    val planted = spark.read.parquet(docFile).withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("shared header banner intro card segment alpha beta gamma delta "),
+          col("text"))).otherwise(col("text")))
+    for ((par, tag) <- Seq(0 -> "even", 1 -> "odd")) {
+      val sub = d.resolve(s"__stage_$tag")
+      planted.filter(col("doc_id") % 2 === par).coalesce(1)
+        .write.parquet(sub.toString)
+      val ls = Files.list(sub)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
+      Files.move(part, d.resolve(s"${par}_$tag.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      val walk = Files.walk(sub)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.delete(p); () })
+      finally walk.close()
+    }
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
+    val admitted = stream
+      .withColumn("__t", split(lower(col("text")), " "))
+      .select(explode(expr(
+        s"transform(sequence(0, cast(ceil(size(__t) / ${segTokens}.0) as int) - 1), " +
+        s"i -> array_join(slice(__t, i * $segTokens + 1, $segTokens), ' '))")).as("seg"))
+      .dropDuplicates("seg")
+      .select(col("seg"),
+        size(split(col("seg"), " ")).cast("long").as("n_tokens"))
+    val q = admitted.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   def runNearDupToBatch(spark: SparkSession, docFile: String, name: String): DataFrame = {
     val dir = stageParitySplit(spark, docFile)
     val stream = spark.readStream
