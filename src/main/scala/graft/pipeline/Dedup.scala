@@ -242,6 +242,135 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
   }
 
+  /** Rows-per-band for one stratum PAIRING of
+    * [[containmentPairsStratified]] — the LSH-Ensemble sizing rule (Zhu
+    * et al., VLDB 2016): a containment-t pair with n_a ∈ [2^ga, 2^(ga+1))
+    * and n_b ∈ [2^gb, 2^(gb+1)) has Jaccard at least
+    * J* = t·2^ga / (2^ga + 2^(gb+1) − 1 − t·2^ga), so the pairing can
+    * band as selectively as J* allows: the LARGEST r (most selective,
+    * fewest false candidates) whose banding recall 1−(1−J*^r)^(k/r)
+    * still clears 0.9. Returns 0 when containment is impossible for the
+    * whole pairing (every B smaller than t·A); falls back to r=1
+    * (pure-OR, maximal recall) when even that cannot reach the target —
+    * the extreme small-in-large regime where recall is bounded by
+    * 1−(1−J*)^k and k is the knob. Deterministic: the oracle SQL is
+    * GENERATED from this same function, so engine and oracle band
+    * identically. */
+  private[graft] def stratumRows(ga: Int, gb: Int, threshold: Double, k: Int): Int =
+    stratumShape(ga, gb, threshold, k).map(_._1).getOrElse(0)
+
+  /** The (rowsPerBand, bands) shape for one stratum pairing, or None when
+    * the pairing is cut — either infeasible (every B smaller than t·A) or
+    * hopeless (even pure-OR over all k hashes recalls < 0.3 at the
+    * pairing's worst-case J*; the extreme small-in-large regime where k
+    * is the knob, the LSH-Ensemble coverage boundary).
+    *
+    * r is the LARGEST rows-per-band whose banding can still reach the
+    * 0.9 recall target within k hashes; b is then trimmed to EXACTLY the
+    * bands that target needs — ceil(ln(1−0.9)/ln(1−J*^r)) — never a
+    * blanket k/r. The trim is the candidate-volume control: measured at
+    * 10×, all-64-band pure-OR keying produced 177 s of bucket flood;
+    * recall-sized bands (9–16 near the diagonal) collapse it while
+    * keeping the same per-pairing recall floor. */
+  private[graft] def stratumShape(ga: Int, gb: Int, threshold: Double,
+      k: Int): Option[(Int, Int)] = {
+    val naMin = math.pow(2.0, ga)
+    val nbMax = math.pow(2.0, gb + 1.0) - 1.0
+    if (nbMax < threshold * naMin) return None
+    val jstar = threshold * naMin / (naMin + nbMax - threshold * naMin)
+    def bandsFor(r: Int): Int = {
+      val p = math.pow(jstar, r)
+      if (p >= 1.0) 1
+      else if (p < 1e-9) Int.MaxValue // underflow: log(1-p) -> -p -> 0
+      else math.ceil(math.log(1.0 - 0.9) / math.log(1.0 - p)).toInt
+    }
+    val r = (k to 1 by -1).find(r => bandsFor(r) <= k / r).getOrElse(1)
+    val b = math.min(k / r, bandsFor(r))
+    val recall = 1.0 - math.pow(1.0 - math.pow(jstar, r), b.toDouble)
+    if (recall < 0.3) None else Some((r, b))
+  }
+
+  /** The allowed stratum pairings with their banding shape:
+    * (ga, gb, rowsPerBand, bands). Shared by the engine operator and the
+    * generated oracle SQL. */
+  private[graft] def stratumPairings(threshold: Double, k: Int,
+      maxStratum: Int): Seq[(Int, Int, Int, Int)] =
+    for {
+      ga <- 0 to maxStratum
+      gb <- 0 to maxStratum
+      shape <- stratumShape(ga, gb, threshold, k).toSeq
+    } yield (ga, gb, shape._1, shape._2)
+
+  /** SIZE-STRATIFIED MinHash containment pairs — the bounded-candidate
+    * scale path for [[containmentPairs]] (whose exact prefix filter is
+    * candidate-volume-bound on dense corpora): the LSH-Ensemble design.
+    * Documents are stratified by shingle-set size (g = ⌊log2 n⌋, computed
+    * exactly via the binary-digit count, never floating log); each
+    * feasible stratum pairing bands the shared k-hash MinHash signature
+    * with its own rows-per-band from [[stratumRows]] — selective where
+    * sizes are close (J* high), OR-heavy where a small A probes a large
+    * B stratum. Candidates meet in (pairing, band, key) buckets; every
+    * candidate is verified with the TRUE intersection, so precision is
+    * exact and only recall is probabilistic (≥0.9 per pairing wherever
+    * k admits it).
+    *
+    * Scale shape: per-document work is one compiled k-hash MinHash pass
+    * plus ≤ Σ bands(pairings touching its stratum) narrow key rows —
+    * linear, size-independent of the corpus; the bucket join carries
+    * (pairing, band, key, doc) only; shingle sets move once per verified
+    * candidate side. Nothing is all-pairs and no document-frequency
+    * table is needed (the exact path's broadcast `freq` is the other
+    * scale ceiling this variant removes). */
+  def containmentPairsStratified(docs: DataFrame, threshold: Double = 0.6,
+      numHashes: Int = 64, maxStratum: Int = 20, maxBucket: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = withShingles(docs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .filter(col("n") > 0)
+    // exact floor(log2 n): binary digit count − 1 (log(2, n) rounds wrong
+    // at exact powers in IEEE — log2(8) = 2.999… in both engines)
+    val sig = sh.select(col("doc_id"), col("n"),
+        (length(conv(col("n"), 10, 2)) - 1).cast("int").as("g"),
+        graft.functions.MinHashExpr.minhash(col("shingles"), numHashes).as("sig"))
+      .localCheckpoint()
+    val pr = stratumPairings(threshold, numHashes, maxStratum)
+      .toDF("pga", "pgb", "prr", "pb")
+    val keyExpr = expr(
+      "transform(sequence(0, pb - 1), bd -> concat_ws(',', " +
+        "transform(sequence(bd * prr, bd * prr + prr - 1), i -> cast(sig[i] as string))))")
+    val aK = sig.join(broadcast(pr), col("g") === col("pga"))
+      .select(col("doc_id").as("doc_a"), col("pga"), col("pgb"),
+        posexplode(keyExpr).as(Seq("band", "bkey")))
+    val bK = sig.join(broadcast(pr), col("g") === col("pgb"))
+      .select(col("doc_id").as("doc_b"), col("pga"), col("pgb"),
+        posexplode(keyExpr).as(Seq("band", "bkey")))
+    // hot-bucket guard (the frameJaccardPairs posture): an r=1 pairing
+    // buckets by a SINGLE minhash value, and a corpus-common rare
+    // shingle pulls every doc sharing it into one bucket — an m² pair
+    // task (measured: the 10× dense corpus ran 52 s with this flood,
+    // 21 s with it cut). Keys whose index-side occupancy exceeds
+    // `maxBucket` are dropped from BOTH sides; each pairing still has
+    // b−1 other bands to catch the pair, and the hot list is
+    // ≤ keys/maxBucket entries, so the broadcast stays bounded.
+    val hot = bK.groupBy("pga", "pgb", "band", "bkey")
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > maxBucket)
+      .select("pga", "pgb", "band", "bkey")
+    val cand = aK.join(broadcast(hot), Seq("pga", "pgb", "band", "bkey"), "left_anti")
+      .join(bK.join(broadcast(hot), Seq("pga", "pgb", "band", "bkey"), "left_anti"),
+        Seq("pga", "pgb", "band", "bkey"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
+  }
+
   /** Exact duplicated-span detection (substring-level dedup — the
     * granularity below document-level `exact`/`minhashPairs`): fingerprint
     * every `l`-token window (md5 of the space-joined window), count corpus-

@@ -311,6 +311,10 @@ object PipelineQueries {
     // directed shingle containment (|A∩B|/|A| >= 0.6): subset-dup
     // detection Jaccard misses when sizes differ
     "pipe_containment_pairs" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
+    // the bounded-candidate LSH-Ensemble scale path for directed
+    // containment: size strata x per-pairing MinHash banding, exact verify
+    "pipe_containment_stratified" -> ((s, d) =>
+      Dedup.containmentPairsStratified(docs(s, d))),
     // z-order (Morton) file-group assignment over (length, language)
     "pipe_layout_zorder" -> ((s, d) => Packing.zorderLayout(docs(s, d))),
     // pairwise cross-source vocabulary overlap from KMV sketches alone
@@ -1338,6 +1342,34 @@ object PipelineQueries {
         "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS cont " +
         "FROM sh a JOIN sh b ON a.doc_id != b.doc_id) " +
         "SELECT doc_a, doc_b, round(cont, 4) AS containment FROM scored WHERE cont >= 0.6"),
+
+    // LSH-Ensemble stratified containment replay: the pairing table
+    // (ga, gb, rowsPerBand, bands) is GENERATED from the same Scala
+    // function the engine bands with, so both sides bucket identically;
+    // k=64 portable minhash, exact-intersection verify on candidates
+    "pipe_containment_stratified" -> {
+      val pairings = Dedup.stratumPairings(0.6, 64, 20)
+        .map { case (ga, gb, r, b) => s"($ga, $gb, $r, $b)" }.mkString(", ")
+      s"WITH $Shingles, " +
+        "sz AS (SELECT doc_id, s, len(s) AS n, length(bin(len(s))) - 1 AS g FROM sh WHERE len(s) > 0), " +
+        "sig64 AS (SELECT doc_id, g, s, list_transform(range(0, 64), h -> " +
+        s"list_min(list_transform(s, x -> ${Hex60("CAST(h AS VARCHAR) || ':' || x")}))) AS q FROM sz), " +
+        s"pr AS (SELECT * FROM (VALUES $pairings) AS t(pga, pgb, prr, pb)), " +
+        "ak AS (SELECT doc_id AS doc_a, pga, pgb, bd.range AS band, " +
+        "array_to_string(list_transform(range(prr * bd.range, prr * bd.range + prr), i -> CAST(q[i + 1] AS VARCHAR)), ',') AS bkey " +
+        "FROM sig64 JOIN pr ON g = pga, range(64) bd WHERE bd.range < pb), " +
+        "bk AS (SELECT doc_id AS doc_b, pga, pgb, bd.range AS band, " +
+        "array_to_string(list_transform(range(prr * bd.range, prr * bd.range + prr), i -> CAST(q[i + 1] AS VARCHAR)), ',') AS bkey " +
+        "FROM sig64 JOIN pr ON g = pgb, range(64) bd WHERE bd.range < pb), " +
+        "hot AS (SELECT pga, pgb, band, bkey, 1 AS hh FROM bk GROUP BY 1, 2, 3, 4 HAVING count(*) > 32), " +
+        "ak2 AS (SELECT ak.* FROM ak LEFT JOIN hot USING (pga, pgb, band, bkey) WHERE hh IS NULL), " +
+        "bk2 AS (SELECT bk.* FROM bk LEFT JOIN hot USING (pga, pgb, band, bkey) WHERE hh IS NULL), " +
+        "cand AS (SELECT DISTINCT doc_a, doc_b FROM ak2 JOIN bk2 USING (pga, pgb, band, bkey) WHERE doc_a <> doc_b), " +
+        "v AS (SELECT c.doc_a, c.doc_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS cont " +
+        "FROM cand c JOIN sz a ON a.doc_id = c.doc_a JOIN sz b ON b.doc_id = c.doc_b) " +
+        "SELECT doc_a, doc_b, round(cont, 4) AS containment FROM v WHERE cont >= 0.6"
+    },
 
     // Morton interleave of (length bucket, spread language id), group =
     // zval >> 12 — pure integer bit arithmetic, engine-exact

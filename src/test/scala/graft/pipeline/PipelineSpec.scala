@@ -1033,6 +1033,27 @@ class PipelineSpec extends SparkTestBase {
     assert(got == expect, s"got $got")
   }
 
+  test("stratified containment: exact precision, measured recall vs exact") {
+    val exact = Dedup.containmentPairs(docs, 0.6).cache()
+    val strat = Dedup.containmentPairsStratified(docs, 0.6).cache()
+    // precision is exact by construction: every emitted pair is verified,
+    // so the stratified set is a SUBSET of the exact set (values equal)
+    assert(strat.exceptAll(exact).isEmpty,
+      "stratified emitted a pair the exact path does not")
+    // recall: the per-pairing banding targets >= 0.9 wherever k admits it
+    val nExact = exact.count()
+    val nStrat = strat.count()
+    assert(nExact > 0, "corpus has no containment pairs; recall check vacuous")
+    assert(nStrat.toDouble / nExact >= 0.9,
+      s"recall ${nStrat.toDouble / nExact} below target ($nStrat of $nExact)")
+    // feasibility pruning: a pairing with every B smaller than t*A is cut
+    assert(Dedup.stratumRows(10, 2, 0.6, 64) == 0)
+    // close sizes band selectively, small-in-large degrades toward OR-only
+    // (probe at t=0.9 where the same-stratum J* admits r > 1)
+    assert(Dedup.stratumRows(5, 5, 0.9, 64) > Dedup.stratumRows(2, 8, 0.9, 64))
+    assert(Dedup.stratumRows(2, 8, 0.9, 64) == 1)
+  }
+
   test("segment dedup keeps first global occurrence and rebuilds text") {
     import spark.implicits._
     // 3 docs; "a b" is doc 0 seg 0, repeated as doc 1 seg 0 and doc 2
