@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import graft.mql.SparkTestBase
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Differential fuzz of the segment-level cleaning operators against
+  * trivial in-memory models, on random small-vocab corpora (the regime
+  * where collisions actually happen). Complements the fixed-structure
+  * unit tests: the operators' subtle parts are ordering (global
+  * first-occurrence by (doc_id, seg_idx)) and distinct-doc counting,
+  * which random corpora exercise far better than planted ones. */
+class SegmentFuzzSpec extends SparkTestBase {
+
+  private val vocab = Vector("a", "b", "c", "d", "e")
+
+  private def randomCorpus(rnd: Random, nDocs: Int): Seq[(Long, String)] =
+    (0L until nDocs).map { id =>
+      val len = 1 + rnd.nextInt(12)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+
+  private def segmentsOf(text: String, k: Int): Seq[String] =
+    text.split(" ", -1).grouped(k).map(_.mkString(" ")).toSeq
+
+  test("dedupSegments matches the first-occurrence model on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 21).getOrElse(63L))
+    for (round <- 0 until 4) {
+      val corpus = randomCorpus(rnd, 30 + rnd.nextInt(40))
+      val k = 1 + rnd.nextInt(3)
+      // model: first global occurrence of each segment content survives
+      val seen = scala.collection.mutable.Set.empty[String]
+      val model = corpus.map { case (id, text) =>
+        val segs = segmentsOf(text, k)
+        val kept = segs.filter(s => seen.add(s))
+        id -> ((segs.size.toLong, (segs.size - kept.size).toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.dedupSegments(corpus.toDF("doc_id", "text"), segTokens = k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == model, s"round $round (k=$k) diverged: " +
+        s"${(got.toSet -- model.toSet).take(3)} vs ${(model.toSet -- got.toSet).take(3)}")
+    }
+  }
+
+  test("stripBoilerplate matches the distinct-doc-frequency model") {
+    import spark.implicits._
+    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 22).getOrElse(64L))
+    for (round <- 0 until 4) {
+      val corpus = randomCorpus(rnd, 30 + rnd.nextInt(40))
+      val k = 1 + rnd.nextInt(3)
+      val maxDf = 2 + rnd.nextInt(4)
+      val df = corpus.flatMap { case (id, text) =>
+        segmentsOf(text, k).distinct.map(_ -> id)
+      }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+      val boiler = df.collect { case (s, d) if d >= maxDf => s }.toSet
+      val model = corpus.map { case (id, text) =>
+        val segs = segmentsOf(text, k)
+        val kept = segs.filterNot(boiler)
+        id -> ((segs.size.toLong, (segs.size - kept.size).toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.stripBoilerplate(corpus.toDF("doc_id", "text"),
+        segTokens = k, maxDocFreq = maxDf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == model, s"round $round (k=$k, maxDf=$maxDf) diverged")
+    }
+  }
+
+  test("stratified containment never invents a pair (random corpora)") {
+    import spark.implicits._
+    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 23).getOrElse(65L))
+    for (_ <- 0 until 2) {
+      // longer docs so 3-shingles exist; containment structure arises
+      // naturally from the tiny vocabulary
+      val corpus = (0L until 40L).map { id =>
+        val len = 3 + rnd.nextInt(20)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val exact = Dedup.containmentPairs(df, 0.6)
+      val strat = Dedup.containmentPairsStratified(df, 0.6)
+      assert(strat.exceptAll(exact).isEmpty,
+        "stratified invented a pair the exact path rejects")
+    }
+  }
+
+  test("new operators' plans: no corpus-wide Window, no cartesian product") {
+    import spark.implicits._
+    val df = randomCorpus(new Random(7), 40).toDF("doc_id", "text")
+    for ((name, plan) <- Seq(
+      "dedupSegments" -> Dedup.dedupSegments(df),
+      "stripBoilerplate" -> Dedup.stripBoilerplate(df),
+      "containmentPairsStratified" -> Dedup.containmentPairsStratified(df))) {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$name plan has a Window:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name plan has a product join:\n$p")
+    }
+  }
+}
