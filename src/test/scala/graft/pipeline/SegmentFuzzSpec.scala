@@ -88,6 +88,23 @@ class SegmentFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("stratified-containment oracle stays in lockstep with the engine pairings") {
+    val oracle = graft.queries.PipelineQueries.oracles("pipe_containment_stratified")
+    val pairings = Dedup.stratumPairings(0.6, 64, 20)
+    assert(pairings.nonEmpty)
+    pairings.foreach { case (ga, gb, r, b) =>
+      assert(oracle.contains(s"($ga, $gb, $r, $b)"),
+        s"oracle missing pairing ($ga, $gb, $r, $b) — regenerate after changing stratumShape")
+    }
+    // and the oracle carries EXACTLY these pairings (no stale extras)
+    val inOracle = "\\((\\d+), (\\d+), (\\d+), (\\d+)\\)".r
+      .findAllMatchIn(oracle.substring(oracle.indexOf("VALUES")))
+      .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt, m.group(4).toInt))
+      .toSeq
+    assert(inOracle.toSet == pairings.toSet,
+      s"oracle pairing table diverged: ${inOracle.toSet -- pairings.toSet}")
+  }
+
   test("new operators' plans: no corpus-wide Window, no cartesian product") {
     import spark.implicits._
     val df = randomCorpus(new Random(7), 40).toDF("doc_id", "text")
