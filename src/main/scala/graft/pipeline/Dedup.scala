@@ -118,10 +118,40 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
   }
 
+  /** Threshold-driven (numHashes, bands) sizing for MinHash banding — the
+    * AND-OR identity specialized to MinHash, where one signature row
+    * collides with probability J itself: a Jaccard-`threshold` pair needs
+    * b(r) = ⌈ln(1−recall)/ln(1−t^r)⌉ bands of r rows. Returns the
+    * LARGEST r (most selective per band — fewest false candidates) whose
+    * total budget r·b(r) fits `maxHashes`, as (numHashes = r·b, bands = b).
+    *
+    * The oracle gates pin (8, 4) — r=2, recall 0.68 at t=0.5, adequate for
+    * the planted-dup corpora they verify; this sizing is for ad-hoc
+    * thresholds, e.g. t=0.5 at 0.9 recall → (54, 18) (r=3), t=0.8 →
+    * (48, 8) (r=6). The same identity the embedding-side
+    * [[Similarity.lshPickParams]] uses, without the occupancy sample —
+    * MinHash collision probability is exactly J, no geometry estimate
+    * needed. */
+  def minhashParamsFor(threshold: Double, recallTarget: Double = 0.9,
+      maxHashes: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "minhashParamsFor: t in (0,1)")
+    def bFor(r: Int): Long = {
+      val p = math.pow(threshold, r)
+      if (p < 1e-9) Long.MaxValue
+      else math.ceil(math.log(1.0 - recallTarget) / math.log(1.0 - p)).toLong.max(1L)
+    }
+    val r = (maxHashes to 1 by -1)
+      .find(r => bFor(r) <= (maxHashes / r).toLong).getOrElse(1)
+    val b = math.min(maxHashes / r, bFor(r)).toInt
+    (r * b, b)
+  }
+
   /** MinHash-LSH near-duplicate pairs: band the signature (rows per band =
     * numHashes/bands), bucket-join, then verify candidates with exact
     * shingle Jaccard >= threshold. Deterministic: banding may miss
-    * borderline pairs (recall 1-(1-j^r)^b) but never invents them. */
+    * borderline pairs (recall 1-(1-j^r)^b) but never invents them.
+    * Size (numHashes, bands) for an ad-hoc threshold via
+    * [[minhashParamsFor]]; the oracle gates pin the (8, 4) default. */
   def minhashPairs(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     // the shingle sets feed signature generation AND candidate

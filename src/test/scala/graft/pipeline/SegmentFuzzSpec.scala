@@ -105,6 +105,33 @@ class SegmentFuzzSpec extends SparkTestBase {
       s"oracle pairing table diverged: ${inOracle.toSet -- pairings.toSet}")
   }
 
+  test("minhashParamsFor meets its recall identity within budget") {
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); target <- Seq(0.8, 0.9)) {
+      val (k, b) = Dedup.minhashParamsFor(t, target, maxHashes = 64)
+      val r = k / b
+      assert(k <= 64 && k == r * b, s"budget broken at t=$t: ($k, $b)")
+      val recall = 1.0 - math.pow(1.0 - math.pow(t, r), b.toDouble)
+      assert(recall >= target - 1e-9, s"t=$t target=$target -> ($k,$b) recall $recall")
+    }
+    // higher threshold admits deeper (more selective) rows-per-band
+    val r05 = { val (k, b) = Dedup.minhashParamsFor(0.5); k / b }
+    val r09 = { val (k, b) = Dedup.minhashParamsFor(0.9); k / b }
+    assert(r09 > r05)
+    // end-to-end on the real corpus: sized banding keeps >= 0.9 recall of
+    // the exact Jaccard pair set (banding differs per hash subset, so a
+    // strict superset of the pinned banding is NOT guaranteed — recall
+    // against exact is the honest contract)
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.jaccardPairs(docsDf, 0.5).select("doc_a", "doc_b")
+    val (k, b) = Dedup.minhashParamsFor(0.5)
+    val sized = Dedup.minhashPairs(docsDf, numHashes = k, bands = b)
+      .select("doc_a", "doc_b")
+    assert(sized.exceptAll(exact).isEmpty, "sized banding invented a pair")
+    val nExact = exact.count()
+    assert(nExact > 0 && sized.count().toDouble / nExact >= 0.9,
+      s"sized recall ${sized.count()}/$nExact below 0.9")
+  }
+
   test("new operators' plans: no corpus-wide Window, no cartesian product") {
     import spark.implicits._
     val df = randomCorpus(new Random(7), 40).toDF("doc_id", "text")
