@@ -208,6 +208,11 @@ object MqlQueries {
       Mql.datasetCounts(new DerivedCatalog(s, dir))),
     "mql_namespace_counts" -> ((s, dir) =>
       Mql.namespaceCounts(new DerivedCatalog(s, dir))),
+    // catalog integrity audit (fsck): one row per invariant with its
+    // violation count — the derived catalog intentionally reports
+    // non-zero dangling provenance parents (sparse TPC-H key space)
+    "mql_fsck" -> ((s, dir) =>
+      graft.metacat.Fsck.audit(new DerivedCatalog(s, dir))),
     // datasets_for_files endpoint (data_handler.py:573-607): memberships
     // of a selective file set
     "mql_datasets_for_files" -> ((s, dir) => {
@@ -373,6 +378,26 @@ object MqlQueries {
       "SELECT namespace, 'owner' || CAST(CAST(substr(namespace, 3) AS INT) % 2 AS VARCHAR) AS owner_user," +
         " count(*) AS file_count, CAST(sum(size) AS BIGINT) AS total_size," +
         " true AS exact FROM mc_files WHERE NOT retired GROUP BY 1"),
+    // integrity audit replay: the same six invariant counts over the
+    // derived catalog's oracle twin
+    "mql_fsck" -> o(
+      "SELECT 'dangling_membership' AS check_name, (SELECT count(*) FROM mc_files_datasets fd " +
+        "WHERE fd.fid NOT IN (SELECT fid FROM mc_files))::BIGINT AS n_issues " +
+      "UNION ALL SELECT 'dangling_parent_fid', (SELECT count(*) FROM mc_parent_child " +
+        "WHERE parent_fid NOT IN (SELECT fid FROM mc_files))::BIGINT " +
+      "UNION ALL SELECT 'dangling_child_fid', (SELECT count(*) FROM mc_parent_child " +
+        "WHERE child_fid NOT IN (SELECT fid FROM mc_files))::BIGINT " +
+      "UNION ALL SELECT 'missing_dataset', (SELECT count(*) FROM " +
+        "(SELECT DISTINCT dataset_namespace, dataset_name FROM mc_files_datasets) fd " +
+        "WHERE NOT EXISTS (SELECT 1 FROM mc_datasets d " +
+        "WHERE d.namespace = fd.dataset_namespace AND d.name = fd.dataset_name))::BIGINT " +
+      "UNION ALL SELECT 'dangling_ds_edge', (SELECT count(*) FROM " +
+        "(SELECT parent_namespace AS ns, parent_name AS n FROM mc_ds_parent_child " +
+        " UNION ALL SELECT child_namespace, child_name FROM mc_ds_parent_child) e " +
+        "WHERE NOT EXISTS (SELECT 1 FROM mc_datasets d " +
+        "WHERE d.namespace = e.ns AND d.name = e.n))::BIGINT " +
+      "UNION ALL SELECT 'duplicate_fid', (SELECT count(*) FROM " +
+        "(SELECT fid FROM mc_files GROUP BY fid HAVING count(*) > 1))::BIGINT"),
     // (key, value-as-json) pairs: value rendering pinned to Spark's
     // variant to_json — object keys sorted, compact separators, decimals
     // kept verbatim (both engines print doubles shortest-roundtrip)
