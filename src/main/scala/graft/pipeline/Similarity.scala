@@ -103,34 +103,43 @@ object Similarity {
     * from a bounded deterministic sample (`sampleSize` vectors,
     * driver-side, ~1 MB at dim 64) keyed by the SAME seeded planes the
     * operator will use — the sample's own skew carries into the estimate.
-    * Returns the (r, b) minimizing estimated volume with b ≤ `maxBands`
-    * (past which hashing cost dominates and deeper r stops paying).
+    * Returns the (r, b) minimizing estimated volume with minBands ≤ b ≤
+    * `maxBands` (past which hashing cost dominates and deeper r stops
+    * paying).
+    *
+    * `recallTarget` defaults to 0.7 — the MEASURED recall of the pinned
+    * (r=4, b=8) config at the default threshold 0.35 — so a corpus growing
+    * past the 2×sampleSize cutover keeps the same expected recall under
+    * identical calls instead of silently dropping to a lower target; the
+    * cutover changes candidate volume (and wall-clock), never the recall
+    * contract.
     *
     * Cost: one count + one bounded collect + O(sampleSize·r·dim) driver
     * arithmetic — negligible against the pair join it sizes. The oracle
     * gates pin (r=4, b=8) and never take this path. */
   def lshPickParams(emb: DataFrame, threshold: Double = 0.35,
-      recallTarget: Double = 0.5, maxBands: Int = 64, seed: Long = LshSeed,
-      dim: Int = EmbDim, sampleSize: Int = 2048): (Int, Int) = {
+      recallTarget: Double = 0.7, maxBands: Int = 64, seed: Long = LshSeed,
+      dim: Int = EmbDim, sampleSize: Int = 2048,
+      minBands: Int = LshBands): (Int, Int) = {
     val n = emb.count()
-    if (n <= sampleSize * 2) return (LshRowsPerBand, LshBands)
+    if (n <= sampleSize * 2) return (LshRowsPerBand, math.max(minBands, LshBands))
     val m = math.max(1L, n / sampleSize)
     val sample = emb
       .filter(pmod(xxhash64(lit(seed), col("vec_id")), lit(m)) === 0)
       .select(col("embedding")).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     val s = sample.length.toLong
-    if (s < 32) return (lshRowsPerBandFor(n), LshBands)
+    if (s < 32) return (lshRowsPerBandFor(n), math.max(minBands, LshBands))
     val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val scale = (n.toDouble / s) * (n.toDouble / s)
-    var best = (LshRowsPerBand, LshBands)
+    var best = (LshRowsPerBand, math.max(minBands, LshBands))
     var bestCost = Double.MaxValue
     var r = LshRowsPerBand
     while (r <= 16) {
       val bNeeded = math.ceil(
         math.log(1.0 - recallTarget) / math.log(1.0 - math.pow(p1, r))).toInt
       if (bNeeded <= maxBands) {
-        val b = math.max(LshBands, bNeeded)
+        val b = math.max(math.max(minBands, LshBands), bNeeded)
         val planes = randomPlanes(seed, b * r, dim)
         val occ = new java.util.HashMap[Int, Long]()
         sample.foreach { v =>
@@ -169,17 +178,20 @@ object Similarity {
     * embedding table back on each side. No O(n²) stage anywhere.
     *
     * `rowsPerBand = 0` (the default) picks BOTH r and the band count
-    * density-adaptively via [[lshPickParams]] (the passed `bands` is then
-    * the floor) — on corpora small enough to brute the sample (≤2× the
-    * sample size) that resolves to the pinned ([[LshRowsPerBand]],
-    * [[LshBands]]), so the oracle gates (which also pin r explicitly) see
-    * identical plans; at scale the knobs track measured occupancy and the
-    * threshold's AND-OR recall identity instead of constants. */
+    * density-adaptively via [[lshPickParams]] — the passed `bands` is the
+    * FLOOR of the pick (and raises its cap when above it), so an explicit
+    * bands argument is never silently ignored. On corpora small enough to
+    * brute the sample (≤2× the sample size) the pick resolves to
+    * ([[LshRowsPerBand]], max(bands, [[LshBands]])), so the oracle gates
+    * (which also pin r explicitly) see identical plans; at scale the
+    * knobs track measured occupancy and the threshold's AND-OR recall
+    * identity instead of constants. */
   def lshCosinePairs(emb: DataFrame, bands: Int = LshBands,
       rowsPerBand: Int = 0, threshold: Double = 0.35,
       seed: Long = LshSeed, dim: Int = EmbDim): DataFrame = {
     val (r, b) = if (rowsPerBand > 0) (rowsPerBand, bands)
-      else lshPickParams(emb, threshold, seed = seed, dim = dim)
+      else lshPickParams(emb, threshold, seed = seed, dim = dim,
+        minBands = bands, maxBands = math.max(bands, 64))
     val planes = randomPlanes(seed, b * r, dim)
     def bandKey(t: Int): Column =
       (0 until r).map { j =>

@@ -31,16 +31,23 @@ def load(path):
 
 
 def history_medians(path, sf):
-    """per-query median (and count) across all history entries at this sf"""
+    """per-query median (and count) across all history entries at this sf.
+
+    History lines without an "sf" field are dropped when the new artifact
+    has one — including them unconditionally would mix scale factors into
+    the median and skew the regression bar."""
     per = {}
     totals = []
+    if not sf:
+        print("WARN: new artifact has no 'sf' — history medians mix all "
+              "scale factors", file=sys.stderr)
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
             d = json.loads(line)
-            if sf and d.get("sf") and d["sf"] != sf:
+            if sf and d.get("sf") != sf:
                 continue
             totals.append(d.get("value"))
             for k, v in d.get("queries", {}).items():
