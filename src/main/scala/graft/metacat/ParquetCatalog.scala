@@ -48,6 +48,25 @@ import org.apache.spark.sql.types._
   *    MERGE with deletion vectors. [[compactFilesLog]] folds the log back
   *    into the base (partition-scoped) and truncates it; at 100 TB a
   *    deployment compacts on a schedule so the log stays broadcast-sized.
+  *
+  * Concurrency contract (the reference serializes concurrent clients
+  * through Postgres transactions; see the OCC protocol notes at
+  * [[commitFilesLog]]):
+  *
+  *  - MOR file-row mutations (retire / update-meta / update-file /
+  *    move-namespace / remove) are MULTI-WRITER SAFE across catalog
+  *    instances and JVMs sharing one root: each mutation commits exactly
+  *    one log sequence via claim-by-atomic-create + publish-by-rename,
+  *    recomputing its row versions on claim collision — serializable
+  *    optimistic concurrency, fuzz-proven by `MultiWriterSpec`.
+  *  - Declares are append-path (no log commit unless resurrecting), so
+  *    concurrent declares of DISTINCT fids are safe; racing declares of
+  *    the SAME fid — or a declare racing a remove of that fid — are
+  *    unsynchronized (the duplicate surfaces in `Fsck.audit`).
+  *  - COW mode and the dimension tables (datasets, memberships, queries,
+  *    provenance) rewrite whole files, so they are SINGLE-WRITER by
+  *    contract — one admin session at a time, as a maintenance window.
+  *  - [[compactFilesLog]] requires an exclusive window in both modes.
   */
 final class ParquetCatalog(spark: SparkSession, root: String,
     fileShredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = Map.empty,
@@ -223,13 +242,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val stored = toStored(batch)
       if (mergeOnRead) {
         // a fid whose latest log record is a tombstone would shadow a
-        // plain base append — resurrect those through the log instead
-        val dead = deletedFids()
-        val resurrect = stored.join(dead, Seq("fid"), "left_semi")
-        stored.join(dead, Seq("fid"), "left_anti").write.mode(SaveMode.Append)
-          .partitionBy("namespace").parquet(path("files"))
-        if (resurrect.limit(1).collect().nonEmpty)
-          appendFilesLog(resurrect, LogUpsert)
+        // plain base append — resurrect those through the log instead.
+        // The dead set is pinned driver-side (it is mutation-sized) so
+        // the base-append/log-commit split stays identical across commit
+        // retries; a WRITER racing a remove of the very fids being
+        // re-declared is unsynchronized by design (declares are
+        // append-path, not log commits) and surfaces in Fsck.audit.
+        val dead = deletedFids().join(stored.select("fid"), Seq("fid"), "left_semi")
+          .collect().map(_.getString(0)).toSet
+        if (dead.isEmpty) {
+          stored.write.mode(SaveMode.Append)
+            .partitionBy("namespace").parquet(path("files"))
+        } else {
+          val deadCol = col("fid").isin(dead.toSeq: _*)
+          stored.filter(!deadCol).write.mode(SaveMode.Append)
+            .partitionBy("namespace").parquet(path("files"))
+          commitFilesLog(() => stored.filter(deadCol), LogUpsert)
+        }
       } else {
         stored.write.mode(SaveMode.Append)
           .partitionBy("namespace").parquet(path("files"))
@@ -323,7 +352,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       "parent_child", ParentChildSchema, partitionCols = Nil)
     rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!hit),
       "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
-    if (mergeOnRead) appendFilesLog(storedFiles().filter(hit), LogDelete)
+    if (mergeOnRead) commitFilesLog(() => storedFiles().filter(hit), LogDelete)
     else rewriteFilesScoped(storedFiles().filter(!hit), namespacesOf(fids))
   }
 
@@ -419,15 +448,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** retire files by id (data_handler.py retire path; schema.sql:63-65) —
     * compacting rewrite of the affected rows. */
   def retireFiles(fids: Seq[String], by: String = "graft"): Unit = {
-    val raw = storedFiles()
-    val updated = raw
+    // built per commit attempt: a claim collision means another mutation
+    // landed first and the new row versions must derive from ITS state
+    def mkUpdated(): DataFrame = storedFiles()
       .withColumn("__hit", col("fid").isin(fids: _*))
       .withColumn("retired", when(col("__hit"), lit(true)).otherwise(col("retired")))
       .withColumn("retired_timestamp",
         when(col("__hit"), current_timestamp()).otherwise(col("retired_timestamp")))
       .withColumn("retired_by", when(col("__hit"), lit(by)).otherwise(col("retired_by")))
       .drop("__hit")
-    applyFilesUpdate(updated, fids)
+    applyFilesUpdate(() => mkUpdated(), fids)
   }
 
   /** bulk metadata update, modes per `update_file_meta`
@@ -441,27 +471,29 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // as in the reference's update path (data_handler.py:932)
     failOnCategoryViolations(
       spark.range(1).select(lit("patch").as("fid"), lit(patchJson).as("metadata_json")))
-    val raw = storedFiles()
     val merged = mode match {
       case "replace" => parse_json(lit(patchJson))
       case "update" => mergedVariant(col("metadata"), patchJson)
     }
-    val updated = raw
+    // fresh plan per commit attempt: in "update" mode the merge folds the
+    // patch over the PREDECESSOR's metadata, so two writers merging
+    // disjoint keys concurrently must each see the other's committed keys
+    // — the serializability the two-writer fuzz asserts
+    def mkUpdated(): DataFrame = storedFiles()
       .withColumn("__hit", col("fid").isin(fids: _*))
       .withColumn("metadata", when(col("__hit"), merged).otherwise(col("metadata")))
       .withColumn("updated_by", when(col("__hit"), lit(by)).otherwise(col("updated_by")))
       .withColumn("updated_timestamp",
         when(col("__hit"), current_timestamp()).otherwise(col("updated_timestamp")))
       .drop("__hit")
-    applyFilesUpdate(updated, fids)
+    applyFilesUpdate(() => mkUpdated(), fids)
   }
 
   /** move files between namespaces (data_handler.py move-namespace
     * connector): rewrites the affected rows; DIDs change, fids do not, so
     * dataset memberships and provenance stay valid. */
   def moveNamespace(fids: Seq[String], toNamespace: String, by: String = "graft"): Unit = {
-    val raw = storedFiles()
-    val updated = raw
+    def mkUpdated(): DataFrame = storedFiles()
       .withColumn("__hit", col("fid").isin(fids: _*))
       .withColumn("namespace",
         when(col("__hit"), lit(toNamespace)).otherwise(col("namespace")))
@@ -472,7 +504,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // both sides of the move are touched: source partitions shed rows,
     // the target partition gains them (MOR: the new-namespace row simply
     // shadows the old-partition base row via the fid anti-join)
-    applyFilesUpdate(updated, fids, extraTouched = Seq(toNamespace))
+    applyFilesUpdate(() => mkUpdated(), fids, extraTouched = Seq(toNamespace))
   }
 
   def saveNamedQuery(namespace: String, name: String, source: String,
@@ -638,32 +670,36 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
 
     val hit = col("fid") === fid
-    var updated = raw
-    metadataJson.foreach { mj =>
-      val merged = mode match {
-        case "replace" => parse_json(lit(mj))
-        case _ => mergedVariant(col("metadata"), mj)
+    // fresh plan per commit attempt (see retireFiles): the merge columns
+    // fold over whatever the predecessor committed
+    def mkUpdated(): DataFrame = {
+      var updated = storedFiles()
+      metadataJson.foreach { mj =>
+        val merged = mode match {
+          case "replace" => parse_json(lit(mj))
+          case _ => mergedVariant(col("metadata"), mj)
+        }
+        updated = updated.withColumn("metadata",
+          when(hit, merged).otherwise(col("metadata")))
       }
-      updated = updated.withColumn("metadata",
-        when(hit, merged).otherwise(col("metadata")))
-    }
-    checksums.foreach { cs =>
-      val lits = map(cs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-      val merged = mode match {
-        case "replace" => lits
-        case _ => map_concat(
-          map_filter(coalesce(col("checksums"), map().cast("map<string,string>")),
-            (k, _) => !k.isin(cs.keys.toSeq.map(x => x: Any): _*)), lits)
+      checksums.foreach { cs =>
+        val lits = map(cs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        val merged = mode match {
+          case "replace" => lits
+          case _ => map_concat(
+            map_filter(coalesce(col("checksums"), map().cast("map<string,string>")),
+              (k, _) => !k.isin(cs.keys.toSeq.map(x => x: Any): _*)), lits)
+        }
+        updated = updated.withColumn("checksums",
+          when(hit, merged).otherwise(col("checksums")))
       }
-      updated = updated.withColumn("checksums",
-        when(hit, merged).otherwise(col("checksums")))
+      size.foreach(sz => updated = updated.withColumn("size",
+        when(hit, lit(sz)).otherwise(col("size"))))
+      updated
+        .withColumn("updated_by", when(hit, lit(by)).otherwise(col("updated_by")))
+        .withColumn("updated_timestamp",
+          when(hit, current_timestamp()).otherwise(col("updated_timestamp")))
     }
-    size.foreach(sz => updated = updated.withColumn("size",
-      when(hit, lit(sz)).otherwise(col("size"))))
-    updated = updated
-      .withColumn("updated_by", when(hit, lit(by)).otherwise(col("updated_by")))
-      .withColumn("updated_timestamp",
-        when(hit, current_timestamp()).otherwise(col("updated_timestamp")))
 
     // the MERGED metadata must satisfy every member dataset's contract
     metadataJson.foreach { _ =>
@@ -671,13 +707,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .filter(col("fid") === fid)
         .select("dataset_namespace", "dataset_name")
         .collect().map(r => (r.getString(0), r.getString(1)))
-      val newRow = updated.filter(hit)
+      val newRow = mkUpdated().filter(hit)
       for ((ns, n) <- memberDs) {
         val reqs = datasetRow(ns, n).requirements
         if (reqs.nonEmpty) failOnViolations(newRow, reqs)
       }
     }
-    applyFilesUpdate(updated, Seq(fid))
+    applyFilesUpdate(() => mkUpdated(), Seq(fid))
 
     def writeEdges(given: Seq[String], asParents: Boolean): Unit = {
       import spark.implicits._
@@ -705,12 +741,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     fs.exists(p) && fs.getFileStatus(p).isDirectory && fs.listStatus(p).nonEmpty
   }
 
+  /** The delta log as a DataFrame. One commit = one `s<seq>/` parquet
+    * directory (see the OCC protocol below), so the read recurses; the
+    * pre-OCC flat layout's top-level part files are picked up by the same
+    * recursive listing. */
+  private def readLog(): DataFrame =
+    spark.read.schema(logSchema).option("recursiveFileLookup", "true")
+      .parquet(path("files_log"))
+
   /** latest log record per fid (`__op` upsert|delete, highest `__seq`
     * wins). The log holds mutations-since-compaction only, so the window
     * runs over a small frame and the fid key set broadcasts. */
   private def logLatest(): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    spark.read.schema(logSchema).parquet(path("files_log"))
+    readLog()
       .withColumn("__rn", row_number().over(
         Window.partitionBy("fid").orderBy(col("__seq").desc)))
       .filter(col("__rn") === 1)
@@ -737,42 +781,161 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .unionByName(live)
   }
 
-  // per-catalog monotonic log sequence, lazily seeded from the log on
-  // first use so reopened catalogs continue where they left off
-  private val logSeq = new java.util.concurrent.atomic.AtomicLong(-1L)
+  // ---- multi-writer optimistic concurrency for the delta log ----
+  //
+  // The reference serializes concurrent clients through Postgres
+  // transactions (data_handler.py handlers run on one transactional
+  // connection each; uniqueness comes from the schema's primary keys).
+  // Here the log IS the commit protocol, in the Delta-log shape: each
+  // mutation occupies exactly one `__seq`, a seq is CLAIMED by an atomic
+  // create-if-absent marker file (`files_log_claims/s<seq>`) and
+  // PUBLISHED by renaming the pre-written parquet directory to
+  // `files_log/s<seq>/`. Claims are dense (next = max claimed + 1), so a
+  // writer that wins the claim for seq s is guaranteed no other commit
+  // landed between its snapshot read (all published seqs ≤ s-1) and its
+  // claim — the mutation's row versions were computed against exactly the
+  // state they serialize after. A lost claim aborts the attempt and the
+  // mutation RECOMPUTES from the new state and retries: serializable OCC.
+  //
+  // Atomicity of the claim: `java.nio.Files.createFile` (O_CREAT|O_EXCL)
+  // on local filesystems — Hadoop's RawLocalFileSystem.create is
+  // check-then-act, not atomic — and `FileSystem.create(p, overwrite =
+  // false)` elsewhere (a single atomic namenode op on HDFS). Object
+  // stores without atomic create-if-absent need a CAS-capable commit
+  // service, the same caveat Delta documents for S3 multi-writer.
+  //
+  // Crash window: a writer that dies between claim and publish leaves an
+  // orphaned claim; successors block on [[awaitLogPublished]] and fail
+  // loudly after a timeout naming the orphan (Fsck.audit flags the same
+  // state). Recovery is manual marker removal — the Delta-equivalent of
+  // clearing a stale lock. COW mode has no commit protocol: mutations
+  // rewrite whole partitions, so COW catalogs are SINGLE-WRITER by
+  // contract (one admin session at a time, the reference's posture for a
+  // maintenance window). Compaction requires an exclusive window in both
+  // modes — it truncates the log that concurrent commits append to.
 
-  private def nextLogSeq(): Long = synchronized {
-    if (logSeq.get() < 0L) {
-      val seed =
-        if (logNonEmpty())
-          spark.read.schema(logSchema).parquet(path("files_log"))
-            .agg(max(col("__seq"))).collect().head match {
-              case r if r.isNullAt(0) => 0L
-              case r => r.getLong(0)
-            }
-        else 0L
-      logSeq.set(seed)
+  private val SeqDirName = "s(\\d{20})".r
+
+  private def seqDirName(s: Long): String = f"s$s%020d"
+
+  /** seq numbers present as `s<20 digits>` children of `t` */
+  private def listSeqNames(t: String): Seq[Long] = {
+    val p = hPath(t)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case SeqDirName(d) => d.toLong
     }
-    logSeq.incrementAndGet()
   }
 
-  /** append one mutation's new row versions (or tombstones) to the delta
-    * log — O(rows touched), no base-table I/O beyond the read feeding
-    * `rows` */
-  private def appendFilesLog(rows: DataFrame, op: String): Unit = {
-    align(withShredCols(rows), storedSchema)
-      .withColumn("__op", lit(op))
-      .withColumn("__seq", lit(nextLogSeq()))
-      .write.mode(SaveMode.Append).parquet(path("files_log"))
+  /** Highest seq of the pre-OCC flat layout (parquet part files directly
+    * under `files_log/`, written by earlier versions of this class). Read
+    * per call — cheap listing, and the flat files vanish for good at the
+    * first compaction, so memoizing would go stale across it. */
+  private def legacyFlatLogSeq(): Long = {
+    val p = hPath("files_log")
+    val fs = fsOf(p)
+    val hasFlat = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasFlat) 0L
+    else readLog().agg(max(col("__seq"))).collect().head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
   }
 
-  /** mutation dispatch for the files table: MOR appends the touched rows'
-    * new versions to the log; COW rewrites the touched partitions.
-    * `namespacesOf` (a table scan) only runs on the COW branch. */
-  private def applyFilesUpdate(updated: DataFrame, fids: Seq[String],
+  /** highest CLAIMED seq — the allocation frontier for the next commit */
+  private def maxClaimedSeq(): Long =
+    ((0L +: listSeqNames("files_log_claims")) :+ legacyFlatLogSeq()).max
+
+  /** atomically claim `s`: create-if-absent on the marker file; false ⇒
+    * another writer owns it */
+  private def claimLogSeq(s: Long): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(path("files_log_claims"), seqDirName(s))
+    val fs = fsOf(marker)
+    fs.mkdirs(marker.getParent)
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(marker.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(marker, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** Block until every claimed seq ≤ `upTo` has published its data dir —
+    * the predecessor is mid-rename, a bounded wait. A claim that never
+    * publishes (crashed writer) fails loudly after the timeout. */
+  private def awaitLogPublished(upTo: Long): Unit = {
+    if (upTo <= 0L) return
+    val legacy = legacyFlatLogSeq()
+    val pending = listSeqNames("files_log_claims")
+      .filter(s => s <= upTo && s > legacy)
+    if (pending.isEmpty) return
+    val fs = fsOf(hPath("files_log"))
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    for (s <- pending.sorted) {
+      val dir = new org.apache.hadoop.fs.Path(path("files_log"), seqDirName(s))
+      while (!fs.exists(dir)) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"log seq $s is claimed but never published (crashed writer?); " +
+            s"remove ${path("files_log_claims")}/${seqDirName(s)} to recover")
+        Thread.sleep(5L)
+      }
+    }
+  }
+
+  /** Commit one mutation's new row versions (or tombstones) to the delta
+    * log under multi-writer OCC — O(rows touched), no base-table I/O
+    * beyond the read feeding `mkRows`. `mkRows` MUST build a fresh plan
+    * on each call (re-reading the log), because a lost claim means
+    * another commit landed and this mutation's rows must be recomputed
+    * against it. */
+  private def commitFilesLog(mkRows: () => DataFrame, op: String): Unit = {
+    val fs = fsOf(hPath("files_log"))
+    var attempt = 0
+    while (true) {
+      val prev = maxClaimedSeq()
+      awaitLogPublished(prev) // snapshot = exactly the committed seqs ≤ prev
+      val s = prev + 1L
+      val tmp = new org.apache.hadoop.fs.Path(
+        path("_tmp"), s"commit-${java.util.UUID.randomUUID()}")
+      align(withShredCols(mkRows()), storedSchema)
+        .withColumn("__op", lit(op))
+        .withColumn("__seq", lit(s))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (claimLogSeq(s)) {
+        // we own s exclusively — the publish rename is uncontended
+        val dst = new org.apache.hadoop.fs.Path(path("files_log"), seqDirName(s))
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(tmp, dst))
+          throw new IllegalStateException(s"publish of claimed log seq $s failed: $tmp -> $dst")
+        return
+      }
+      // lost the claim: another commit took s — discard and recompute
+      fs.delete(tmp, true)
+      attempt += 1
+      if (attempt >= 20)
+        throw new IllegalStateException(
+          s"gave up committing to $root/files_log after $attempt claim collisions")
+      Thread.sleep(5L * attempt)
+    }
+  }
+
+  /** mutation dispatch for the files table: MOR commits the touched rows'
+    * new versions to the log (recomputing via `mkUpdated` on claim
+    * collision); COW rewrites the touched partitions. `namespacesOf` (a
+    * table scan) only runs on the COW branch. */
+  private def applyFilesUpdate(mkUpdated: () => DataFrame, fids: Seq[String],
       extraTouched: Seq[String] = Nil): Unit = {
-    if (mergeOnRead) appendFilesLog(updated.filter(col("fid").isin(fids: _*)), LogUpsert)
-    else rewriteFilesScoped(updated, (namespacesOf(fids) ++ extraTouched).distinct)
+    if (mergeOnRead)
+      commitFilesLog(() => mkUpdated().filter(col("fid").isin(fids: _*)), LogUpsert)
+    else rewriteFilesScoped(mkUpdated(), (namespacesOf(fids) ++ extraTouched).distinct)
   }
 
   // ---- merge-on-read time travel (delta-log snapshots) ----
@@ -780,15 +943,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** Highest log sequence issued so far (0 when the log is empty or just
     * compacted). Capture it between mutations to NAME a snapshot for
     * [[filesAsOf]] — the lakehouse "version" of this catalog's delta log.
-    * Reads the log rather than the in-memory counter so a reopened
-    * catalog instance reports the store's true state. */
+    * Reads the store (published seq directories — one cheap listing, no
+    * parquet scan) rather than any in-memory counter so a reopened — or
+    * concurrently written — catalog instance reports the true state. */
   def currentLogSeq(): Long =
-    if (!logNonEmpty()) 0L
-    else spark.read.schema(logSchema).parquet(path("files_log"))
-      .agg(max(col("__seq"))).collect().head match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    ((0L +: listSeqNames("files_log")) :+ legacyFlatLogSeq()).max
 
   /** Merge-on-read TIME TRAVEL: the live files view as of log sequence
     * `seq` — the base table overlaid with only the log records whose
@@ -811,7 +970,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       if (!logNonEmpty() || seq <= 0L) base
       else {
         import org.apache.spark.sql.expressions.Window
-        val latest = spark.read.schema(logSchema).parquet(path("files_log"))
+        val latest = readLog()
           .filter(col("__seq") <= seq)
           .withColumn("__rn", row_number().over(
             Window.partitionBy("fid").orderBy(col("__seq").desc)))
@@ -840,7 +999,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           StructField("namespace", StringType, nullable = true),
           StructField("name", StringType, nullable = true),
           StructField("retired", BooleanType, nullable = true))))
-    else spark.read.schema(logSchema).parquet(path("files_log"))
+    else readLog()
       .select(col("__seq"), col("__op"), col("fid"), col("namespace"),
         col("name"), col("retired"))
       .orderBy(col("__seq"), col("fid"))
@@ -865,7 +1024,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   def compactFilesLog(): Unit = {
     if (!mergeOnRead || !logNonEmpty()) return
-    val log = spark.read.schema(logSchema).parquet(path("files_log"))
+    val log = readLog()
     val base = readOr("files", storedSchema)
     val touched = base
       .join(log.select("fid").distinct(), Seq("fid"), "left_semi")
@@ -874,13 +1033,60 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .distinct().collect().map(_.getString(0)).toSeq
     rewriteFilesScoped(storedFiles(), touched)
     onCompactMidpoint()
+    // truncate log + claims together: post-compaction sequences restart
+    // at 1 everywhere (allocation reads the store, never a live counter)
+    // and [[filesAsOf]]'s reachable range stays the dense
+    // 0..currentLogSeq(). Compaction needs an EXCLUSIVE window — a
+    // concurrent commit racing this delete could land between the swap
+    // and the truncation (see the OCC protocol notes above).
     fsOf(hPath("files_log")).delete(hPath("files_log"), true)
-    // restart the sequence: the truncated log is what seeds a reopened
-    // instance, so the live counter must agree with it — post-compaction
-    // mutations start at 1 again everywhere, and [[filesAsOf]]'s
-    // reachable range stays the dense 0..currentLogSeq()
-    logSeq.set(0L)
+    fsOf(hPath("files_log_claims")).delete(hPath("files_log_claims"), true)
     ()
+  }
+
+  /** Delta-log integrity rows for [[Fsck.audit]] (merge-on-read only):
+    *
+    *  - `mor_tombstone_unknown_fid` — delete records whose fid is neither
+    *    in the base table nor upserted anywhere in the log (a tombstone
+    *    for a file that never existed)
+    *  - `mor_seq_gap` — missing sequences in 1..max (a claim that
+    *    published nothing and was manually cleared, or a deleted commit)
+    *  - `mor_orphaned_claim` — claim markers with no published data dir
+    *    (a writer crashed between claim and publish; blocks commits until
+    *    cleared — see the OCC protocol notes)
+    *  - `mor_unclaimed_publish` — data dirs with no claim marker (foreign
+    *    or hand-rolled writes bypassing the commit protocol)
+    *
+    * The directory checks are two listings; the tombstone check is one
+    * anti-join of the mutation-sized log against base fids. */
+  private[metacat] def morAuditRows(): Seq[DataFrame] = {
+    def cntLit(name: String, n: Long): DataFrame =
+      spark.range(1).select(lit(name).as("check_name"), lit(n).as("n_issues"))
+    val published = listSeqNames("files_log")
+    val claims = listSeqNames("files_log_claims")
+    val legacy = legacyFlatLogSeq()
+    val present = (1L to legacy).toSet ++ published
+    val maxSeq = ((0L +: published.toList) :+ legacy).max
+    val tombstones =
+      if (!logNonEmpty())
+        spark.range(1).select(lit("mor_tombstone_unknown_fid").as("check_name"),
+          lit(0L).as("n_issues"))
+      else {
+        val log = readLog()
+        val known = readOr("files", storedSchema).select("fid")
+          .union(log.filter(col("__op") === LogUpsert).select("fid"))
+        log.filter(col("__op") === LogDelete).select("fid")
+          .join(known, Seq("fid"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_issues"))
+          .select(lit("mor_tombstone_unknown_fid").as("check_name"), col("n_issues"))
+      }
+    Seq(
+      tombstones,
+      cntLit("mor_seq_gap", (1L to maxSeq).count(!present(_)).toLong),
+      cntLit("mor_orphaned_claim",
+        claims.count(s => s > legacy && !present(s)).toLong),
+      cntLit("mor_unclaimed_publish",
+        published.count(s => s > legacy && !claims.contains(s)).toLong))
   }
 
   /** JSON-text declare rows → stored shape: parse once, shred hot keys */

@@ -133,6 +133,43 @@ object WritePathQueries {
         compactMidway = true)
     }),
 
+    // MULTI-WRITER merge-on-read: TWO independent catalog instances on one
+    // root — separate caches, separate claim races, shared store — issue a
+    // deterministic interleave of mutations. Every commit must allocate a
+    // distinct log sequence from the STORE (the pre-OCC per-instance
+    // counter collided on exactly this pattern and silently shadowed the
+    // other instance's commit), and instance a's merge patch must fold
+    // over instance b's committed keys: both writers' metadata keys
+    // survive in the final state, the overlapping key resolves to the
+    // later sequence. True-concurrency races are fuzz-proven in
+    // `MultiWriterSpec`; this gate pins the cross-instance protocol in an
+    // oracle-checkable deterministic order.
+    "mql_write_path_multi" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpx_")
+      graft.TempDirs.register(rootPath)
+      val a = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      val b = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      val rows = seedRows(s, dir)
+      a.createDataset("wds", "base")
+      a.declareFiles(rows, dataset = Some(("wds", "base")))
+      a.retireFiles((0 until 200 by 40).map(fidOf)) // seq 1 (a)
+      b.updateFileMeta((0 until 10).map(fidOf), // seq 2 (b)
+        """{"opt.b1":"B","opt.shared":"B1"}""", mode = "update")
+      a.updateFileMeta((0 until 10).map(fidOf), // seq 3 (a): folds over b's
+        """{"opt.a1":"A","opt.shared":"A2","core.run":777}""", mode = "update")
+      b.moveNamespace((140 until 150).map(fidOf), "wmoved") // seq 4 (b)
+      a.removeFiles((45 to 49).map(fidOf)) // seq 5 (a): tombstones
+      b.compactFilesLog() // fold both writers' commits into the base
+      a.updateFile(fidOf(7), size = Some(7777L)) // post-compaction seq 1 (a)
+      // a THIRD fresh instance reads the converged state back
+      val c = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      c.files.select(col("fid"), col("namespace"), col("size"), col("retired"),
+        expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"),
+        expr("try_variant_get(metadata, \"$['opt.b1']\", 'string')").as("b1"),
+        expr("try_variant_get(metadata, \"$['opt.a1']\", 'string')").as("a1"),
+        expr("try_variant_get(metadata, \"$['opt.shared']\", 'string')").as("shared"))
+    }),
+
     // STREAMING catalog ingest: declarations arrive as two overlapping
     // micro-batches (batch 2 redelivers all of batch 1 — the
     // at-least-once replay case); idempotent foreachBatch declares fold
@@ -322,6 +359,22 @@ object WritePathQueries {
     "mql_write_path" -> WritePathOracle,
     "mql_write_path_mor" -> WritePathOracle,
     "mql_write_path_asof" -> AsOfOracle,
+
+    // interleaved two-instance state, recomputed arithmetically: both
+    // writers' merge keys present on k < 10 (a lost update would null one
+    // side), shared key = the later commit's value, retire/move/delete
+    // applied, k = 7 resized post-compaction
+    "mql_write_path_multi" ->
+      ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200) " +
+        "SELECT 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS fid," +
+        " CASE WHEN k BETWEEN 140 AND 149 THEN 'wmoved' ELSE 'wraw' END AS namespace," +
+        " CAST(CASE WHEN k = 7 THEN 7777 ELSE k * 10 END AS BIGINT) AS size," +
+        " (k % 40 = 0) AS retired," +
+        " CAST(CASE WHEN k < 10 THEN 777 ELSE k % 100 END AS BIGINT) AS run," +
+        " CASE WHEN k < 10 THEN 'B' ELSE NULL END AS b1," +
+        " CASE WHEN k < 10 THEN 'A' ELSE NULL END AS a1," +
+        " CASE WHEN k < 10 THEN 'A2' ELSE NULL END AS shared " +
+        "FROM w WHERE NOT (k BETWEEN 45 AND 49)"),
 
     // final state after idempotent streaming ingest = one clean declare
     // of every k < 200 row, batch overlap invisible

@@ -1,0 +1,143 @@
+package graft.metacat
+
+import graft.mql.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** Multi-writer safety of the merge-on-read commit protocol
+  * (claim-by-atomic-create + publish-by-rename, see
+  * `ParquetCatalog.commitFilesLog`). The reference gets this from
+  * Postgres transactions (`data_handler.py` handlers each run on one
+  * transactional connection); here two INDEPENDENT catalog instances —
+  * separate claim races, separate caches, shared store — mutate one root
+  * concurrently and the result must be SERIALIZABLE: identical to some
+  * serial order of the committed mutations.
+  *
+  * The serializability witness is metadata merge ("update" mode folds the
+  * patch over the predecessor's metadata): writer A adds keys a0..aN,
+  * writer B adds keys b0..bN, to the SAME fids. Any lost update —
+  * a commit computed from a stale snapshot shadowing a concurrent
+  * commit — permanently drops the other writer's keys; the serializable
+  * outcome carries every key from both writers. */
+class MultiWriterSpec extends SparkTestBase {
+
+  private def newRoot(): String =
+    Files.createTempDirectory("graft-multiwriter-").toString
+
+  private def declare(cat: ParquetCatalog, n: Int): Unit = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      (s"W$i", "alpha", s"w_$i.dat", s"""{"core.run":$i}""", "tester", 100L + i)
+    }.toDF("fid", "namespace", "name", "metadata_json", "creator", "size")
+      .withColumn("created_timestamp", to_timestamp(lit("2026-02-01 00:00:00")))
+    cat.declareFiles(rows)
+  }
+
+  private def seqDirs(root: String, t: String): Seq[Long] = {
+    val d = new java.io.File(s"$root/$t")
+    if (!d.isDirectory) Nil
+    else d.listFiles().toSeq.map(_.getName).collect {
+      case n if n.matches("s\\d{20}") => n.drop(1).toLong
+    }
+  }
+
+  test("two concurrent writers: every merge-mode patch survives (serializable OCC)") {
+    val root = newRoot()
+    val a = new ParquetCatalog(spark, root, mergeOnRead = true)
+    val b = new ParquetCatalog(spark, root, mergeOnRead = true)
+    declare(a, 6)
+    val fids = (0 until 6).map(i => s"W$i")
+
+    val perWriter = 8
+    def burst(cat: ParquetCatalog, tag: String): Future[Unit] = Future {
+      // deterministic per-writer schedule; the interleave itself is the
+      // nondeterminism under test
+      for (k <- 0 until perWriter) {
+        val hit = Seq(fids(k % fids.size), fids((k + 3) % fids.size))
+        cat.updateFileMeta(hit, s"""{"opt.$tag$k":$k}""", mode = "update", by = tag)
+      }
+    }
+    Await.result(Future.sequence(Seq(burst(a, "a"), burst(b, "b"))), 10.minutes)
+
+    // claims are dense 1..N with exactly one published dir per claim
+    val claims = seqDirs(root, "files_log_claims").sorted
+    val published = seqDirs(root, "files_log").sorted
+    assert(claims == published, s"claimed $claims but published $published")
+    assert(claims == (1L to claims.size).toSeq, s"claim sequence not dense: $claims")
+    assert(claims.size == 2 * perWriter)
+
+    // serializability: fold the committed patches in __seq order — the
+    // live metadata must equal the serial fold (no lost updates)
+    val hist = a.logHistory().select("__seq").collect().map(_.getLong(0))
+    assert(hist.distinct.sorted.toSeq == (1L to claims.size).toSeq)
+    val meta = a.files
+      .select(col("fid"), to_json(col("metadata")).as("mj"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expectedKeys: Map[String, Set[String]] = {
+      val m = scala.collection.mutable.Map[String, Set[String]]()
+      for (f <- fids) m(f) = Set("core.run")
+      for (tag <- Seq("a", "b"); k <- 0 until perWriter;
+           f <- Seq(fids(k % fids.size), fids((k + 3) % fids.size)))
+        m(f) = m(f) + s"opt.$tag$k"
+      m.toMap
+    }
+    for (f <- fids) {
+      val got = spark.read.json(
+        spark.createDataset(Seq(meta(f)))(org.apache.spark.sql.Encoders.STRING))
+        .columns.toSet
+      assert(got == expectedKeys(f),
+        s"$f lost updates: missing ${expectedKeys(f) -- got}, extra ${got -- expectedKeys(f)}")
+    }
+
+    // a reopened third instance sees the same converged state
+    val c = new ParquetCatalog(spark, root, mergeOnRead = true)
+    assert(c.currentLogSeq() == claims.size.toLong)
+    assert(c.files.count() == fids.size.toLong)
+  }
+
+  test("cross-instance sequence allocation never collides (interleaved, no threads)") {
+    val root = newRoot()
+    val a = new ParquetCatalog(spark, root, mergeOnRead = true)
+    val b = new ParquetCatalog(spark, root, mergeOnRead = true)
+    declare(a, 4)
+    // the pre-OCC design kept a per-instance counter: this exact
+    // interleave made b reuse a's sequence and silently shadow its commit
+    a.retireFiles(Seq("W0"))
+    b.updateFileMeta(Seq("W1"), """{"opt.x":1}""")
+    a.moveNamespace(Seq("W2"), "moved")
+    b.removeFiles(Seq("W3"))
+    assert(seqDirs(root, "files_log").sorted == Seq(1L, 2L, 3L, 4L))
+    val live = a.files.select("fid", "namespace", "retired").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(live == Set(("W0", "alpha", true), ("W1", "alpha", false),
+      ("W2", "moved", false)))
+    // time travel still reaches every intermediate snapshot
+    assert(b.filesAsOf(2).filter(col("fid") === "W3").count() == 1)
+    assert(b.filesAsOf(4).filter(col("fid") === "W3").count() == 0)
+  }
+
+  test("orphaned claim (crashed writer) fails loudly and names the marker") {
+    val root = newRoot()
+    val a = new ParquetCatalog(spark, root, mergeOnRead = true)
+    declare(a, 2)
+    a.retireFiles(Seq("W0")) // seq 1, published
+    // simulate a writer that died between claim and publish
+    val claims = new java.io.File(s"$root/files_log_claims")
+    val orphan = new java.io.File(claims, "s" + "0" * 18 + "02")
+    assert(orphan.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      a.updateFileMeta(Seq("W1"), """{"opt.y":2}""")
+    }
+    assert(ex.getMessage.contains("claimed but never published"))
+    assert(ex.getMessage.contains("files_log_claims"))
+    // manual recovery: drop the marker, the writer proceeds
+    assert(orphan.delete())
+    a.updateFileMeta(Seq("W1"), """{"opt.y":2}""")
+    assert(a.files.filter(col("fid") === "W1")
+      .select(expr("try_variant_get(metadata, \"$['opt.y']\", 'long')"))
+      .head().getLong(0) == 2L)
+  }
+}
