@@ -21,6 +21,14 @@ object StreamingQueries {
     // planted-header corpus; the header is admitted ONCE across batches
     "stream_dedup_segments" -> ((s, d) =>
       DedupStream.runSegmentsToBatch(s, s"$d/documents.parquet", "v_stream_segs")),
+    // WATERMARKED exact admission (bounded state): three staged batches —
+    // all docs at 10:00, %3 duplicates at 10:05 (suppressed), a 10:30
+    // sentinel that advances the watermark past every admission window,
+    // then %5 duplicates at 10:25 that must RE-ADMIT (state evicted).
+    // Every step is doc_id/timestamp arithmetic, so the windowed
+    // semantics are fully DuckDB-recomputable.
+    "stream_dedup_watermark" -> ((s, d) =>
+      DedupStream.runWatermarkedToBatch(s, s"$d/documents.parquet", "v_stream_wm")),
     // incremental MinHash-LSH near-dup: corpus split into two parity
     // micro-batches; pairs spanning the halves exist only if bucket state
     // survives across batches. Oracle = the batch operator's oracle.
@@ -84,6 +92,21 @@ object StreamingQueries {
         "sg AS (SELECT doc_id, tk, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS seg_idx FROM t), " +
         "ss AS (SELECT array_to_string(tk[seg_idx * 10 + 1 : least((seg_idx + 1) * 10, len(tk))], ' ') AS seg FROM sg) " +
         "SELECT DISTINCT seg, len(string_split(seg, ' '))::BIGINT AS n_tokens FROM ss"),
+    // admitted = every fingerprint once at 10:00, the sentinel at 10:30,
+    // and the %5 re-admissions at 10:25 (evicted by the 10:20 watermark);
+    // the %3 duplicates at 10:05 never appear (in-window suppression)
+    "stream_dedup_watermark" ->
+      ("WITH d AS (SELECT md5(text) AS fingerprint, min(n_chars) AS n_chars " +
+        "FROM documents GROUP BY 1) " +
+        "SELECT fingerprint, n_chars, " +
+        "CAST(epoch(TIMESTAMP '2026-01-01 10:00:00') AS BIGINT) AS admitted_ts FROM d " +
+        "UNION ALL SELECT md5(text), min(n_chars), " +
+        "CAST(epoch(TIMESTAMP '2026-01-01 10:25:00') AS BIGINT) " +
+        "FROM documents WHERE doc_id % 5 = 0 GROUP BY 1 " +
+        "UNION ALL SELECT md5('watermark-advancer'), CAST(18 AS BIGINT), " +
+        "CAST(epoch(TIMESTAMP '2026-01-01 10:30:00') AS BIGINT) " +
+        "UNION ALL SELECT md5('watermark-advancer-2'), CAST(20 AS BIGINT), " +
+        "CAST(epoch(TIMESTAMP '2026-01-01 10:31:00') AS BIGINT)"),
     "stream_neardup_docs" -> PipelineQueries.oracles("pipe_minhash_pairs"),
     "stream_decontam_docs" -> PipelineQueries.oracles("pipe_decontam"),
     // batch recomputation of the admission verdicts (train side only);

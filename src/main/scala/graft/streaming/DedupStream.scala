@@ -13,11 +13,20 @@ import org.apache.spark.sql.types._
   * `dropDuplicates` on the fingerprint keeps the dedup index in the
   * streaming state store (one small entry per distinct fingerprint —
   * RocksDB-backed and key-partitioned on a cluster, so state scales
-  * horizontally with shuffle partitions; with an ingest-time column the
-  * production variant is dropDuplicatesWithinWatermark, which also evicts).
-  * The gate stages the SAME document file twice as two micro-batches: the
-  * second batch is entirely suppressed by state from the first, proving
-  * cross-batch suppression rather than batch-local distinct.
+  * horizontally with shuffle partitions). Its state grows with the
+  * distinct-key count forever; the PRODUCTION variant for always-on
+  * ingest is [[dedupByFingerprintWatermarked]] /
+  * [[admitSegmentsWatermarked]] — `dropDuplicatesWithinWatermark` over an
+  * ingest-time column, whose state is EVICTED once the watermark passes a
+  * key's admission window (bounded state at any corpus size, with the
+  * documented semantics delta that a duplicate arriving after eviction is
+  * re-admitted). Eviction, re-admission, and the RocksDB provider are
+  * pinned by `WatermarkDedupSpec`; the windowed semantics are
+  * oracle-gated by `stream_dedup_watermark`.
+  * The unwatermarked gate stages the SAME document file twice as two
+  * micro-batches: the second batch is entirely suppressed by state from
+  * the first, proving cross-batch suppression rather than batch-local
+  * distinct.
   *
   * The output projects only (fingerprint, n_chars) — identical across
   * copies of a document — so the surviving row set is deterministic no
@@ -53,6 +62,123 @@ object DedupStream {
       .withColumn("fingerprint", md5(col("text")))
       .dropDuplicates("fingerprint")
       .select(col("fingerprint"), col("n_chars"))
+
+  // ---- watermarked admission (bounded state for always-on ingest) ----
+
+  private[streaming] val docTsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("n_chars", LongType),
+    StructField("ingest_ts", TimestampType)))
+
+  /** Watermarked exact admission — the always-on-ingest posture: a
+    * fingerprint's state lives only while the watermark is inside its
+    * admission window (`ingest_ts + delay`), so the state store is
+    * bounded by the distinct-key ARRIVAL RATE × delay, not by corpus
+    * lifetime. Semantics delta vs [[dedupByFingerprint]]: a duplicate
+    * arriving more than `delay` after the last retained sighting finds no
+    * state and is RE-ADMITTED — the contract is "no duplicates within
+    * `delay` of each other", which is what a crawl pipeline actually
+    * needs (exact-forever dedup belongs to the batch operator over the
+    * landed corpus). Input rows older than the watermark are dropped as
+    * late data, as in any watermarked operator. */
+  def dedupByFingerprintWatermarked(docs: DataFrame,
+      delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("fingerprint"), col("n_chars"),
+        unix_timestamp(col("ingest_ts")).as("admitted_ts"))
+
+  /** Watermarked SEGMENT admission — the ingest-time twin of
+    * [[graft.pipeline.Dedup.dedupSegments]] with bounded state: segment
+    * keys age out `delay` past their admission. Same re-admission
+    * semantics as [[dedupByFingerprintWatermarked]]. */
+  def admitSegmentsWatermarked(stream: DataFrame, segTokens: Int = 10,
+      delay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("__t", split(lower(col("text")), " "))
+      .select(explode(expr(graft.pipeline.Dedup.segListExpr(segTokens))).as("seg"),
+        col("ingest_ts"))
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("seg")
+      .select(col("seg"),
+        size(split(col("seg"), " ")).cast("long").as("n_tokens"),
+        unix_timestamp(col("ingest_ts")).as("admitted_ts"))
+
+  /** Stage DataFrames as one parquet file per micro-batch, ordered by
+    * index (names AND modification times both ascend, so the file source
+    * triggers them in exactly this order). */
+  private[streaming] def stageOrderedBatches(spark: SparkSession,
+      batches: Seq[(String, DataFrame)]): String = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-stream-batches-")
+    graft.TempDirs.register(d)
+    for (((tag, df), i) <- batches.zipWithIndex) {
+      val sub = d.resolve(s"__stage_$tag")
+      df.coalesce(1).write.parquet(sub.toString)
+      val ls = Files.list(sub)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
+      val dst = d.resolve(s"${i}_$tag.parquet")
+      Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000L * 60 * i))
+      val walk = Files.walk(sub)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.delete(p); () })
+      finally walk.close()
+    }
+    d.toString
+  }
+
+  /** Oracle-gate runner for the watermarked exact admission: three staged
+    * micro-batches with arithmetic ingest times —
+    *
+    *  1. every document at 10:00 (all admitted; watermark → 09:50)
+    *  2. doc_id % 3 == 0 duplicates at 10:05 (suppressed — state alive)
+    *     plus one sentinel at 10:30 (admitted; watermark → 10:20, which
+    *     passes every 10:0x admission window)
+    *  3. a second sentinel at 10:31 (admitted) — state cleanup runs at
+    *     batch END, so this filler batch is where the expired index is
+    *     actually EVICTED (pinned empirically; `WatermarkDedupSpec`
+    *     observes the same one-batch lag in numRowsTotal)
+    *  4. doc_id % 5 == 0 duplicates at 10:25 (RE-ADMITTED — state gone;
+    *     not late: 10:25 > the 10:21 watermark)
+    *
+    * Every step is doc_id/timestamp arithmetic, so DuckDB recomputes the
+    * full admitted set — the windowed semantics as one hash-checked gate. */
+  def runWatermarkedToBatch(spark: SparkSession, docFile: String,
+      name: String, delay: String = "10 minutes"): DataFrame = {
+    val docs = spark.read.parquet(docFile)
+    def at(t: String) = to_timestamp(lit(s"2026-01-01 $t"), "yyyy-MM-dd HH:mm:ss")
+    val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
+    def sentinel(text: String, t: String) = spark.range(1).select(
+      lit(-1L).as("doc_id"), lit(text).as("text"),
+      lit(text.length.toLong).as("n_chars"), at(t).as("ingest_ts"))
+    val dir = stageOrderedBatches(spark, Seq(
+      "all" -> base.withColumn("ingest_ts", at("10:00:00")),
+      "dup3" -> base.filter(col("doc_id") % 3 === 0)
+        .withColumn("ingest_ts", at("10:05:00"))
+        .unionByName(sentinel("watermark-advancer", "10:30:00")),
+      "adv2" -> sentinel("watermark-advancer-2", "10:31:00"),
+      "dup5" -> base.filter(col("doc_id") % 5 === 0)
+        .withColumn("ingest_ts", at("10:25:00"))))
+    val stream = spark.readStream
+      .schema(docTsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = dedupByFingerprintWatermarked(stream, delay)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 
   /** run to completion over the staged copies and return the admitted set */
   def runToBatch(spark: SparkSession, docFile: String, name: String,
@@ -258,9 +384,7 @@ object DedupStream {
       .parquet(d.toString)
     val admitted = stream
       .withColumn("__t", split(lower(col("text")), " "))
-      .select(explode(expr(
-        s"transform(sequence(0, cast(ceil(size(__t) / ${segTokens}.0) as int) - 1), " +
-        s"i -> array_join(slice(__t, i * $segTokens + 1, $segTokens), ' '))")).as("seg"))
+      .select(explode(expr(graft.pipeline.Dedup.segListExpr(segTokens))).as("seg"))
       .dropDuplicates("seg")
       .select(col("seg"),
         size(split(col("seg"), " ")).cast("long").as("n_tokens"))
