@@ -100,7 +100,11 @@ object ScaleSmoke {
       col("doc_id") + lit(i * docOff))).reduce(_.unionByName(_))
     val bigEmb = (0 until mult).map(i => emb0.withColumn("vec_id",
       col("vec_id") + lit(i * embOff))).reduce(_.unionByName(_))
-    time("minhash_pairs")(graft.pipeline.Dedup.minhashPairs(bigDocs).count())
+    time("minhash_pairs")(graft.pipeline.Dedup.minhashPairs(bigDocs,
+      numHashes = 8, bands = 4).count())
+    // the auto-sized path (threshold-driven 0.9-recall banding) measured
+    // beside the pinned knobs — the verdict-4 2x comparison artifact
+    time("minhash_pairs_auto")(graft.pipeline.Dedup.minhashPairs(bigDocs).count())
     time("corpus_clean")(graft.pipeline.CorpusClean.clean(bigDocs).count())
     time("emb_quantize")(graft.pipeline.Quantization.quantizeInt8(bigEmb).count())
     time("sim_lsh")(graft.pipeline.Similarity.lshCosinePairs(bigEmb).count())
@@ -113,7 +117,8 @@ object ScaleSmoke {
     // pairs), never the corpus; IVFADC trains on the bounded sample and
     // searches via the bucket join — both must stay ~linear in mult
     time("dedup_clusters")(graft.pipeline.ConnectedComponents
-      .clusters(graft.pipeline.Dedup.minhashPairs(bigDocs)).count())
+      .clusters(graft.pipeline.Dedup.minhashPairs(bigDocs,
+        numHashes = 8, bands = 4)).count())
     time("sim_ivfadc")(graft.pipeline.Quantization.ivfAdcTopK(bigEmb).count())
     // late round-4 shapes: substring-window dedup explodes O(tokens)
     // fingerprints (mult× linear; the clone shards make every window a

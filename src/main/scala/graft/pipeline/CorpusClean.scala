@@ -34,7 +34,8 @@ object CorpusClean {
       .select(col("doc_id"), col("predicted"))
     val canonical = Dedup.exact(docs).filter(!col("is_dup")).select("doc_id")
     val nearDupLosers = ConnectedComponents
-      .clusters(Dedup.minhashPairs(docs, threshold = nearDupThreshold))
+      .clusters(Dedup.minhashPairs(docs, numHashes = 8, bands = 4,
+        threshold = nearDupThreshold))
       .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
 
     docs.join(quality, "doc_id")
@@ -63,7 +64,8 @@ object CorpusClean {
   def keepBest(docs: DataFrame, nearDupThreshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clusters = ConnectedComponents
-      .clusters(Dedup.minhashPairs(docs, threshold = nearDupThreshold))
+      .clusters(Dedup.minhashPairs(docs, numHashes = 8, bands = 4,
+        threshold = nearDupThreshold))
     val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality_score").desc, col("doc_id"))

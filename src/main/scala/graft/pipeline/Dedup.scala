@@ -133,7 +133,7 @@ object Dedup {
     * MinHash collision probability is exactly J, no geometry estimate
     * needed. */
   def minhashParamsFor(threshold: Double, recallTarget: Double = 0.9,
-      maxHashes: Int = 64): (Int, Int) = {
+      maxHashes: Int = 64, requireFeasible: Boolean = true): (Int, Int) = {
     require(threshold > 0 && threshold < 1, "minhashParamsFor: t in (0,1)")
     def bFor(r: Int): Long = {
       val p = math.pow(threshold, r)
@@ -143,6 +143,16 @@ object Dedup {
     val r = (maxHashes to 1 by -1)
       .find(r => bFor(r) <= (maxHashes / r).toLong).getOrElse(1)
     val b = math.min(maxHashes / r, bFor(r)).toInt
+    // an infeasible combination (even r=1 can't reach the target within
+    // the budget, e.g. t=0.01 at 0.9) must not DEGRADE silently — the
+    // caller asked for a recall contract; fail with the achievable number
+    // unless they opt into best-effort explicitly
+    val achieved = 1.0 - math.pow(1.0 - math.pow(threshold, r), b.toDouble)
+    require(!requireFeasible || achieved >= recallTarget - 1e-9,
+      f"minhashParamsFor: recallTarget=$recallTarget unreachable at " +
+      f"threshold=$threshold within maxHashes=$maxHashes — best " +
+      f"(numHashes=${r * b}, bands=$b) achieves recall $achieved%.3f; raise " +
+      "maxHashes, lower the target, or pass requireFeasible=false")
     (r * b, b)
   }
 
@@ -150,10 +160,24 @@ object Dedup {
     * numHashes/bands), bucket-join, then verify candidates with exact
     * shingle Jaccard >= threshold. Deterministic: banding may miss
     * borderline pairs (recall 1-(1-j^r)^b) but never invents them.
-    * Size (numHashes, bands) for an ad-hoc threshold via
-    * [[minhashParamsFor]]; the oracle gates pin the (8, 4) default. */
-  def minhashPairs(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
+    *
+    * `numHashes = 0` (the default) sizes BOTH knobs from the threshold via
+    * [[minhashParamsFor]] (0.9-recall contract — e.g. t=0.5 → (54, 18)),
+    * so a bare call carries a recall guarantee instead of an arbitrary
+    * constant; the oracle gates pin (8, 4) explicitly, keeping their
+    * candidate sets — and hashes-per-doc cost — byte-identical. */
+  def minhashPairs(docs: DataFrame, numHashes: Int = 0, bands: Int = 0,
       threshold: Double = 0.5): DataFrame = {
+    require((numHashes > 0) == (bands > 0),
+      "minhashPairs: pass numHashes and bands together, or neither (auto)")
+    val (nh, nb) =
+      if (numHashes > 0) (numHashes, bands)
+      else minhashParamsFor(threshold)
+    minhashPairsPinned(docs, nh, nb, threshold)
+  }
+
+  private def minhashPairsPinned(docs: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     // the shingle sets feed signature generation AND candidate
     // verification — both read the shared withShingles cache
     val sh = withShingles(docs)
@@ -439,6 +463,53 @@ object Dedup {
         round(col("dup_windows").cast("double") / col("n_windows"), 4).as("dup_frac"))
   }
 
+  // ---- shared segmentation arithmetic (batch operators + streaming
+  // twins + the DuckDB oracles must all agree on it, so it lives ONCE) ----
+
+  private def segSeq(segTokens: Int): String =
+    s"sequence(0, cast(ceil(size(__t) / ${segTokens}.0) as int) - 1)"
+  private def segJoin(segTokens: Int): String =
+    s"array_join(slice(__t, i * $segTokens + 1, $segTokens), ' ')"
+
+  /** consecutive non-overlapping `segTokens`-token segments of a pre-split
+    * `__t` token array, as a plain string array — the streaming twins'
+    * form (no seg_idx) */
+  private[graft] def segListExpr(segTokens: Int): String =
+    s"transform(${segSeq(segTokens)}, i -> ${segJoin(segTokens)})"
+
+  /** same segmentation as (seg_idx, seg) structs — the batch operators'
+    * form (the rebuild needs positions) */
+  private[graft] def segStructsExpr(segTokens: Int): String =
+    s"transform(${segSeq(segTokens)}, i -> struct(cast(i as bigint) as seg_idx, " +
+    s"${segJoin(segTokens)} as seg))"
+
+  /** (doc_id, seg_idx, seg) rows — the one explode both segment operators
+    * build on */
+  private def explodeSegments(docs: DataFrame, segTokens: Int): DataFrame =
+    docs
+      .withColumn("__t", toks)
+      .select(col("doc_id"), explode(expr(segStructsExpr(segTokens))).as("s"))
+      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
+
+  /** content key for the segment shuffles: raw text for short segments;
+    * md5 fingerprints (`keyByFingerprint`) so long-segment corpora shuffle
+    * fixed-width 32-char keys instead of the text itself */
+  private def segKey(keyByFingerprint: Boolean): Column =
+    if (keyByFingerprint) md5(col("seg")) else col("seg")
+
+  /** per-doc rebuild shared by the segment operators: count, drop-count
+    * (named `dropName`), and the text reassembled from kept segments in
+    * seg_idx order */
+  private def rebuildDocs(marked: DataFrame, dropName: String): DataFrame =
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as(dropName),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg), ' ')")
+          .as("clean_text"))
+      .select(col("doc_id"), col("n_segments"),
+        col(dropName).cast("long").as(dropName), col("clean_text"))
+
   /** C4/RefinedWeb-style GLOBAL segment dedup with text REBUILD: split
     * every document into consecutive non-overlapping `segTokens`-token
     * segments (the flat-text analog of C4's three-sentence granularity),
@@ -454,30 +525,22 @@ object Dedup {
     * map-side instead of landing on a single reducer the way a
     * corpus-wide row_number window would), one shuffle by doc_id for the
     * rebuild (per-doc bounded). Segments here are short; for
-    * long-segment corpora key the argmin by md5(seg) (the
-    * [[duplicatedSpans]] posture) so only fingerprints shuffle. */
-  def dedupSegments(docs: DataFrame, segTokens: Int = 10): DataFrame = {
-    val segs = docs
-      .withColumn("__t", toks)
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, cast(ceil(size(__t) / ${segTokens}.0) as int) - 1), " +
-          s"i -> struct(cast(i as bigint) as seg_idx, " +
-          s"array_join(slice(__t, i * $segTokens + 1, $segTokens), ' ') as seg))")).as("s"))
-      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
-    val first = segs.groupBy("seg")
+    * long-segment corpora set `keyByFingerprint`: the argmin aggregate and
+    * the mark-join key become md5(seg) (the [[duplicatedSpans]] posture) —
+    * the argmin exchange then carries only 32-char fingerprints (column
+    * pruning drops the text under it) instead of arbitrarily long segment
+    * text. Output is identical either way (md5 collisions aside) —
+    * spec-pinned by `SegmentFuzzSpec`. */
+  def dedupSegments(docs: DataFrame, segTokens: Int = 10,
+      keyByFingerprint: Boolean = false): DataFrame = {
+    val segs = explodeSegments(docs, segTokens)
+      .withColumn("__k", segKey(keyByFingerprint))
+    val first = segs.groupBy("__k")
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
-    val marked = segs.join(first, Seq("seg"))
+    val marked = segs.join(first, Seq("__k"))
       .withColumn("keep",
         col("f.doc_id") === col("doc_id") && col("f.seg_idx") === col("seg_idx"))
-    marked.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
-        expr("array_join(transform(array_sort(collect_list(" +
-          "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg), ' ')")
-          .as("clean_text"))
-      .select(col("doc_id"), col("n_segments"),
-        col("n_dropped").cast("long").as("n_dropped"), col("clean_text"))
+    rebuildDocs(marked, "n_dropped")
   }
 
   /** Document-frequency boilerplate STRIP — the RefinedWeb/CCNet rule
@@ -490,30 +553,19 @@ object Dedup {
     * Scale shape: the doc-frequency table is one distinct + one counted
     * groupBy on segment content (both partial-aggregated); the boiler
     * set is ≤ segments/maxDocFreq entries by construction, and the
-    * rebuild is the same per-doc bounded groupBy as [[dedupSegments]]. */
+    * rebuild is the same per-doc bounded groupBy as [[dedupSegments]].
+    * `keyByFingerprint` keys the df-count and the mark-join by md5(seg)
+    * for long-segment corpora, exactly as in [[dedupSegments]]. */
   def stripBoilerplate(docs: DataFrame, segTokens: Int = 10,
-      maxDocFreq: Int = 2): DataFrame = {
-    val segs = docs
-      .withColumn("__t", toks)
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, cast(ceil(size(__t) / ${segTokens}.0) as int) - 1), " +
-          s"i -> struct(cast(i as bigint) as seg_idx, " +
-          s"array_join(slice(__t, i * $segTokens + 1, $segTokens), ' ') as seg))")).as("s"))
-      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
-    val boiler = segs.select("seg", "doc_id").distinct()
-      .groupBy("seg").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= maxDocFreq).select("seg")
-    segs.join(boiler.withColumn("__b", lit(1)), Seq("seg"), "left")
+      maxDocFreq: Int = 2, keyByFingerprint: Boolean = false): DataFrame = {
+    val segs = explodeSegments(docs, segTokens)
+      .withColumn("__k", segKey(keyByFingerprint))
+    val boiler = segs.select("__k", "doc_id").distinct()
+      .groupBy("__k").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= maxDocFreq).select("__k")
+    val marked = segs.join(boiler.withColumn("__b", lit(1)), Seq("__k"), "left")
       .withColumn("keep", col("__b").isNull)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_boiler"),
-        expr("array_join(transform(array_sort(collect_list(" +
-          "CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg), ' ')")
-          .as("clean_text"))
-      .select(col("doc_id"), col("n_segments"),
-        col("n_boiler").cast("long").as("n_boiler"), col("clean_text"))
+    rebuildDocs(marked, "n_boiler")
   }
 
   /** 60-bit SimHash over the token stream (term-frequency weighted):

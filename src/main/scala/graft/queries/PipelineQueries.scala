@@ -19,7 +19,9 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "pipe_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(docs(s, d))),
-    "pipe_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
+    // gates pin (8, 4): the oracle recomputes exactly this banding
+    "pipe_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), numHashes = 8, bands = 4)),
     "pipe_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d))),
     "pipe_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     // SimHash near-dup pairs via the pigeonhole block join — EXACT at
@@ -203,7 +205,8 @@ object PipelineQueries {
     // near-dup clustering: connected components over the MinHash-LSH
     // pair set (cluster id = component's minimum doc_id)
     "pipe_dedup_clusters" -> ((s, d) =>
-      ConnectedComponents.clusters(Dedup.minhashPairs(docs(s, d)))),
+      ConnectedComponents.clusters(
+        Dedup.minhashPairs(docs(s, d), numHashes = 8, bands = 4))),
     // quality-aware representative selection: within each near-dup
     // cluster keep the highest-quality member (ties -> lowest doc_id)
     "pipe_dedup_keep_best" -> ((s, d) => CorpusClean.keepBest(docs(s, d))),

@@ -345,7 +345,9 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("corpus clean drops every non-minimal member of a near-dup component") {
-    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+    // pinned to clean()'s own internal banding: auto-sized pairs would be
+    // a SUPERSET and flag losers clean() never saw
+    val pairs = Dedup.minhashPairs(docs, numHashes = 8, bands = 4, threshold = 0.5)
     val losers = ConnectedComponents.clusters(pairs)
       .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
     val cleaned = CorpusClean.clean(docs).select("doc_id")

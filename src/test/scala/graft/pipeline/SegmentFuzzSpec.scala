@@ -42,6 +42,14 @@ class SegmentFuzzSpec extends SparkTestBase {
         .toMap
       assert(got == model, s"round $round (k=$k) diverged: " +
         s"${(got.toSet -- model.toSet).take(3)} vs ${(model.toSet -- got.toSet).take(3)}")
+      // fingerprint-keyed shuffles are an internal layout choice — output
+      // identity with the text-keyed path is the contract
+      val gotFp = Dedup.dedupSegments(corpus.toDF("doc_id", "text"),
+        segTokens = k, keyByFingerprint = true)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(gotFp == model, s"round $round (k=$k) fp-keyed path diverged")
     }
   }
 
@@ -67,6 +75,12 @@ class SegmentFuzzSpec extends SparkTestBase {
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
         .toMap
       assert(got == model, s"round $round (k=$k, maxDf=$maxDf) diverged")
+      val gotFp = Dedup.stripBoilerplate(corpus.toDF("doc_id", "text"),
+        segTokens = k, maxDocFreq = maxDf, keyByFingerprint = true)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(gotFp == model, s"round $round (k=$k, maxDf=$maxDf) fp-keyed path diverged")
     }
   }
 

@@ -12,8 +12,8 @@ class NearDupStreamSpec extends SparkTestBase {
 
   test("streamed near-dup pairs equal batch MinHash-LSH pairs") {
     val file = "/root/testdata/sf0.001/documents.parquet"
-    val batch = Dedup.minhashPairs(spark.read.parquet(file))
-      .select("doc_a", "doc_b", "jac")
+    val batch = Dedup.minhashPairs(spark.read.parquet(file),
+      numHashes = 8, bands = 4).select("doc_a", "doc_b", "jac")
     val streamed = DedupStream.runNearDupToBatch(spark, file, "t_stream_neardup")
 
     assert(streamed.count() > 0, "expected planted near-dup pairs")
@@ -65,8 +65,8 @@ class NearDupStreamSpec extends SparkTestBase {
     // including the cross-batch pairs that only state can find.
     import org.apache.spark.sql.streaming.Trigger
     val file = "/root/testdata/sf0.001/documents.parquet"
-    val batch = Dedup.minhashPairs(spark.read.parquet(file))
-      .select("doc_a", "doc_b", "jac")
+    val batch = Dedup.minhashPairs(spark.read.parquet(file),
+      numHashes = 8, bands = 4).select("doc_a", "doc_b", "jac")
     val expected = batch.count()
     val dir = DedupStream.stageParitySplit(spark, file)
     val stream = spark.readStream.schema(DedupStream.docSchema)
