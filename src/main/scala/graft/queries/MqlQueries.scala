@@ -397,7 +397,25 @@ object MqlQueries {
         "WHERE NOT EXISTS (SELECT 1 FROM mc_datasets d " +
         "WHERE d.namespace = e.ns AND d.name = e.n))::BIGINT " +
       "UNION ALL SELECT 'duplicate_fid', (SELECT count(*) FROM " +
-        "(SELECT fid FROM mc_files GROUP BY fid HAVING count(*) > 1))::BIGINT"),
+        "(SELECT fid FROM mc_files GROUP BY fid HAVING count(*) > 1))::BIGINT " +
+      "UNION ALL SELECT 'duplicate_membership', (SELECT count(*) FROM " +
+        "(SELECT fid FROM mc_files_datasets " +
+        "GROUP BY fid, dataset_namespace, dataset_name HAVING count(*) > 1))::BIGINT " +
+      // the derived catalog's namespaces dimension is itself derived from
+      // the files table, so this replay is structurally zero — the check
+      // matters for writable catalogs with a stored namespaces table
+      "UNION ALL SELECT 'missing_namespace', (SELECT count(*) FROM " +
+        "(SELECT DISTINCT namespace FROM mc_files) f WHERE f.namespace NOT IN " +
+        "(SELECT DISTINCT namespace FROM mc_files))::BIGINT " +
+      // datasets on a hierarchy cycle = nodes that reach themselves
+      "UNION ALL SELECT 'ds_cycle_member', (" +
+        "WITH RECURSIVE reach(src, dst) AS (" +
+        "SELECT parent_namespace || ' ' || parent_name, " +
+        "child_namespace || ' ' || child_name FROM mc_ds_parent_child " +
+        "UNION SELECT r.src, e.child_namespace || ' ' || e.child_name " +
+        "FROM reach r JOIN mc_ds_parent_child e " +
+        "ON r.dst = e.parent_namespace || ' ' || e.parent_name) " +
+        "SELECT count(DISTINCT src) FROM reach WHERE src = dst)::BIGINT"),
     // (key, value-as-json) pairs: value rendering pinned to Spark's
     // variant to_json — object keys sorted, compact separators, decimals
     // kept verbatim (both engines print doubles shortest-roundtrip)
