@@ -25,6 +25,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // MQL statements pass straight through spark.sql (SURVEY §7.3):
+    // `spark.sql("files from prod:raw where core.run > 500")` after
+    // MqlSql.install(spark, catalog); plain SQL is delegated untouched
+    ext.injectParser((_, delegate) => new graft.mql.MqlSqlParser(delegate))
     ext.injectFunction((
       new FunctionIdentifier("graft_adler32"),
       new ExpressionInfo(classOf[Adler32Expr].getName, "graft_adler32"),

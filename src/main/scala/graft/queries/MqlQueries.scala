@@ -116,6 +116,15 @@ object MqlQueries {
     // into the list node. F00000097 is retired (97 % 97 == 0).
     "mql_file_list" -> q("fids F00000003, F00000097, F00000101, F00000202 skip 1 limit 2") _,
 
+    // MQL text straight through spark.sql (ParserInterface passthrough,
+    // SURVEY §7.3) — a SQL notebook runs reference queries verbatim; the
+    // session's parser is injected by GraftExtensions (Verify/Bench
+    // register it), the catalog bound per session via MqlSql.install
+    "mql_sql_passthrough" -> ((s, dir) => {
+      graft.mql.MqlSql.install(s, new DerivedCatalog(s, dir))
+      fileOut(s.sql("files from dsns:ds1 where core.run < 250"))
+    }),
+
     // --- named queries (SURVEY §2.1) ---
     "mql_named_query" -> q("files selected by q:runs_low") _,
 
@@ -313,6 +322,11 @@ object MqlQueries {
       s"SELECT $FileCols FROM mc_files WHERE NOT retired ORDER BY fid LIMIT 30 OFFSET 50"),
     "mql_named_query" -> o(
       s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 1 AND m_run < 300"),
+    // same BFQ semantics as the API path — the passthrough must not change
+    // retired-row hiding or predicate compilation
+    "mql_sql_passthrough" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 1 AND m_run < 250"),
+
     "mql_file_list" -> o(
       s"SELECT $FileCols FROM mc_files" +
         " WHERE fid IN ('F00000003', 'F00000097', 'F00000101', 'F00000202')" +

@@ -19,6 +19,9 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the engine's session posture: native SQL functions + the MQL
+    // passthrough parser (exercised by MqlSqlPassthroughSpec)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .appName("graft-test")
     .getOrCreate()
 }
