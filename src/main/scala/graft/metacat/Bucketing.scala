@@ -54,10 +54,17 @@ object Bucketing {
     saveDim(source.queries.withColumn("metadata", to_json(col("metadata"))), "queries")
   }
 
-  /** catalog over the bucketed tables */
-  def catalog(spark: SparkSession, db: String): MetacatCatalog = new MetacatCatalog {
+  /** catalog over the bucketed tables. Pass the source catalog's
+    * `shredding` so metadata predicates keep compiling to the typed shred
+    * columns (they ride along in the bucketed files table) instead of
+    * re-parsing JSON per query. */
+  def catalog(spark: SparkSession, db: String,
+      shred: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = Map.empty)
+      : MetacatCatalog = new MetacatCatalog {
     import org.apache.spark.sql.functions._
     private def t(n: String) = spark.table(s"$db.$n")
+    override def shredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] =
+      shred
     override def files: DataFrame =
       t("files").withColumn("metadata", parse_json(col("metadata")))
     override def filesDatasets: DataFrame = t("files_datasets")

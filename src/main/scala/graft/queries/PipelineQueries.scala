@@ -16,6 +16,15 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** segment-gate corpus: a 10-token boilerplate header planted on every
+    * 4th doc (df = n/4, shared by all four segment gates and their
+    * DuckDB oracles) */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("shared header banner intro card segment alpha beta gamma delta "),
+          col("text"))).otherwise(col("text")))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "pipe_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(docs(s, d))),
@@ -32,22 +41,19 @@ object PipelineQueries {
     // C4-style global segment dedup + rebuild: plant a 10-token
     // boilerplate header on every 4th doc; exactly one copy survives
     // corpus-wide and every other planted doc loses its first segment
-    "pipe_dedup_segments" -> ((s, d) => {
-      val planted = docs(s, d).withColumn("text",
-        when(col("doc_id") % 4 === 0,
-          concat(lit("shared header banner intro card segment alpha beta gamma delta "),
-            col("text"))).otherwise(col("text")))
-      Dedup.dedupSegments(planted)
-    }),
+    "pipe_dedup_segments" -> ((s, d) => Dedup.dedupSegments(plantedDocs(s, d))),
     // df-based boilerplate strip: same planted corpus; the header (df=125)
     // is removed from EVERY planted doc, first occurrence included
-    "pipe_strip_boilerplate" -> ((s, d) => {
-      val planted = docs(s, d).withColumn("text",
-        when(col("doc_id") % 4 === 0,
-          concat(lit("shared header banner intro card segment alpha beta gamma delta "),
-            col("text"))).otherwise(col("text")))
-      Dedup.stripBoilerplate(planted, maxDocFreq = 50)
-    }),
+    "pipe_strip_boilerplate" -> ((s, d) =>
+      Dedup.stripBoilerplate(plantedDocs(s, d), maxDocFreq = 50)),
+    // fingerprint-keyed twins (long-segment posture: the content shuffles
+    // carry md5(seg), never raw text) — output identity with the
+    // text-keyed path is the contract, so they share its oracles verbatim
+    "pipe_dedup_segments_fp" -> ((s, d) =>
+      Dedup.dedupSegments(plantedDocs(s, d), keyByFingerprint = true)),
+    "pipe_strip_boilerplate_fp" -> ((s, d) =>
+      Dedup.stripBoilerplate(plantedDocs(s, d), maxDocFreq = 50,
+        keyByFingerprint = true)),
     "pipe_sim_topk" -> ((s, d) => Similarity.bruteCosineTopK(emb(s, d))),
     "pipe_sim_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d),
       rowsPerBand = Similarity.LshRowsPerBand)),
@@ -643,7 +649,14 @@ object PipelineQueries {
       "GROUP BY e.query_id) " +
       "SELECT query_id, hits, round(hits / 5.0, 4) AS recall FROM h"
 
-  val oracles: Map[String, String] = Map(
+  // `__same_as__<name>` entries alias another gate's oracle verbatim —
+  // used by operator twins whose CONTRACT is byte-identical output.
+  // (lazy: oracles0 is declared below, a plain val would read null)
+  lazy val oracles: Map[String, String] = oracles0.map { case (k, v) =>
+    k -> (if (v.startsWith("__same_as__")) oracles0(v.stripPrefix("__same_as__")) else v)
+  }
+
+  private val oracles0: Map[String, String] = Map(
     "pipe_emb_pq" ->
       ("WITH samp AS (SELECT vec_id FROM embeddings ORDER BY md5('7:' || vec_id) LIMIT 8), " +
         PqTrain + ", " +
@@ -787,6 +800,11 @@ object PipelineQueries {
         "sum(CASE WHEN seg IN (SELECT seg FROM bf) THEN 1 ELSE 0 END)::BIGINT AS n_boiler, " +
         "coalesce(string_agg(CASE WHEN seg NOT IN (SELECT seg FROM bf) THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text " +
         "FROM ss GROUP BY doc_id"),
+
+    // fingerprint-keyed twins: identical output by contract, so the
+    // text-keyed oracles apply verbatim (self-references resolve below)
+    "pipe_dedup_segments_fp" -> "__same_as__pipe_dedup_segments",
+    "pipe_strip_boilerplate_fp" -> "__same_as__pipe_strip_boilerplate",
 
     // KMV distinct sketch: the k minima are order-independent so DuckDB
     // replays the estimator bit-for-bit ((k-1)·2^60 / kth-smallest-hash,
