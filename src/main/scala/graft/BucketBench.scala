@@ -27,12 +27,18 @@ object BucketBench {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/scale10x")
 
-    val plain = new DerivedCatalog(spark, dir)
-    val nFiles = plain.files.count() // warm the shredded-store ingest
+    // the A/B holds the storage medium constant: BOTH catalogs are
+    // on-disk managed tables built from the same source (a
+    // session-cached DerivedCatalog would conflate layout with medium —
+    // at 100 TB neither side lives in memory); only bucketing differs
+    val source = new DerivedCatalog(spark, dir)
+    val nFiles = source.files.count() // warm the shredded-store ingest
+    Bucketing.writeBucketed(spark, source, "gplain10", buckets = 0)
+    val plain = Bucketing.catalog(spark, "gplain10", source.shredding)
     val t0 = System.nanoTime()
-    Bucketing.writeBucketed(spark, plain, "gbuck10", buckets = cpus.toInt)
+    Bucketing.writeBucketed(spark, source, "gbuck10", buckets = cpus.toInt)
     val layoutSecs = (System.nanoTime() - t0) / 1e9
-    val bucketed = Bucketing.catalog(spark, "gbuck10", plain.shredding)
+    val bucketed = Bucketing.catalog(spark, "gbuck10", source.shredding)
     println(f"BUCKETBENCH corpus=$nFiles files, one-time bucketed layout: $layoutSecs%.1f s")
 
     val queries: Seq[(String, MetacatCatalog => DataFrame)] = Seq(

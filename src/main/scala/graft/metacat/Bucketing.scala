@@ -18,6 +18,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** `buckets <= 0` writes the same managed tables UNBUCKETED — the
+    * control arm for layout A/Bs (same storage medium, only the layout
+    * differs; comparing against a session-cached source conflates layout
+    * with medium). */
   def writeBucketed(spark: SparkSession, source: MetacatCatalog, db: String,
       buckets: Int = 16): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -36,8 +40,16 @@ object Bucketing {
     }
     def save(df: DataFrame, name: String, bucketCol: String): Unit = {
       reset(name)
-      df.write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      // co-partition the WRITE with the bucket function: without this,
+      // every one of the N input partitions spills rows into every
+      // bucket — N×buckets small files whose scan overhead eats the
+      // join savings. One shuffle at layout time buys 1 file per bucket.
+      val data =
+        if (buckets > 0)
+          df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+        else df
+      val w = data.write.mode(SaveMode.Overwrite)
+      (if (buckets > 0) w.bucketBy(buckets, bucketCol).sortBy(bucketCol) else w)
         .saveAsTable(s"$db.$name")
     }
     // Variant is engine-internal; store metadata as JSON text
