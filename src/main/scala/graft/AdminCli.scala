@@ -20,13 +20,15 @@ import graft.mql.Mql
   *   graft.Cli -c <root> file declare|retire|update-meta|update|move|
   *                            show|datasets …
   *   graft.Cli -c <root> named-query create|show|list|search …
+  *   graft.Cli -c <root> catalog fsck|compact|checkpoint|vacuum|history
   * }}}
   */
 object AdminCli {
 
   /** the admin group tokens; none collides with an MQL leading keyword
     * (`files`/`datasets`/`queries`/`fids`/`union`/`join`/`filter`) */
-  val Groups: Set[String] = Set("dataset", "namespace", "file", "named-query")
+  val Groups: Set[String] =
+    Set("dataset", "namespace", "file", "named-query", "catalog")
 
   /** true iff the FIRST positional token (skipping `-c`/`-n` flag pairs)
     * names an admin group — the query surface is untouched otherwise */
@@ -198,6 +200,20 @@ object AdminCli {
         emit(cat.queries.select("namespace", "name", "source").orderBy("namespace", "name"))
       case "named-query" :: "search" :: pat :: Nil =>
         emit(Mql.query(spark, cat, s"queries matching $pat"))
+
+      // ---- catalog maintenance (no reference-UI analog: the reference
+      // delegates integrity to Postgres and its daemons; a lakehouse
+      // catalog schedules these instead) ----
+      case "catalog" :: "fsck" :: Nil =>
+        emit(graft.metacat.Fsck.audit(cat).orderBy("check_name"))
+      case "catalog" :: "compact" :: Nil => // EXCLUSIVE window required
+        cat.compactFilesLog()
+      case "catalog" :: "checkpoint" :: Nil => // concurrent-safe pair:
+        println(s"""{"checkpoint_seq":${cat.checkpointFilesLog()}}""")
+      case "catalog" :: "vacuum" :: Nil => //   run on a schedule
+        println(s"""{"vacuum_horizon":${cat.vacuumFilesLog()}}""")
+      case "catalog" :: "history" :: Nil =>
+        emit(cat.logHistory())
 
       case other =>
         throw new IllegalArgumentException(

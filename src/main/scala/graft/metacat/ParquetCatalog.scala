@@ -66,7 +66,9 @@ import org.apache.spark.sql.types._
   *  - COW mode and the dimension tables (datasets, memberships, queries,
   *    provenance) rewrite whole files, so they are SINGLE-WRITER by
   *    contract — one admin session at a time, as a maintenance window.
-  *  - [[compactFilesLog]] requires an exclusive window in both modes.
+  *  - [[compactFilesLog]] requires an exclusive window in both modes;
+  *    [[checkpointFilesLog]] + [[vacuumFilesLog]] bound the log's read
+  *    cost WITHOUT one — the always-on multi-writer maintenance path.
   */
 final class ParquetCatalog(spark: SparkSession, root: String,
     fileShredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = Map.empty,
@@ -735,26 +737,58 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   private val logSchema = filesLogSchema(fileShredding)
 
-  private def logNonEmpty(): Boolean = {
+  private def rawLogNonEmpty(): Boolean = {
     val p = hPath("files_log")
     val fs = fsOf(p)
     fs.exists(p) && fs.getFileStatus(p).isDirectory && fs.listStatus(p).nonEmpty
   }
 
-  /** The delta log as a DataFrame. One commit = one `s<seq>/` parquet
+  /** true iff any UNFOLDED log state exists — raw commit segments or a
+    * checkpoint (after [[vacuumFilesLog]] the raw directory may be empty
+    * while the checkpoint still carries every not-yet-compacted mutation) */
+  private def logNonEmpty(): Boolean =
+    rawLogNonEmpty() || latestCkptSeq() > 0L
+
+  /** The RAW delta log as a DataFrame. One commit = one `s<seq>/` parquet
     * directory (see the OCC protocol below), so the read recurses; the
     * pre-OCC flat layout's top-level part files are picked up by the same
-    * recursive listing. */
+    * recursive listing. Post-vacuum this holds only segments above the
+    * checkpoint horizon — full-log readers go through [[logRecords]]. */
   private def readLog(): DataFrame =
     spark.read.schema(logSchema).option("recursiveFileLookup", "true")
       .parquet(path("files_log"))
+
+  /** Every unfolded log record, reading the cheapest equivalent source:
+    * with a checkpoint at seq c, the checkpoint (latest-per-fid over
+    * seqs ≤ c, original `__seq`/`__op` preserved) plus only the raw
+    * segments ABOVE c — one small parquet dir instead of c tiny commit
+    * dirs, the read-cost bound that keeps an always-on multi-writer
+    * catalog O(base + recent commits) instead of O(all commits ever).
+    * Latest-wins semantics are unchanged because the checkpoint already
+    * IS latest-per-fid over its prefix. Falls back to the raw log when no
+    * checkpoint exists or when legacy flat-layout rows reach above it. */
+  private def logRecords(): DataFrame = {
+    val c = latestCkptSeq()
+    if (c <= 0L || legacyFlatLogSeq() > c) {
+      if (rawLogNonEmpty()) readLog()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
+    } else {
+      val above = listSeqNames("files_log").filter(_ > c).sorted
+        .map(s => s"${path("files_log")}/${seqDirName(s)}")
+      val ckpt = spark.read.schema(logSchema)
+        .parquet(s"${path("files_log_ckpt")}/${seqDirName(c)}")
+      if (above.isEmpty) ckpt
+      else ckpt.unionByName(spark.read.schema(logSchema).parquet(above: _*))
+    }
+  }
 
   /** latest log record per fid (`__op` upsert|delete, highest `__seq`
     * wins). The log holds mutations-since-compaction only, so the window
     * runs over a small frame and the fid key set broadcasts. */
   private def logLatest(): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    readLog()
+    logRecords()
       .withColumn("__rn", row_number().over(
         Window.partitionBy("fid").orderBy(col("__seq").desc)))
       .filter(col("__rn") === 1)
@@ -846,9 +880,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
   }
 
-  /** highest CLAIMED seq — the allocation frontier for the next commit */
+  /** highest checkpointed seq (0 = no checkpoint). The checkpoint dir name
+    * IS the horizon record, so a vacuumed log (claims ≤ horizon removed)
+    * still allocates correctly: the frontier never falls below it. */
+  private def latestCkptSeq(): Long =
+    (0L +: listSeqNames("files_log_ckpt")).max
+
+  /** highest CLAIMED seq — the allocation frontier for the next commit.
+    * Includes the checkpoint horizon: vacuum deletes claim markers the
+    * checkpoint proves published, and the frontier must survive that. */
   private def maxClaimedSeq(): Long =
-    ((0L +: listSeqNames("files_log_claims")) :+ legacyFlatLogSeq()).max
+    ((0L +: listSeqNames("files_log_claims")) :+
+      legacyFlatLogSeq() :+ latestCkptSeq()).max
 
   /** atomically claim `s`: create-if-absent on the marker file; false ⇒
     * another writer owns it */
@@ -873,19 +916,25 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def awaitLogPublished(upTo: Long): Unit = {
     if (upTo <= 0L) return
     val legacy = legacyFlatLogSeq()
+    val ckpt = latestCkptSeq() // the checkpoint proves its prefix published
     val pending = listSeqNames("files_log_claims")
-      .filter(s => s <= upTo && s > legacy)
+      .filter(s => s <= upTo && s > legacy && s > ckpt)
     if (pending.isEmpty) return
     val fs = fsOf(hPath("files_log"))
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
     for (s <- pending.sorted) {
       val dir = new org.apache.hadoop.fs.Path(path("files_log"), seqDirName(s))
-      while (!fs.exists(dir)) {
-        if (System.nanoTime() > deadline)
+      val marker = new org.apache.hadoop.fs.Path(path("files_log_claims"), seqDirName(s))
+      var waiting = true
+      while (waiting && !fs.exists(dir)) {
+        // a concurrent vacuum may retire the claim (and its segment) after
+        // we listed it — the checkpoint carries that commit, stop waiting
+        if (!fs.exists(marker) || s <= latestCkptSeq()) waiting = false
+        else if (System.nanoTime() > deadline)
           throw new IllegalStateException(
             s"log seq $s is claimed but never published (crashed writer?); " +
             s"remove ${path("files_log_claims")}/${seqDirName(s)} to recover")
-        Thread.sleep(5L)
+        else Thread.sleep(5L)
       }
     }
   }
@@ -905,11 +954,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val s = prev + 1L
       val tmp = new org.apache.hadoop.fs.Path(
         path("_tmp"), s"commit-${java.util.UUID.randomUUID()}")
-      align(withShredCols(mkRows()), storedSchema)
-        .withColumn("__op", lit(op))
-        .withColumn("__seq", lit(s))
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (claimLogSeq(s)) {
+      val wrote =
+        try {
+          align(withShredCols(mkRows()), storedSchema)
+            .withColumn("__op", lit(op))
+            .withColumn("__seq", lit(s))
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          true
+        } catch {
+          // a concurrent vacuumFilesLog deleted raw segments between this
+          // plan's file listing and its execution — the checkpoint now
+          // carries them, so a FRESH snapshot read is correct: retry (the
+          // same remedy Delta prescribes for reads racing VACUUM)
+          case e: Throwable if fileVanished(e) => false
+        }
+      if (wrote && claimLogSeq(s)) {
         // we own s exclusively — the publish rename is uncontended
         val dst = new org.apache.hadoop.fs.Path(path("files_log"), seqDirName(s))
         fs.mkdirs(dst.getParent)
@@ -917,7 +976,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           throw new IllegalStateException(s"publish of claimed log seq $s failed: $tmp -> $dst")
         return
       }
-      // lost the claim: another commit took s — discard and recompute
+      // lost the claim (another commit took s) or the snapshot read raced
+      // a vacuum — discard and recompute against the fresh state
       fs.delete(tmp, true)
       attempt += 1
       if (attempt >= 20)
@@ -925,6 +985,25 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           s"gave up committing to $root/files_log after $attempt claim collisions")
       Thread.sleep(5L * attempt)
     }
+  }
+
+  /** true when any cause in the chain is a missing-file read failure —
+    * the signature of a snapshot listing racing [[vacuumFilesLog]] */
+  private def fileVanished(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 12) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = t.getMessage
+      // execution-time miss (task read) or plan-time miss (the listing
+      // saw a segment vacuum then deleted before spark.read opened it)
+      if (m != null && (m.contains("FileNotFoundException") ||
+          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")))
+        return true
+      t = t.getCause
+      depth += 1
+    }
+    false
   }
 
   /** mutation dispatch for the files table: MOR commits the touched rows'
@@ -947,7 +1026,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * parquet scan) rather than any in-memory counter so a reopened — or
     * concurrently written — catalog instance reports the true state. */
   def currentLogSeq(): Long =
-    ((0L +: listSeqNames("files_log")) :+ legacyFlatLogSeq()).max
+    ((0L +: listSeqNames("files_log")) :+
+      legacyFlatLogSeq() :+ latestCkptSeq()).max
 
   /** Merge-on-read TIME TRAVEL: the live files view as of log sequence
     * `seq` — the base table overlaid with only the log records whose
@@ -962,15 +1042,38 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * place, `dbobjects2.py`); this is a capability the delta-log storage
     * adds for free, so it is exposed.
     */
+  /** the vacuum horizon: 0 while the raw segments still cover the
+    * checkpointed prefix (checkpoint taken, nothing vacuumed yet — full
+    * per-seq history remains readable); the checkpoint seq once
+    * [[vacuumFilesLog]] has dropped the prefix (snapshots below it are
+    * gone, exactly like `VERSION AS OF` below a Delta VACUUM boundary) */
+  private def vacuumHorizon(): Long = {
+    val c = latestCkptSeq()
+    if (c > 0L && legacyFlatLogSeq() == 0L &&
+        !listSeqNames("files_log").exists(_ <= c)) c
+    else 0L
+  }
+
   def filesAsOf(seq: Long): DataFrame = {
     require(mergeOnRead, "filesAsOf requires a merge-on-read catalog")
     requireV2Layout()
     val base = readOr("files", storedSchema)
+    val horizon = vacuumHorizon()
+    if (seq > 0L && seq < horizon)
+      throw new IllegalStateException(
+        s"as-of seq $seq predates the vacuum horizon $horizon: the " +
+        "per-sequence history below a vacuumed checkpoint is gone " +
+        "(vacuumFilesLog bounds time travel the way VACUUM bounds " +
+        "VERSION AS OF in a Delta table)")
     val overlaid =
       if (!logNonEmpty() || seq <= 0L) base
       else {
         import org.apache.spark.sql.expressions.Window
-        val latest = readLog()
+        // below the checkpoint (but above any vacuum horizon) the raw
+        // segments are authoritative — the checkpoint's latest-per-fid
+        // collapse would leak mutations in (seq, ckpt] into the snapshot
+        val source = if (horizon > 0L) logRecords() else readLog()
+        val latest = source
           .filter(col("__seq") <= seq)
           .withColumn("__rn", row_number().over(
             Window.partitionBy("fid").orderBy(col("__seq").desc)))
@@ -999,7 +1102,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           StructField("namespace", StringType, nullable = true),
           StructField("name", StringType, nullable = true),
           StructField("retired", BooleanType, nullable = true))))
-    else readLog()
+    // full per-mutation journal while the raw segments survive; after
+    // vacuumFilesLog the pre-horizon part collapses to the checkpoint's
+    // latest-per-fid records (same boundary filesAsOf enforces)
+    else (if (vacuumHorizon() > 0L) logRecords() else readLog())
       .select(col("__seq"), col("__op"), col("fid"), col("namespace"),
         col("name"), col("retired"))
       .orderBy(col("__seq"), col("fid"))
@@ -1024,7 +1130,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   def compactFilesLog(): Unit = {
     if (!mergeOnRead || !logNonEmpty()) return
-    val log = readLog()
+    val log = logRecords()
     val base = readOr("files", storedSchema)
     val touched = base
       .join(log.select("fid").distinct(), Seq("fid"), "left_semi")
@@ -1033,15 +1139,110 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .distinct().collect().map(_.getString(0)).toSeq
     rewriteFilesScoped(storedFiles(), touched)
     onCompactMidpoint()
-    // truncate log + claims together: post-compaction sequences restart
-    // at 1 everywhere (allocation reads the store, never a live counter)
-    // and [[filesAsOf]]'s reachable range stays the dense
-    // 0..currentLogSeq(). Compaction needs an EXCLUSIVE window — a
-    // concurrent commit racing this delete could land between the swap
-    // and the truncation (see the OCC protocol notes above).
+    // truncate log + claims + CHECKPOINTS together: post-compaction
+    // sequences restart at 1 everywhere (allocation reads the store,
+    // never a live counter) and [[filesAsOf]]'s reachable range stays the
+    // dense 0..currentLogSeq(). A surviving checkpoint would be poison —
+    // its records are already folded into the base, but its seq would
+    // push the allocation frontier past the restart. Compaction needs an
+    // EXCLUSIVE window — a concurrent commit OR checkpoint racing these
+    // deletes could land between the swap and the truncation (see the
+    // OCC protocol notes above). [[checkpointFilesLog]] +
+    // [[vacuumFilesLog]] are the no-exclusive-window alternative.
     fsOf(hPath("files_log")).delete(hPath("files_log"), true)
     fsOf(hPath("files_log_claims")).delete(hPath("files_log_claims"), true)
+    fsOf(hPath("files_log_ckpt")).delete(hPath("files_log_ckpt"), true)
     ()
+  }
+
+  // ---- checkpoint + vacuum: bounded log reads WITHOUT compaction's
+  // exclusive window ----
+  //
+  // compactFilesLog rewrites base partitions and truncates the log, so it
+  // serializes against every writer. An always-on multi-writer catalog
+  // can never schedule that window — and without it the log grows one
+  // tiny parquet dir per commit forever, making every read replay the
+  // whole history (the Delta-lake problem, and Delta's answer: periodic
+  // CHECKPOINT files + VACUUM of superseded deltas). Same shape here:
+  //
+  //  - checkpointFilesLog() materializes latest-per-fid over the published
+  //    prefix ≤ n into `files_log_ckpt/s<n>/` (tmp write + atomic rename,
+  //    idempotent). It is a PURE FUNCTION of already-published commits:
+  //    concurrent commits land at n+1, n+2, … and are simply not covered,
+  //    so no coordination with writers is needed — the one operation that
+  //    must not run concurrently is compactFilesLog (it truncates what the
+  //    checkpoint reads).
+  //  - readers ([[logRecords]]) then read one checkpoint dir + the
+  //    segments ABOVE it: O(base + commits-since-checkpoint).
+  //  - vacuumFilesLog() deletes the raw segments, claim markers, flat
+  //    legacy files and older checkpoints the newest checkpoint covers.
+  //    After vacuum, time travel below the horizon fails loudly
+  //    ([[filesAsOf]]) and logHistory's pre-horizon part collapses to
+  //    latest-per-fid — the documented, Delta-VACUUM-shaped trade.
+  //    Deletion order (claims first, then segments, newest-covered last)
+  //    keeps concurrent commit allocation safe: the frontier reads
+  //    max(claims, checkpoint), and the checkpoint dir lands before any
+  //    claim it supersedes is removed.
+
+  /** Materialize the published log prefix into a checkpoint; returns its
+    * seq (0 = empty log, nothing to do). Safe under concurrent writers;
+    * must not race [[compactFilesLog]] (see the protocol notes above). */
+  def checkpointFilesLog(): Long = {
+    require(mergeOnRead, "checkpointFilesLog requires a merge-on-read catalog")
+    val n = currentLogSeq()
+    if (n <= 0L) return 0L
+    if (latestCkptSeq() >= n) return latestCkptSeq() // already covered
+    import org.apache.spark.sql.expressions.Window
+    val merged = logRecords()
+      .filter(col("__seq") <= n) // guard: a commit may publish mid-write
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("fid").orderBy(col("__seq").desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val fs = fsOf(hPath("files_log_ckpt"))
+    val tmp = new org.apache.hadoop.fs.Path(
+      path("_tmp"), s"ckpt-${java.util.UUID.randomUUID()}")
+    align(merged, logSchema).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(path("files_log_ckpt"), seqDirName(n))
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(tmp, dst)) {
+      // a concurrent checkpointer won the rename — theirs is equivalent
+      fs.delete(tmp, true)
+      if (!fs.exists(dst))
+        throw new IllegalStateException(s"checkpoint publish failed: $tmp -> $dst")
+    }
+    n
+  }
+
+  /** Drop the raw log prefix the newest checkpoint covers; returns the
+    * vacuum horizon (0 = no checkpoint, nothing vacuumed). Concurrent
+    * with writers; historical reads racing this degrade to the horizon
+    * (the Delta `VERSION AS OF` vs VACUUM race, documented above). */
+  def vacuumFilesLog(): Long = {
+    require(mergeOnRead, "vacuumFilesLog requires a merge-on-read catalog")
+    val c = latestCkptSeq()
+    if (c <= 0L) return 0L
+    val fs = fsOf(hPath("files_log"))
+    // claims first: a lingering claim whose segment is gone would strand
+    // awaitLogPublished; a gone claim with a lingering segment is inert
+    listSeqNames("files_log_claims").filter(_ <= c).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(path("files_log_claims"), seqDirName(s)), false)
+    }
+    listSeqNames("files_log").filter(_ <= c).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(path("files_log"), seqDirName(s)), true)
+    }
+    // legacy flat part files: deletable only when the checkpoint covers
+    // their max seq (always true for checkpoints this class wrote —
+    // logRecords refuses a ckpt below the flat max, so never strand them)
+    val logDir = hPath("files_log")
+    if (legacyFlatLogSeq() <= c && fs.exists(logDir))
+      fs.listStatus(logDir).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, false))
+    listSeqNames("files_log_ckpt").filter(_ < c).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(path("files_log_ckpt"), seqDirName(s)), true)
+    }
+    c
   }
 
   /** Delta-log integrity rows for [[Fsck.audit]] (merge-on-read only):
@@ -1065,14 +1266,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val published = listSeqNames("files_log")
     val claims = listSeqNames("files_log_claims")
     val legacy = legacyFlatLogSeq()
-    val present = (1L to legacy).toSet ++ published
-    val maxSeq = ((0L +: published.toList) :+ legacy).max
+    // seqs the vacuumed checkpoint covers are PRESENT by proof (the ckpt
+    // is their fold); pre-vacuum the raw segments must still be dense, so
+    // the horizon contributes nothing and a deleted commit stays visible
+    val horizon = vacuumHorizon()
+    val present = (1L to legacy).toSet ++ (1L to horizon) ++ published
+    val maxSeq = ((0L +: published.toList) :+ legacy :+ latestCkptSeq()).max
     val tombstones =
       if (!logNonEmpty())
         spark.range(1).select(lit("mor_tombstone_unknown_fid").as("check_name"),
           lit(0L).as("n_issues"))
       else {
-        val log = readLog()
+        val log = logRecords()
         val known = readOr("files", storedSchema).select("fid")
           .union(log.filter(col("__op") === LogUpsert).select("fid"))
         log.filter(col("__op") === LogDelete).select("fid")

@@ -50,7 +50,8 @@ object WritePathQueries {
     * the hard deletes, so the gate exercises log-only reads, compaction,
     * and post-compaction logging in one pass. */
   private def writePathScenario(s: SparkSession, dir: String,
-      cat: ParquetCatalog, compactMidway: Boolean): DataFrame = {
+      cat: ParquetCatalog, compactMidway: Boolean,
+      ckptMidway: Boolean = false): DataFrame = {
       val rows = seedRows(s, dir)
 
       // datasets, one carrying the reference's per-dataset file-metadata
@@ -92,6 +93,11 @@ object WritePathQueries {
       // MOR gate: fold the delta log into the base here — everything
       // below then runs against a freshly compacted table + new log
       if (compactMidway) cat.compactFilesLog()
+      // CKPT gate: checkpoint + vacuum instead — the raw commit dirs the
+      // checkpoint covers are GONE, every later read serves from the
+      // checkpoint + post-horizon segments, and the mutations below keep
+      // committing against the vacuumed log (no exclusive window taken)
+      if (ckptMidway) { cat.checkpointFilesLog(); cat.vacuumFilesLog() }
 
       // hard delete (DBFile.delete analog): k 45..49 vanish from the
       // files table AND from wds:low's membership
@@ -131,6 +137,19 @@ object WritePathQueries {
       writePathScenario(s, dir,
         new ParquetCatalog(s, rootPath.toString, mergeOnRead = true),
         compactMidway = true)
+    }),
+
+    // same scenario again under CHECKPOINT + VACUUM maintenance: the log
+    // is checkpointed and its raw prefix deleted mid-history, later
+    // mutations keep committing, and the final state must be identical —
+    // the bounded-log-read path an always-on multi-writer catalog runs on
+    // a schedule (compaction's exclusive window never taken)
+    "mql_write_path_ckpt" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpc_")
+      graft.TempDirs.register(rootPath)
+      writePathScenario(s, dir,
+        new ParquetCatalog(s, rootPath.toString, mergeOnRead = true),
+        compactMidway = false, ckptMidway = true)
     }),
 
     // MULTI-WRITER merge-on-read: TWO independent catalog instances on one
@@ -358,6 +377,7 @@ object WritePathQueries {
   val oracles: Map[String, String] = Map(
     "mql_write_path" -> WritePathOracle,
     "mql_write_path_mor" -> WritePathOracle,
+    "mql_write_path_ckpt" -> WritePathOracle,
     "mql_write_path_asof" -> AsOfOracle,
 
     // interleaved two-instance state, recomputed arithmetically: both
