@@ -1,0 +1,394 @@
+package graft.metacat
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.Path
+
+/** One multi-writer OCC-governed delta log under `root`:
+  *
+  *  - `<name>/s<seq>/` — published commit segments (one parquet dir per
+  *    mutation)
+  *  - `<name>_claims/s<seq>` — atomic claim markers
+  *  - `<name>_ckpt/s<seq>/` — checkpoints (the folded published prefix)
+  *
+  * The reference serializes concurrent clients through Postgres
+  * transactions (data_handler.py handlers run on one transactional
+  * connection each; uniqueness comes from the schema's primary keys).
+  * Here the log IS the commit protocol, in the Delta-log shape: each
+  * mutation occupies exactly one `__seq`, a seq is CLAIMED by an atomic
+  * create-if-absent marker file and PUBLISHED by renaming the pre-written
+  * parquet directory to `<name>/s<seq>/`. Claims are dense (next = max
+  * claimed + 1), so a writer that wins the claim for seq s is guaranteed
+  * no other commit landed between its snapshot read (all published seqs
+  * ≤ s-1) and its claim — the mutation's row versions were computed
+  * against exactly the state they serialize after. A lost claim aborts
+  * the attempt and the mutation RECOMPUTES from the new state and
+  * retries: serializable OCC.
+  *
+  * Atomicity of the claim: `java.nio.Files.createFile` (O_CREAT|O_EXCL)
+  * on local filesystems — Hadoop's RawLocalFileSystem.create is
+  * check-then-act, not atomic — and `FileSystem.create(p, overwrite =
+  * false)` elsewhere (a single atomic namenode op on HDFS). Object
+  * stores without atomic create-if-absent need a CAS-capable commit
+  * service, the same caveat Delta documents for S3 multi-writer.
+  *
+  * Crash window: a writer that dies between claim and publish leaves an
+  * orphaned claim; successors block on [[awaitPublished]] and fail
+  * loudly after a timeout naming the orphan (Fsck.audit flags the same
+  * state). Recovery is manual marker removal — the Delta-equivalent of
+  * clearing a stale lock.
+  *
+  * Checkpoint + vacuum bound the log's read cost WITHOUT an exclusive
+  * window: [[checkpoint]] materializes `fold` over the published prefix
+  * ≤ n into `<name>_ckpt/s<n>/` (tmp write + atomic rename, idempotent —
+  * a PURE FUNCTION of already-published commits, so no coordination with
+  * writers is needed); [[records]] then reads one checkpoint dir + only
+  * the segments ABOVE it; [[vacuum]] deletes the covered raw segments,
+  * claim markers, legacy flat files and older checkpoints. The one
+  * operation that must not run concurrently is compaction ([[truncate]]
+  * callers), which folds the log into its base table and deletes all
+  * three directories — it needs an EXCLUSIVE window in every mode.
+  *
+  * @param schema    full at-rest record shape INCLUDING `__op`/`__seq`
+  * @param fold      pure latest-wins collapse used by checkpoints; must
+  *                  preserve the read semantics of the prefix it replaces
+  * @param legacyFlat when true, parquet part files directly under
+  *                  `<name>/` (a pre-OCC flat layout) are honored: their
+  *                  max `__seq` joins the allocation frontier and they are
+  *                  readable until the first vacuum/compaction that covers
+  *                  them
+  */
+private[metacat] final class OccLog(
+    spark: SparkSession, root: String, name: String, schema: StructType,
+    fold: DataFrame => DataFrame, legacyFlat: Boolean = false) {
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def path(t: String) = s"$root/$t"
+  private def hPath(t: String) = new Path(path(t))
+  private def fsOf(p: Path) = p.getFileSystem(hconf)
+  private val claimsT = s"${name}_claims"
+  private val ckptT = s"${name}_ckpt"
+
+  private def align(df: DataFrame): DataFrame =
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+
+  private val SeqDirName = "s(\\d{20})".r
+
+  private def seqDirName(s: Long): String = f"s$s%020d"
+
+  /** seq numbers present as `s<20 digits>` children of `t` */
+  private def listSeqNames(t: String): Seq[Long] = {
+    val p = hPath(t)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case SeqDirName(d) => d.toLong
+    }
+  }
+
+  def rawNonEmpty(): Boolean = {
+    val p = hPath(name)
+    val fs = fsOf(p)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory && fs.listStatus(p).nonEmpty
+  }
+
+  /** true iff any UNFOLDED log state exists — raw commit segments or a
+    * checkpoint (after [[vacuum]] the raw directory may be empty while
+    * the checkpoint still carries every not-yet-compacted mutation) */
+  def nonEmpty(): Boolean = rawNonEmpty() || ckptSeq() > 0L
+
+  /** The RAW log as a DataFrame. One commit = one `s<seq>/` parquet
+    * directory, so the read recurses; a pre-OCC flat layout's top-level
+    * part files are picked up by the same recursive listing. Post-vacuum
+    * this holds only segments above the checkpoint horizon — full-log
+    * readers go through [[records]]. */
+  def readRaw(): DataFrame =
+    spark.read.schema(schema).option("recursiveFileLookup", "true")
+      .parquet(path(name))
+
+  /** Every unfolded log record, reading the cheapest equivalent source:
+    * with a checkpoint at seq c, the checkpoint (`fold` over seqs ≤ c,
+    * original `__seq`/`__op` preserved) plus only the raw segments ABOVE
+    * c — one small parquet dir instead of c tiny commit dirs, the
+    * read-cost bound that keeps an always-on multi-writer catalog
+    * O(base + recent commits) instead of O(all commits ever). Latest-wins
+    * semantics are unchanged because the checkpoint already IS the fold
+    * of its prefix. Falls back to the raw log when no checkpoint exists
+    * or when legacy flat-layout rows reach above it. */
+  def records(): DataFrame = {
+    val c = ckptSeq()
+    if (c <= 0L || legacyFlatSeq() > c) {
+      if (rawNonEmpty()) readRaw()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val above = listSeqNames(name).filter(_ > c).sorted
+        .map(s => s"${path(name)}/${seqDirName(s)}")
+      val ckpt = spark.read.schema(schema)
+        .parquet(s"${path(ckptT)}/${seqDirName(c)}")
+      if (above.isEmpty) ckpt
+      else ckpt.unionByName(spark.read.schema(schema).parquet(above: _*))
+    }
+  }
+
+  /** Highest seq of the pre-OCC flat layout (parquet part files directly
+    * under `<name>/`). Read per call — cheap listing, and the flat files
+    * vanish for good at the first compaction, so memoizing would go
+    * stale across it. */
+  def legacyFlatSeq(): Long = {
+    if (!legacyFlat) return 0L
+    val p = hPath(name)
+    val fs = fsOf(p)
+    val hasFlat = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasFlat) 0L
+    else readRaw().agg(max(col("__seq"))).collect().head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+  }
+
+  /** highest checkpointed seq (0 = no checkpoint). The checkpoint dir
+    * name IS the horizon record, so a vacuumed log (claims ≤ horizon
+    * removed) still allocates correctly: the frontier never falls below
+    * it. */
+  def ckptSeq(): Long = (0L +: listSeqNames(ckptT)).max
+
+  /** highest CLAIMED seq — the allocation frontier for the next commit.
+    * Includes the checkpoint horizon: vacuum deletes claim markers the
+    * checkpoint proves published, and the frontier must survive that. */
+  private def maxClaimed(): Long =
+    ((0L +: listSeqNames(claimsT)) :+ legacyFlatSeq() :+ ckptSeq()).max
+
+  /** highest PUBLISHED seq — the log's current version number */
+  def currentSeq(): Long =
+    ((0L +: listSeqNames(name)) :+ legacyFlatSeq() :+ ckptSeq()).max
+
+  /** atomically claim `s`: create-if-absent on the marker file; false ⇒
+    * another writer owns it */
+  private def claim(s: Long): Boolean = {
+    val marker = new Path(path(claimsT), seqDirName(s))
+    val fs = fsOf(marker)
+    fs.mkdirs(marker.getParent)
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(marker.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(marker, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** Block until every claimed seq ≤ `upTo` has published its data dir —
+    * the predecessor is mid-rename, a bounded wait. A claim that never
+    * publishes (crashed writer) fails loudly after the timeout. */
+  private def awaitPublished(upTo: Long): Unit = {
+    if (upTo <= 0L) return
+    val legacy = legacyFlatSeq()
+    val ckpt = ckptSeq() // the checkpoint proves its prefix published
+    val pending = listSeqNames(claimsT)
+      .filter(s => s <= upTo && s > legacy && s > ckpt)
+    if (pending.isEmpty) return
+    val fs = fsOf(hPath(name))
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    for (s <- pending.sorted) {
+      val dir = new Path(path(name), seqDirName(s))
+      val marker = new Path(path(claimsT), seqDirName(s))
+      var waiting = true
+      while (waiting && !fs.exists(dir)) {
+        // a concurrent vacuum may retire the claim (and its segment)
+        // after we listed it — the checkpoint carries that commit, stop
+        // waiting
+        if (!fs.exists(marker) || s <= ckptSeq()) waiting = false
+        else if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"log seq $s is claimed but never published (crashed writer?); " +
+            s"remove ${path(claimsT)}/${seqDirName(s)} to recover")
+        else Thread.sleep(5L)
+      }
+    }
+  }
+
+  /** Commit one mutation's records under multi-writer OCC — O(rows
+    * touched), no base-table I/O beyond the read feeding `mkRows`.
+    * `mkRows` MUST build a fresh plan on each call (re-reading the log),
+    * because a lost claim means another commit landed and this mutation's
+    * rows must be recomputed against it. The frame it returns carries the
+    * record shape minus `__op`/`__seq`, which are stamped here. */
+  def commit(mkRows: () => DataFrame, op: String): Unit = {
+    val fs = fsOf(hPath(name))
+    var attempt = 0
+    while (true) {
+      val prev = maxClaimed()
+      awaitPublished(prev) // snapshot = exactly the committed seqs ≤ prev
+      val s = prev + 1L
+      val tmp = new Path(path("_tmp"), s"commit-${java.util.UUID.randomUUID()}")
+      val wrote =
+        try {
+          align(mkRows()
+              .withColumn("__op", lit(op))
+              .withColumn("__seq", lit(s)))
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          true
+        } catch {
+          // a concurrent vacuum deleted raw segments between this plan's
+          // file listing and its execution — the checkpoint now carries
+          // them, so a FRESH snapshot read is correct: retry (the same
+          // remedy Delta prescribes for reads racing VACUUM)
+          case e: Throwable if OccLog.fileVanished(e) => false
+        }
+      if (wrote && claim(s)) {
+        // we own s exclusively — the publish rename is uncontended
+        val dst = new Path(path(name), seqDirName(s))
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(tmp, dst))
+          throw new IllegalStateException(
+            s"publish of claimed log seq $s failed: $tmp -> $dst")
+        return
+      }
+      // lost the claim (another commit took s) or the snapshot read raced
+      // a vacuum — discard and recompute against the fresh state
+      fs.delete(tmp, true)
+      attempt += 1
+      if (attempt >= 20)
+        throw new IllegalStateException(
+          s"gave up committing to $root/$name after $attempt claim collisions")
+      Thread.sleep(5L * attempt)
+    }
+  }
+
+  /** the vacuum horizon: 0 while the raw segments still cover the
+    * checkpointed prefix (checkpoint taken, nothing vacuumed yet — full
+    * per-seq history remains readable); the checkpoint seq once
+    * [[vacuum]] has dropped the prefix (snapshots below it are gone,
+    * exactly like `VERSION AS OF` below a Delta VACUUM boundary) */
+  def vacuumHorizon(): Long = {
+    val c = ckptSeq()
+    if (c > 0L && legacyFlatSeq() == 0L &&
+        !listSeqNames(name).exists(_ <= c)) c
+    else 0L
+  }
+
+  /** Materialize the published prefix into a checkpoint; returns its seq
+    * (0 = empty log, nothing to do). Safe under concurrent writers; must
+    * not race compaction (it truncates what the checkpoint reads). */
+  def checkpoint(): Long = {
+    val n = currentSeq()
+    if (n <= 0L) return 0L
+    if (ckptSeq() >= n) return ckptSeq() // already covered
+    val merged = fold(records()
+      .filter(col("__seq") <= n)) // guard: a commit may publish mid-write
+    val fs = fsOf(hPath(ckptT))
+    val tmp = new Path(path("_tmp"), s"ckpt-${java.util.UUID.randomUUID()}")
+    align(merged).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dst = new Path(path(ckptT), seqDirName(n))
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(tmp, dst)) {
+      // a concurrent checkpointer won the rename — theirs is equivalent
+      fs.delete(tmp, true)
+      if (!fs.exists(dst))
+        throw new IllegalStateException(s"checkpoint publish failed: $tmp -> $dst")
+    }
+    n
+  }
+
+  /** Drop the raw log prefix the newest checkpoint covers; returns the
+    * vacuum horizon (0 = no checkpoint, nothing vacuumed). Concurrent
+    * with writers; historical reads racing this degrade to the horizon
+    * (the Delta `VERSION AS OF` vs VACUUM race). Deletion order (claims
+    * first, then segments, older checkpoints last) keeps concurrent
+    * commit allocation safe: the frontier reads max(claims, checkpoint),
+    * and the checkpoint dir landed before any claim it supersedes is
+    * removed. */
+  def vacuum(): Long = {
+    val c = ckptSeq()
+    if (c <= 0L) return 0L
+    val fs = fsOf(hPath(name))
+    // claims first: a lingering claim whose segment is gone would strand
+    // awaitPublished; a gone claim with a lingering segment is inert
+    listSeqNames(claimsT).filter(_ <= c).foreach { s =>
+      fs.delete(new Path(path(claimsT), seqDirName(s)), false)
+    }
+    listSeqNames(name).filter(_ <= c).foreach { s =>
+      fs.delete(new Path(path(name), seqDirName(s)), true)
+    }
+    // legacy flat part files: deletable only when the checkpoint covers
+    // their max seq (always true for checkpoints this class wrote —
+    // records() refuses a ckpt below the flat max, so never strand them)
+    val logDir = hPath(name)
+    if (legacyFlatSeq() <= c && fs.exists(logDir))
+      fs.listStatus(logDir).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, false))
+    listSeqNames(ckptT).filter(_ < c).foreach { s =>
+      fs.delete(new Path(path(ckptT), seqDirName(s)), true)
+    }
+    c
+  }
+
+  /** Delete the log, its claims and its checkpoints together — the final
+    * step of COMPACTION (exclusive window required): post-compaction
+    * sequences restart at 1 everywhere (allocation reads the store, never
+    * a live counter). A surviving checkpoint would be poison — its records
+    * are already folded into the base, but its seq would push the
+    * allocation frontier past the restart. */
+  def truncate(): Unit = {
+    fsOf(hPath(name)).delete(hPath(name), true)
+    fsOf(hPath(claimsT)).delete(hPath(claimsT), true)
+    fsOf(hPath(ckptT)).delete(hPath(ckptT), true)
+    ()
+  }
+
+  /** protocol integrity counters for Fsck: (seq gaps, orphaned claims,
+    * unclaimed publishes). Seqs the vacuumed checkpoint covers are
+    * PRESENT by proof (the ckpt is their fold); pre-vacuum the raw
+    * segments must still be dense, so the horizon contributes nothing
+    * and a deleted commit stays visible. */
+  def protocolAudit(): (Long, Long, Long) = {
+    val published = listSeqNames(name)
+    val claims = listSeqNames(claimsT)
+    val legacy = legacyFlatSeq()
+    val horizon = vacuumHorizon()
+    val present = (1L to legacy).toSet ++ (1L to horizon) ++ published
+    val maxSeq = ((0L +: published.toList) :+ legacy :+ ckptSeq()).max
+    ((1L to maxSeq).count(!present(_)).toLong,
+      claims.count(s => s > legacy && !present(s)).toLong,
+      published.count(s => s > legacy && !claims.contains(s)).toLong)
+  }
+}
+
+private[metacat] object OccLog {
+  /** true when any cause in the chain is a missing-file read failure —
+    * the signature of a snapshot listing racing [[OccLog.vacuum]] */
+  def fileVanished(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 12) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = t.getMessage
+      // execution-time miss (task read) or plan-time miss (the listing
+      // saw a segment vacuum then deleted before spark.read opened it)
+      if (m != null && (m.contains("FileNotFoundException") ||
+          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")))
+        return true
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** the standard checkpoint fold: latest record per key, original
+    * `__seq`/`__op` preserved */
+  def latestPerKey(keys: Seq[String])(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(col("__seq").desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -737,51 +737,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   private val logSchema = filesLogSchema(fileShredding)
 
-  private def rawLogNonEmpty(): Boolean = {
-    val p = hPath("files_log")
-    val fs = fsOf(p)
-    fs.exists(p) && fs.getFileStatus(p).isDirectory && fs.listStatus(p).nonEmpty
-  }
+  /** the files delta log under multi-writer OCC (claim markers + publish
+    * renames + checkpoint/vacuum) — protocol in [[OccLog]]; checkpoints
+    * fold to latest-per-fid */
+  private val filesLog = new OccLog(spark, root, "files_log", logSchema,
+    OccLog.latestPerKey(Seq("fid")), legacyFlat = true)
 
-  /** true iff any UNFOLDED log state exists — raw commit segments or a
-    * checkpoint (after [[vacuumFilesLog]] the raw directory may be empty
-    * while the checkpoint still carries every not-yet-compacted mutation) */
-  private def logNonEmpty(): Boolean =
-    rawLogNonEmpty() || latestCkptSeq() > 0L
+  private def logNonEmpty(): Boolean = filesLog.nonEmpty()
 
-  /** The RAW delta log as a DataFrame. One commit = one `s<seq>/` parquet
-    * directory (see the OCC protocol below), so the read recurses; the
-    * pre-OCC flat layout's top-level part files are picked up by the same
-    * recursive listing. Post-vacuum this holds only segments above the
-    * checkpoint horizon — full-log readers go through [[logRecords]]. */
-  private def readLog(): DataFrame =
-    spark.read.schema(logSchema).option("recursiveFileLookup", "true")
-      .parquet(path("files_log"))
+  private def readLog(): DataFrame = filesLog.readRaw()
 
-  /** Every unfolded log record, reading the cheapest equivalent source:
-    * with a checkpoint at seq c, the checkpoint (latest-per-fid over
-    * seqs ≤ c, original `__seq`/`__op` preserved) plus only the raw
-    * segments ABOVE c — one small parquet dir instead of c tiny commit
-    * dirs, the read-cost bound that keeps an always-on multi-writer
-    * catalog O(base + recent commits) instead of O(all commits ever).
-    * Latest-wins semantics are unchanged because the checkpoint already
-    * IS latest-per-fid over its prefix. Falls back to the raw log when no
-    * checkpoint exists or when legacy flat-layout rows reach above it. */
-  private def logRecords(): DataFrame = {
-    val c = latestCkptSeq()
-    if (c <= 0L || legacyFlatLogSeq() > c) {
-      if (rawLogNonEmpty()) readLog()
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
-    } else {
-      val above = listSeqNames("files_log").filter(_ > c).sorted
-        .map(s => s"${path("files_log")}/${seqDirName(s)}")
-      val ckpt = spark.read.schema(logSchema)
-        .parquet(s"${path("files_log_ckpt")}/${seqDirName(c)}")
-      if (above.isEmpty) ckpt
-      else ckpt.unionByName(spark.read.schema(logSchema).parquet(above: _*))
-    }
-  }
+  private def logRecords(): DataFrame = filesLog.records()
 
   /** latest log record per fid (`__op` upsert|delete, highest `__seq`
     * wins). The log holds mutations-since-compaction only, so the window
@@ -817,194 +783,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   // ---- multi-writer optimistic concurrency for the delta log ----
   //
-  // The reference serializes concurrent clients through Postgres
-  // transactions (data_handler.py handlers run on one transactional
-  // connection each; uniqueness comes from the schema's primary keys).
-  // Here the log IS the commit protocol, in the Delta-log shape: each
-  // mutation occupies exactly one `__seq`, a seq is CLAIMED by an atomic
-  // create-if-absent marker file (`files_log_claims/s<seq>`) and
-  // PUBLISHED by renaming the pre-written parquet directory to
-  // `files_log/s<seq>/`. Claims are dense (next = max claimed + 1), so a
-  // writer that wins the claim for seq s is guaranteed no other commit
-  // landed between its snapshot read (all published seqs ≤ s-1) and its
-  // claim — the mutation's row versions were computed against exactly the
-  // state they serialize after. A lost claim aborts the attempt and the
-  // mutation RECOMPUTES from the new state and retries: serializable OCC.
-  //
-  // Atomicity of the claim: `java.nio.Files.createFile` (O_CREAT|O_EXCL)
-  // on local filesystems — Hadoop's RawLocalFileSystem.create is
-  // check-then-act, not atomic — and `FileSystem.create(p, overwrite =
-  // false)` elsewhere (a single atomic namenode op on HDFS). Object
-  // stores without atomic create-if-absent need a CAS-capable commit
-  // service, the same caveat Delta documents for S3 multi-writer.
-  //
-  // Crash window: a writer that dies between claim and publish leaves an
-  // orphaned claim; successors block on [[awaitLogPublished]] and fail
-  // loudly after a timeout naming the orphan (Fsck.audit flags the same
-  // state). Recovery is manual marker removal — the Delta-equivalent of
-  // clearing a stale lock. COW mode has no commit protocol: mutations
-  // rewrite whole partitions, so COW catalogs are SINGLE-WRITER by
-  // contract (one admin session at a time, the reference's posture for a
-  // maintenance window). Compaction requires an exclusive window in both
-  // modes — it truncates the log that concurrent commits append to.
+  // The full claim/publish/checkpoint/vacuum protocol lives in [[OccLog]]
+  // (one instance per log — [[filesLog]] here). COW mode has no commit
+  // protocol: mutations rewrite whole partitions, so COW catalogs are
+  // SINGLE-WRITER by contract (one admin session at a time, the
+  // reference's posture for a maintenance window). Compaction requires an
+  // exclusive window in both modes — it truncates the log that concurrent
+  // commits append to.
 
-  private val SeqDirName = "s(\\d{20})".r
-
-  private def seqDirName(s: Long): String = f"s$s%020d"
-
-  /** seq numbers present as `s<20 digits>` children of `t` */
-  private def listSeqNames(t: String): Seq[Long] = {
-    val p = hPath(t)
-    val fs = fsOf(p)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
-      case SeqDirName(d) => d.toLong
-    }
-  }
-
-  /** Highest seq of the pre-OCC flat layout (parquet part files directly
-    * under `files_log/`, written by earlier versions of this class). Read
-    * per call — cheap listing, and the flat files vanish for good at the
-    * first compaction, so memoizing would go stale across it. */
-  private def legacyFlatLogSeq(): Long = {
-    val p = hPath("files_log")
-    val fs = fsOf(p)
-    val hasFlat = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (!hasFlat) 0L
-    else readLog().agg(max(col("__seq"))).collect().head match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-  }
-
-  /** highest checkpointed seq (0 = no checkpoint). The checkpoint dir name
-    * IS the horizon record, so a vacuumed log (claims ≤ horizon removed)
-    * still allocates correctly: the frontier never falls below it. */
-  private def latestCkptSeq(): Long =
-    (0L +: listSeqNames("files_log_ckpt")).max
-
-  /** highest CLAIMED seq — the allocation frontier for the next commit.
-    * Includes the checkpoint horizon: vacuum deletes claim markers the
-    * checkpoint proves published, and the frontier must survive that. */
-  private def maxClaimedSeq(): Long =
-    ((0L +: listSeqNames("files_log_claims")) :+
-      legacyFlatLogSeq() :+ latestCkptSeq()).max
-
-  /** atomically claim `s`: create-if-absent on the marker file; false ⇒
-    * another writer owns it */
-  private def claimLogSeq(s: Long): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(path("files_log_claims"), seqDirName(s))
-    val fs = fsOf(marker)
-    fs.mkdirs(marker.getParent)
-    if (fs.getScheme == "file") {
-      try {
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(marker.toUri.getPath))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      try { fs.create(marker, false).close(); true }
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-    }
-  }
-
-  /** Block until every claimed seq ≤ `upTo` has published its data dir —
-    * the predecessor is mid-rename, a bounded wait. A claim that never
-    * publishes (crashed writer) fails loudly after the timeout. */
-  private def awaitLogPublished(upTo: Long): Unit = {
-    if (upTo <= 0L) return
-    val legacy = legacyFlatLogSeq()
-    val ckpt = latestCkptSeq() // the checkpoint proves its prefix published
-    val pending = listSeqNames("files_log_claims")
-      .filter(s => s <= upTo && s > legacy && s > ckpt)
-    if (pending.isEmpty) return
-    val fs = fsOf(hPath("files_log"))
-    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-    for (s <- pending.sorted) {
-      val dir = new org.apache.hadoop.fs.Path(path("files_log"), seqDirName(s))
-      val marker = new org.apache.hadoop.fs.Path(path("files_log_claims"), seqDirName(s))
-      var waiting = true
-      while (waiting && !fs.exists(dir)) {
-        // a concurrent vacuum may retire the claim (and its segment) after
-        // we listed it — the checkpoint carries that commit, stop waiting
-        if (!fs.exists(marker) || s <= latestCkptSeq()) waiting = false
-        else if (System.nanoTime() > deadline)
-          throw new IllegalStateException(
-            s"log seq $s is claimed but never published (crashed writer?); " +
-            s"remove ${path("files_log_claims")}/${seqDirName(s)} to recover")
-        else Thread.sleep(5L)
-      }
-    }
-  }
-
-  /** Commit one mutation's new row versions (or tombstones) to the delta
-    * log under multi-writer OCC — O(rows touched), no base-table I/O
-    * beyond the read feeding `mkRows`. `mkRows` MUST build a fresh plan
-    * on each call (re-reading the log), because a lost claim means
-    * another commit landed and this mutation's rows must be recomputed
-    * against it. */
-  private def commitFilesLog(mkRows: () => DataFrame, op: String): Unit = {
-    val fs = fsOf(hPath("files_log"))
-    var attempt = 0
-    while (true) {
-      val prev = maxClaimedSeq()
-      awaitLogPublished(prev) // snapshot = exactly the committed seqs ≤ prev
-      val s = prev + 1L
-      val tmp = new org.apache.hadoop.fs.Path(
-        path("_tmp"), s"commit-${java.util.UUID.randomUUID()}")
-      val wrote =
-        try {
-          align(withShredCols(mkRows()), storedSchema)
-            .withColumn("__op", lit(op))
-            .withColumn("__seq", lit(s))
-            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          true
-        } catch {
-          // a concurrent vacuumFilesLog deleted raw segments between this
-          // plan's file listing and its execution — the checkpoint now
-          // carries them, so a FRESH snapshot read is correct: retry (the
-          // same remedy Delta prescribes for reads racing VACUUM)
-          case e: Throwable if fileVanished(e) => false
-        }
-      if (wrote && claimLogSeq(s)) {
-        // we own s exclusively — the publish rename is uncontended
-        val dst = new org.apache.hadoop.fs.Path(path("files_log"), seqDirName(s))
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(tmp, dst))
-          throw new IllegalStateException(s"publish of claimed log seq $s failed: $tmp -> $dst")
-        return
-      }
-      // lost the claim (another commit took s) or the snapshot read raced
-      // a vacuum — discard and recompute against the fresh state
-      fs.delete(tmp, true)
-      attempt += 1
-      if (attempt >= 20)
-        throw new IllegalStateException(
-          s"gave up committing to $root/files_log after $attempt claim collisions")
-      Thread.sleep(5L * attempt)
-    }
-  }
-
-  /** true when any cause in the chain is a missing-file read failure —
-    * the signature of a snapshot listing racing [[vacuumFilesLog]] */
-  private def fileVanished(e: Throwable): Boolean = {
-    var t: Throwable = e
-    var depth = 0
-    while (t != null && depth < 12) {
-      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
-      val m = t.getMessage
-      // execution-time miss (task read) or plan-time miss (the listing
-      // saw a segment vacuum then deleted before spark.read opened it)
-      if (m != null && (m.contains("FileNotFoundException") ||
-          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")))
-        return true
-      t = t.getCause
-      depth += 1
-    }
-    false
-  }
+  /** Commit one files-table mutation's new row versions (or tombstones)
+    * to the delta log under multi-writer OCC — O(rows touched). `mkRows`
+    * MUST build a fresh plan on each call (re-reading the log), because a
+    * lost claim means another commit landed and this mutation's rows must
+    * be recomputed against it. */
+  private def commitFilesLog(mkRows: () => DataFrame, op: String): Unit =
+    filesLog.commit(() => align(withShredCols(mkRows()), storedSchema), op)
 
   /** mutation dispatch for the files table: MOR commits the touched rows'
     * new versions to the log (recomputing via `mkUpdated` on claim
@@ -1025,9 +818,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * Reads the store (published seq directories — one cheap listing, no
     * parquet scan) rather than any in-memory counter so a reopened — or
     * concurrently written — catalog instance reports the true state. */
-  def currentLogSeq(): Long =
-    ((0L +: listSeqNames("files_log")) :+
-      legacyFlatLogSeq() :+ latestCkptSeq()).max
+  def currentLogSeq(): Long = filesLog.currentSeq()
 
   /** Merge-on-read TIME TRAVEL: the live files view as of log sequence
     * `seq` — the base table overlaid with only the log records whose
@@ -1047,12 +838,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * per-seq history remains readable); the checkpoint seq once
     * [[vacuumFilesLog]] has dropped the prefix (snapshots below it are
     * gone, exactly like `VERSION AS OF` below a Delta VACUUM boundary) */
-  private def vacuumHorizon(): Long = {
-    val c = latestCkptSeq()
-    if (c > 0L && legacyFlatLogSeq() == 0L &&
-        !listSeqNames("files_log").exists(_ <= c)) c
-    else 0L
-  }
+  private def vacuumHorizon(): Long = filesLog.vacuumHorizon()
 
   def filesAsOf(seq: Long): DataFrame = {
     require(mergeOnRead, "filesAsOf requires a merge-on-read catalog")
@@ -1149,10 +935,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // deletes could land between the swap and the truncation (see the
     // OCC protocol notes above). [[checkpointFilesLog]] +
     // [[vacuumFilesLog]] are the no-exclusive-window alternative.
-    fsOf(hPath("files_log")).delete(hPath("files_log"), true)
-    fsOf(hPath("files_log_claims")).delete(hPath("files_log_claims"), true)
-    fsOf(hPath("files_log_ckpt")).delete(hPath("files_log_ckpt"), true)
-    ()
+    filesLog.truncate()
   }
 
   // ---- checkpoint + vacuum: bounded log reads WITHOUT compaction's
@@ -1189,29 +972,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * must not race [[compactFilesLog]] (see the protocol notes above). */
   def checkpointFilesLog(): Long = {
     require(mergeOnRead, "checkpointFilesLog requires a merge-on-read catalog")
-    val n = currentLogSeq()
-    if (n <= 0L) return 0L
-    if (latestCkptSeq() >= n) return latestCkptSeq() // already covered
-    import org.apache.spark.sql.expressions.Window
-    val merged = logRecords()
-      .filter(col("__seq") <= n) // guard: a commit may publish mid-write
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("fid").orderBy(col("__seq").desc)))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-    val fs = fsOf(hPath("files_log_ckpt"))
-    val tmp = new org.apache.hadoop.fs.Path(
-      path("_tmp"), s"ckpt-${java.util.UUID.randomUUID()}")
-    align(merged, logSchema).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val dst = new org.apache.hadoop.fs.Path(path("files_log_ckpt"), seqDirName(n))
-    fs.mkdirs(dst.getParent)
-    if (!fs.rename(tmp, dst)) {
-      // a concurrent checkpointer won the rename — theirs is equivalent
-      fs.delete(tmp, true)
-      if (!fs.exists(dst))
-        throw new IllegalStateException(s"checkpoint publish failed: $tmp -> $dst")
-    }
-    n
+    filesLog.checkpoint()
   }
 
   /** Drop the raw log prefix the newest checkpoint covers; returns the
@@ -1220,29 +981,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * (the Delta `VERSION AS OF` vs VACUUM race, documented above). */
   def vacuumFilesLog(): Long = {
     require(mergeOnRead, "vacuumFilesLog requires a merge-on-read catalog")
-    val c = latestCkptSeq()
-    if (c <= 0L) return 0L
-    val fs = fsOf(hPath("files_log"))
-    // claims first: a lingering claim whose segment is gone would strand
-    // awaitLogPublished; a gone claim with a lingering segment is inert
-    listSeqNames("files_log_claims").filter(_ <= c).foreach { s =>
-      fs.delete(new org.apache.hadoop.fs.Path(path("files_log_claims"), seqDirName(s)), false)
-    }
-    listSeqNames("files_log").filter(_ <= c).foreach { s =>
-      fs.delete(new org.apache.hadoop.fs.Path(path("files_log"), seqDirName(s)), true)
-    }
-    // legacy flat part files: deletable only when the checkpoint covers
-    // their max seq (always true for checkpoints this class wrote —
-    // logRecords refuses a ckpt below the flat max, so never strand them)
-    val logDir = hPath("files_log")
-    if (legacyFlatLogSeq() <= c && fs.exists(logDir))
-      fs.listStatus(logDir).filter(st => st.isFile &&
-          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-        .foreach(st => fs.delete(st.getPath, false))
-    listSeqNames("files_log_ckpt").filter(_ < c).foreach { s =>
-      fs.delete(new org.apache.hadoop.fs.Path(path("files_log_ckpt"), seqDirName(s)), true)
-    }
-    c
+    filesLog.vacuum()
   }
 
   /** Delta-log integrity rows for [[Fsck.audit]] (merge-on-read only):
@@ -1263,15 +1002,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private[metacat] def morAuditRows(): Seq[DataFrame] = {
     def cntLit(name: String, n: Long): DataFrame =
       spark.range(1).select(lit(name).as("check_name"), lit(n).as("n_issues"))
-    val published = listSeqNames("files_log")
-    val claims = listSeqNames("files_log_claims")
-    val legacy = legacyFlatLogSeq()
-    // seqs the vacuumed checkpoint covers are PRESENT by proof (the ckpt
-    // is their fold); pre-vacuum the raw segments must still be dense, so
-    // the horizon contributes nothing and a deleted commit stays visible
-    val horizon = vacuumHorizon()
-    val present = (1L to legacy).toSet ++ (1L to horizon) ++ published
-    val maxSeq = ((0L +: published.toList) :+ legacy :+ latestCkptSeq()).max
+    val (gaps, orphans, unclaimed) = filesLog.protocolAudit()
     val tombstones =
       if (!logNonEmpty())
         spark.range(1).select(lit("mor_tombstone_unknown_fid").as("check_name"),
@@ -1287,11 +1018,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
     Seq(
       tombstones,
-      cntLit("mor_seq_gap", (1L to maxSeq).count(!present(_)).toLong),
-      cntLit("mor_orphaned_claim",
-        claims.count(s => s > legacy && !present(s)).toLong),
-      cntLit("mor_unclaimed_publish",
-        published.count(s => s > legacy && !claims.contains(s)).toLong))
+      cntLit("mor_seq_gap", gaps),
+      cntLit("mor_orphaned_claim", orphans),
+      cntLit("mor_unclaimed_publish", unclaimed))
   }
 
   /** JSON-text declare rows → stored shape: parse once, shred hot keys */
