@@ -209,9 +209,11 @@ object AdminCli {
       case "catalog" :: "compact" :: Nil => // EXCLUSIVE window required
         cat.compactFilesLog()
       case "catalog" :: "checkpoint" :: Nil => // concurrent-safe pair:
-        println(s"""{"checkpoint_seq":${cat.checkpointFilesLog()}}""")
+        println(s"""{"checkpoint_seq":${cat.checkpointFilesLog()},""" +
+          s""""members_checkpoint_seq":${cat.checkpointMembersLog()}}""")
       case "catalog" :: "vacuum" :: Nil => //   run on a schedule
-        println(s"""{"vacuum_horizon":${cat.vacuumFilesLog()}}""")
+        println(s"""{"vacuum_horizon":${cat.vacuumFilesLog()},""" +
+          s""""members_vacuum_horizon":${cat.vacuumMembersLog()}}""")
       case "catalog" :: "history" :: Nil =>
         emit(cat.logHistory())
 

@@ -59,16 +59,23 @@ import org.apache.spark.sql.types._
   *    one log sequence via claim-by-atomic-create + publish-by-rename,
   *    recomputing its row versions on claim collision — serializable
   *    optimistic concurrency, fuzz-proven by `MultiWriterSpec`.
+  *  - MOR MEMBERSHIP mutations are multi-writer safe the same way:
+  *    [[addTo]]/[[removeFrom]]/[[removeFiles]] commit add/remove records
+  *    to a second OCC log (`members_log`), and [[removeDataset]] retires
+  *    a whole dataset's membership with ONE wildcard tombstone instead of
+  *    rewriting the table. [[filesDatasets]] serves base ⊕ log.
   *  - Declares are append-path (no log commit unless resurrecting), so
   *    concurrent declares of DISTINCT fids are safe; racing declares of
   *    the SAME fid — or a declare racing a remove of that fid — are
   *    unsynchronized (the duplicate surfaces in `Fsck.audit`).
-  *  - COW mode and the dimension tables (datasets, memberships, queries,
-  *    provenance) rewrite whole files, so they are SINGLE-WRITER by
-  *    contract — one admin session at a time, as a maintenance window.
+  *  - COW mode and the remaining dimension tables (datasets, queries,
+  *    provenance edges, namespaces) rewrite whole files, so they are
+  *    SINGLE-WRITER by contract — one admin session at a time, as a
+  *    maintenance window.
   *  - [[compactFilesLog]] requires an exclusive window in both modes;
-  *    [[checkpointFilesLog]] + [[vacuumFilesLog]] bound the log's read
-  *    cost WITHOUT one — the always-on multi-writer maintenance path.
+  *    [[checkpointFilesLog]] + [[vacuumFilesLog]] (and the
+  *    `MembersLog` twins) bound the logs' read cost WITHOUT one — the
+  *    always-on multi-writer maintenance path.
   */
 final class ParquetCatalog(spark: SparkSession, root: String,
     fileShredding: Map[String, (String, graft.mql.MetaCompiler.ShredType)] = Map.empty,
@@ -124,7 +131,37 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // queries (Planner filters on !retired, which is null-out for null)
       .withColumn("retired", coalesce(col("retired"), lit(false)))
 
-  override def filesDatasets: DataFrame = readOr("files_datasets", FilesDatasetsSchema)
+  /** Live membership view. COW: the base table. MOR: the base overlaid
+    * with the membership delta log — a pair with any logged record
+    * resolves to its latest add/remove, and a dataset-wide `remove_all`
+    * wildcard (from [[removeDataset]]) kills base rows plus every pair
+    * record below its seq. Scale shape: all windows run over the
+    * mutation-sized log; the base scan joins only against broadcastable
+    * log-derived key sets — never a corpus-wide shuffle. */
+  override def filesDatasets: DataFrame = {
+    val base = readOr("files_datasets", FilesDatasetsSchema)
+    if (!mergeOnRead || !membersLog.nonEmpty()) return base
+    val recs = membersLog.records()
+    val pairLatest = OccLog.latestPerKey(
+      Seq("fid", "dataset_namespace", "dataset_name"))(
+      recs.filter(col("__op") =!= MemberRemoveAll))
+    val wild = recs.filter(col("__op") === MemberRemoveAll)
+      .groupBy("dataset_namespace", "dataset_name")
+      .agg(max(col("__seq")).as("__wseq"))
+    // base rows lose to ANY pair record (the log re-supplies live pairs
+    // below) and to any wildcard (base rows carry implicit seq 0)
+    val baseLive = base
+      .join(broadcast(pairLatest
+          .select("fid", "dataset_namespace", "dataset_name")),
+        Seq("fid", "dataset_namespace", "dataset_name"), "left_anti")
+      .join(broadcast(wild.select("dataset_namespace", "dataset_name")),
+        Seq("dataset_namespace", "dataset_name"), "left_anti")
+    val logLive = pairLatest.filter(col("__op") === MemberAdd)
+      .join(wild, Seq("dataset_namespace", "dataset_name"), "left")
+      .filter(col("__wseq").isNull || col("__seq") > col("__wseq"))
+      .select("fid", "dataset_namespace", "dataset_name")
+    baseLive.unionByName(logLive)
+  }
 
   override def datasets: DataFrame =
     readOr("datasets", DatasetsSchema)
@@ -234,10 +271,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // leave declared files missing from their target dataset if the
       // second append fails mid-way
       dataset.foreach { case (ns, n) =>
-        batch.select(col("fid"))
-          .withColumn("dataset_namespace", lit(ns))
-          .withColumn("dataset_name", lit(n))
-          .write.mode(SaveMode.Append).parquet(path("files_datasets"))
+        appendMemberships(batch.select(col("fid")), ns, n)
       }
       // the ONE JSON parse in a file row's life: text → stored Variant +
       // typed shred columns, at declare time
@@ -333,9 +367,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     rewrite(readOr("datasets", DatasetsSchema).filter(!hit),
       "datasets", DatasetsSchema, partitionCols = Nil)
     invalidateDatasets()
-    val mHit = col("dataset_namespace") === namespace && col("dataset_name") === name
-    rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!mHit),
-      "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
+    if (mergeOnRead) {
+      // one O(1) wildcard tombstone retires the WHOLE membership set —
+      // dropping a 100M-file dataset costs one log record instead of a
+      // full membership-table rewrite; compaction reclaims the rows
+      import spark.implicits._
+      membersLog.commit(() => Seq((Option.empty[String], namespace, name))
+        .toDF("fid", "dataset_namespace", "dataset_name"), MemberRemoveAll)
+    } else {
+      val mHit = col("dataset_namespace") === namespace && col("dataset_name") === name
+      rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!mHit),
+        "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
+    }
     val eHit = (col("parent_namespace") === namespace && col("parent_name") === name) ||
       (col("child_namespace") === namespace && col("child_name") === name)
     rewrite(readOr("datasets_parent_child", DsParentChildSchema).filter(!eHit),
@@ -352,10 +395,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     rewrite(readOr("parent_child", ParentChildSchema)
       .filter(!col("parent_fid").isin(fids: _*) && !col("child_fid").isin(fids: _*)),
       "parent_child", ParentChildSchema, partitionCols = Nil)
-    rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!hit),
-      "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
-    if (mergeOnRead) commitFilesLog(() => storedFiles().filter(hit), LogDelete)
-    else rewriteFilesScoped(storedFiles().filter(!hit), namespacesOf(fids))
+    if (mergeOnRead) {
+      // membership cleanup as remove records (mutation-sized; recomputed
+      // on claim collision), then the file tombstones — same
+      // dangling-edge-free order as the COW rewrites
+      def mkMembers() = filesDatasets.filter(hit)
+      if (mkMembers().limit(1).collect().nonEmpty)
+        membersLog.commit(() => mkMembers(), MemberRemove)
+      commitFilesLog(() => storedFiles().filter(hit), LogDelete)
+    } else {
+      rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!hit),
+        "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
+      rewriteFilesScoped(storedFiles().filter(!hit), namespacesOf(fids))
+    }
   }
 
   /** Create a namespace (`create_namespace`, data_handler.py:119-150;
@@ -421,14 +473,31 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // (data_handler.py:959 re-validates when files join a dataset)
       if (ds.requirements.nonEmpty) failOnViolations(fileSet, ds.requirements)
     }
-    val existing = filesDatasets
-      .filter(col("dataset_namespace") === namespace && col("dataset_name") === name)
-      .select("fid")
-    fileSet.select(col("fid"))
-      .join(existing, Seq("fid"), "left_anti") // membership is a set
-      .withColumn("dataset_namespace", lit(namespace))
-      .withColumn("dataset_name", lit(name))
-      .write.mode(SaveMode.Append).parquet(path("files_datasets"))
+    if (mergeOnRead) {
+      // OCC log commit: the membership-is-a-set anti-join recomputes on
+      // claim collision, so concurrent addTo/removeFrom of the same pair
+      // serialize instead of racing a check-then-act append (the COW
+      // branch's — and the reference's unique-violation-swallowing —
+      // posture). An all-members call commits nothing.
+      def mkRows() = fileSet.select(col("fid")).dropDuplicates("fid")
+        .join(filesDatasets
+            .filter(col("dataset_namespace") === namespace &&
+              col("dataset_name") === name)
+            .select("fid"), Seq("fid"), "left_anti")
+        .withColumn("dataset_namespace", lit(namespace))
+        .withColumn("dataset_name", lit(name))
+      if (mkRows().limit(1).collect().nonEmpty)
+        membersLog.commit(() => mkRows(), MemberAdd)
+    } else {
+      val existing = filesDatasets
+        .filter(col("dataset_namespace") === namespace && col("dataset_name") === name)
+        .select("fid")
+      fileSet.select(col("fid"))
+        .join(existing, Seq("fid"), "left_anti") // membership is a set
+        .withColumn("dataset_namespace", lit(namespace))
+        .withColumn("dataset_name", lit(name))
+        .write.mode(SaveMode.Append).parquet(path("files_datasets"))
+    }
   }
 
   /** remove files from a dataset (data_handler.py remove endpoint:
@@ -439,12 +508,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       throw new IllegalArgumentException(s"dataset $namespace:$name is frozen")
     if (ds.monotonic)
       throw new IllegalArgumentException(s"dataset $namespace:$name is monotonic")
-    val all = readOr("files_datasets", FilesDatasetsSchema)
-    val inDs = col("dataset_namespace") === namespace && col("dataset_name") === name
-    val kept = all.filter(!inDs).unionByName(
-      all.filter(inDs).join(fileSet.select("fid"), Seq("fid"), "left_anti")
-        .select("fid", "dataset_namespace", "dataset_name"))
-    rewrite(kept, "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
+    if (mergeOnRead) {
+      // remove records for the pairs that ARE currently members —
+      // recomputed on claim collision, O(rows touched), no rewrite
+      def mkRows() = filesDatasets
+        .filter(col("dataset_namespace") === namespace &&
+          col("dataset_name") === name)
+        .join(fileSet.select("fid").dropDuplicates("fid"), Seq("fid"), "left_semi")
+      if (mkRows().limit(1).collect().nonEmpty)
+        membersLog.commit(() => mkRows(), MemberRemove)
+    } else {
+      val all = readOr("files_datasets", FilesDatasetsSchema)
+      val inDs = col("dataset_namespace") === namespace && col("dataset_name") === name
+      val kept = all.filter(!inDs).unionByName(
+        all.filter(inDs).join(fileSet.select("fid"), Seq("fid"), "left_anti")
+          .select("fid", "dataset_namespace", "dataset_name"))
+      rewrite(kept, "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
+    }
   }
 
   /** retire files by id (data_handler.py retire path; schema.sql:63-65) —
@@ -565,7 +645,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * otherwise need). The estimate path (`exact=false`) serves these
     * without touching the files table. */
   def refreshCounts(): Unit = {
-    val dsCounts = readOr("files_datasets", FilesDatasetsSchema)
+    val dsCounts = filesDatasets
       .groupBy(col("dataset_namespace").as("namespace"), col("dataset_name").as("name"))
       .agg(count(lit(1)).as("__fc"))
     val updated = readOr("datasets", DatasetsSchema)
@@ -705,7 +785,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
     // the MERGED metadata must satisfy every member dataset's contract
     metadataJson.foreach { _ =>
-      val memberDs = readOr("files_datasets", FilesDatasetsSchema)
+      val memberDs = filesDatasets
         .filter(col("fid") === fid)
         .select("dataset_namespace", "dataset_name")
         .collect().map(r => (r.getString(0), r.getString(1)))
@@ -742,6 +822,49 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * fold to latest-per-fid */
   private val filesLog = new OccLog(spark, root, "files_log", logSchema,
     OccLog.latestPerKey(Seq("fid")), legacyFlat = true)
+
+  /** the MEMBERSHIP delta log (MOR mode): `add`/`remove` records per
+    * (fid, dataset) pair, plus `remove_all` wildcard tombstones per
+    * dataset. Same OCC protocol as [[filesLog]]; checkpoints fold to
+    * latest-per-pair plus the latest wildcard per dataset (wildcards
+    * cannot collapse into pair records — they also govern BASE rows). */
+  private val membersLog = new OccLog(spark, root, "members_log",
+    MembersLogSchema, df =>
+      OccLog.latestPerKey(Seq("fid", "dataset_namespace", "dataset_name"))(
+          df.filter(col("__op") =!= MemberRemoveAll))
+        .unionByName(OccLog.latestPerKey(Seq("dataset_namespace", "dataset_name"))(
+          df.filter(col("__op") === MemberRemoveAll))))
+
+  /** Declare-path membership append: the common case base-appends (cheap,
+    * append-only, no claim contention between concurrent declares into
+    * different datasets); pairs a logged remove — or a dataset-wide
+    * wildcard — would shadow (base rows carry implicit seq 0) resurrect
+    * through the log instead, the same split [[declareFiles]] applies to
+    * tombstoned file rows. The shadowed set is pinned driver-side; it is
+    * bounded by the log's remove records for this dataset. */
+  private def appendMemberships(fids: DataFrame, ns: String, n: String): Unit = {
+    def pairs(of: DataFrame) = of.select(col("fid"))
+      .withColumn("dataset_namespace", lit(ns))
+      .withColumn("dataset_name", lit(n))
+    def baseAppend(of: DataFrame): Unit =
+      align(pairs(of), FilesDatasetsSchema)
+        .write.mode(SaveMode.Append).parquet(path("files_datasets"))
+    if (!mergeOnRead || !membersLog.nonEmpty()) { baseAppend(fids); return }
+    val recs = membersLog.records()
+    val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n
+    val wildcarded = recs.filter(col("__op") === MemberRemoveAll && dsHit)
+      .limit(1).collect().nonEmpty
+    if (wildcarded) { membersLog.commit(() => pairs(fids), MemberAdd); return }
+    val shadowed = recs.filter(col("__op") === MemberRemove && dsHit)
+      .select("fid").join(fids.select("fid"), Seq("fid"), "left_semi")
+      .collect().map(_.getString(0)).toSet
+    if (shadowed.isEmpty) baseAppend(fids)
+    else {
+      val hit = col("fid").isin(shadowed.toSeq: _*)
+      baseAppend(fids.filter(!hit))
+      membersLog.commit(() => pairs(fids.filter(hit)), MemberAdd)
+    }
+  }
 
   private def logNonEmpty(): Boolean = filesLog.nonEmpty()
 
@@ -915,27 +1038,40 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private[metacat] var onCompactMidpoint: () => Unit = () => ()
 
   def compactFilesLog(): Unit = {
-    if (!mergeOnRead || !logNonEmpty()) return
-    val log = logRecords()
-    val base = readOr("files", storedSchema)
-    val touched = base
-      .join(log.select("fid").distinct(), Seq("fid"), "left_semi")
-      .select("namespace")
-      .union(log.filter(col("__op") === LogUpsert).select("namespace"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    rewriteFilesScoped(storedFiles(), touched)
-    onCompactMidpoint()
-    // truncate log + claims + CHECKPOINTS together: post-compaction
-    // sequences restart at 1 everywhere (allocation reads the store,
-    // never a live counter) and [[filesAsOf]]'s reachable range stays the
-    // dense 0..currentLogSeq(). A surviving checkpoint would be poison —
-    // its records are already folded into the base, but its seq would
-    // push the allocation frontier past the restart. Compaction needs an
-    // EXCLUSIVE window — a concurrent commit OR checkpoint racing these
-    // deletes could land between the swap and the truncation (see the
-    // OCC protocol notes above). [[checkpointFilesLog]] +
-    // [[vacuumFilesLog]] are the no-exclusive-window alternative.
-    filesLog.truncate()
+    if (!mergeOnRead) return
+    if (logNonEmpty()) {
+      val log = logRecords()
+      val base = readOr("files", storedSchema)
+      val touched = base
+        .join(log.select("fid").distinct(), Seq("fid"), "left_semi")
+        .select("namespace")
+        .union(log.filter(col("__op") === LogUpsert).select("namespace"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      rewriteFilesScoped(storedFiles(), touched)
+      onCompactMidpoint()
+      // truncate log + claims + CHECKPOINTS together: post-compaction
+      // sequences restart at 1 everywhere (allocation reads the store,
+      // never a live counter) and [[filesAsOf]]'s reachable range stays
+      // the dense 0..currentLogSeq(). A surviving checkpoint would be
+      // poison — its records are already folded into the base, but its
+      // seq would push the allocation frontier past the restart.
+      // Compaction needs an EXCLUSIVE window — a concurrent commit OR
+      // checkpoint racing these deletes could land between the swap and
+      // the truncation (see the OCC protocol notes above).
+      // [[checkpointFilesLog]] + [[vacuumFilesLog]] are the
+      // no-exclusive-window alternative.
+      filesLog.truncate()
+    }
+    // the membership log folds into its base the same way: the folded
+    // view stays consistent between the swap and the truncation because
+    // re-applying the log over the folded base is a no-op (pair records
+    // re-supply the rows they shadow; wildcard-killed rows a later add
+    // resurrected live through the surviving add record either way)
+    if (membersLog.nonEmpty()) {
+      rewrite(filesDatasets, "files_datasets", FilesDatasetsSchema,
+        partitionCols = Nil)
+      membersLog.truncate()
+    }
   }
 
   // ---- checkpoint + vacuum: bounded log reads WITHOUT compaction's
@@ -984,6 +1120,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     filesLog.vacuum()
   }
 
+  /** checkpoint the MEMBERSHIP log (latest-per-pair + latest wildcard per
+    * dataset); same concurrency contract as [[checkpointFilesLog]] */
+  def checkpointMembersLog(): Long = {
+    require(mergeOnRead, "checkpointMembersLog requires a merge-on-read catalog")
+    membersLog.checkpoint()
+  }
+
+  /** vacuum the membership log's checkpointed prefix; same contract as
+    * [[vacuumFilesLog]] (the membership log has no time-travel surface,
+    * so the only loss is per-mutation journal granularity) */
+  def vacuumMembersLog(): Long = {
+    require(mergeOnRead, "vacuumMembersLog requires a merge-on-read catalog")
+    membersLog.vacuum()
+  }
+
   /** Delta-log integrity rows for [[Fsck.audit]] (merge-on-read only):
     *
     *  - `mor_tombstone_unknown_fid` — delete records whose fid is neither
@@ -1016,11 +1167,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           .agg(count(lit(1)).cast("long").as("n_issues"))
           .select(lit("mor_tombstone_unknown_fid").as("check_name"), col("n_issues"))
       }
+    val (mGaps, mOrphans, mUnclaimed) = membersLog.protocolAudit()
     Seq(
       tombstones,
       cntLit("mor_seq_gap", gaps),
       cntLit("mor_orphaned_claim", orphans),
-      cntLit("mor_unclaimed_publish", unclaimed))
+      cntLit("mor_unclaimed_publish", unclaimed),
+      cntLit("mor_members_seq_gap", mGaps),
+      cntLit("mor_members_orphaned_claim", mOrphans),
+      cntLit("mor_members_unclaimed_publish", mUnclaimed))
   }
 
   /** JSON-text declare rows → stored shape: parse once, shred hot keys */
@@ -1222,6 +1377,22 @@ object ParquetCatalog {
   /** merge-on-read log ops */
   val LogUpsert = "upsert"
   val LogDelete = "delete"
+
+  /** membership-log ops: per-pair add/remove, plus the dataset-wide
+    * wildcard tombstone [[removeDataset]] writes (one O(1) record instead
+    * of rewriting a possibly-huge membership table) */
+  val MemberAdd = "add"
+  val MemberRemove = "remove"
+  val MemberRemoveAll = "remove_all"
+
+  /** membership delta-log at-rest shape: the membership row (fid is null
+    * on dataset-wide wildcards) plus op + sequence */
+  val MembersLogSchema: StructType = StructType(Seq(
+    StructField("fid", StringType, nullable = true),
+    StructField("dataset_namespace", StringType, nullable = false),
+    StructField("dataset_name", StringType, nullable = false),
+    StructField("__op", StringType, nullable = false),
+    StructField("__seq", LongType, nullable = false)))
 
   /** delta-log at-rest shape: the stored row plus op + sequence */
   def filesLogSchema(

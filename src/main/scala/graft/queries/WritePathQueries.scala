@@ -97,7 +97,10 @@ object WritePathQueries {
       // checkpoint covers are GONE, every later read serves from the
       // checkpoint + post-horizon segments, and the mutations below keep
       // committing against the vacuumed log (no exclusive window taken)
-      if (ckptMidway) { cat.checkpointFilesLog(); cat.vacuumFilesLog() }
+      if (ckptMidway) {
+        cat.checkpointFilesLog(); cat.vacuumFilesLog()
+        cat.checkpointMembersLog(); cat.vacuumMembersLog()
+      }
 
       // hard delete (DBFile.delete analog): k 45..49 vanish from the
       // files table AND from wds:low's membership
@@ -150,6 +153,38 @@ object WritePathQueries {
       writePathScenario(s, dir,
         new ParquetCatalog(s, rootPath.toString, mergeOnRead = true),
         compactMidway = false, ckptMidway = true)
+    }),
+
+    // MEMBERSHIP delta log (merge-on-read): add/remove/re-add cycles, a
+    // dataset-wide wildcard tombstone (removeDataset = one O(1) record,
+    // not a membership-table rewrite), re-created dataset whose new adds
+    // must out-sequence the wildcard, a mid-history members-log
+    // checkpoint + vacuum, and post-maintenance removes — the final
+    // folded membership view must equal the arithmetic replay. Every
+    // mutation targets k-arithmetic fid sets so DuckDB recomputes the
+    // surviving (fid, dataset) pairs from `orders` directly.
+    "mql_write_path_members" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpme_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      cat.createDataset("wds", "base")
+      cat.declareFiles(seedRows(s, dir), dataset = Some(("wds", "base")))
+      cat.createDataset("wds", "even")
+      cat.createDataset("wds", "tmp")
+      // fresh plan per call: the live view must reflect prior commits
+      def ks(cond: String) =
+        cat.files.filter(expr(s"CAST(substring(fid, 2) AS INT) $cond"))
+      cat.addTo(ks("% 2 = 0"), "wds", "even")
+      cat.addTo(ks("% 3 = 0"), "wds", "tmp")
+      cat.removeFrom(ks("% 10 = 0"), "wds", "even")
+      cat.addTo(ks("% 20 = 0"), "wds", "even") // re-add shadowed pairs
+      cat.removeDataset("wds", "tmp") // wildcard tombstone
+      cat.createDataset("wds", "tmp")
+      cat.addTo(ks("% 7 = 0"), "wds", "tmp") // must out-sequence the wildcard
+      cat.checkpointMembersLog(); cat.vacuumMembersLog()
+      cat.removeFrom(ks(">= 190"), "wds", "base") // against the vacuumed log
+      cat.removeFiles((45 to 49).map(fidOf)) // drops from every dataset
+      cat.filesDatasets
     }),
 
     // MULTI-WRITER merge-on-read: TWO independent catalog instances on one
@@ -379,6 +414,21 @@ object WritePathQueries {
     "mql_write_path_mor" -> WritePathOracle,
     "mql_write_path_ckpt" -> WritePathOracle,
     "mql_write_path_asof" -> AsOfOracle,
+
+    // arithmetic replay of the membership scenario. Divisibility chains:
+    // 20|k ⊂ 10|k ⊂ 2|k, so even = evens minus tens plus twenties; tmp's
+    // k%3 adds were wildcard-tombstoned and only the post-recreate k%7
+    // adds survive; hard-deleted 45..49 vanish everywhere; base loses
+    // k ≥ 190 to the post-vacuum removeFrom.
+    "mql_write_path_members" ->
+      ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200), " +
+        "m AS (" +
+        "SELECT k, 'base' AS ds FROM w WHERE k < 190 " +
+        "UNION ALL SELECT k, 'even' FROM w WHERE k % 2 = 0 AND (k % 10 <> 0 OR k % 20 = 0) " +
+        "UNION ALL SELECT k, 'tmp' FROM w WHERE k % 7 = 0) " +
+        "SELECT 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS fid, " +
+        "'wds' AS dataset_namespace, ds AS dataset_name " +
+        "FROM m WHERE NOT (k BETWEEN 45 AND 49)"),
 
     // interleaved two-instance state, recomputed arithmetically: both
     // writers' merge keys present on k < 10 (a lost update would null one
