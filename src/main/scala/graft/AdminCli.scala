@@ -210,10 +210,12 @@ object AdminCli {
         cat.compactFilesLog()
       case "catalog" :: "checkpoint" :: Nil => // concurrent-safe pair:
         println(s"""{"checkpoint_seq":${cat.checkpointFilesLog()},""" +
-          s""""members_checkpoint_seq":${cat.checkpointMembersLog()}}""")
+          s""""members_checkpoint_seq":${cat.checkpointMembersLog()},""" +
+          s""""edges_checkpoint_seq":${cat.checkpointEdgesLog()}}""")
       case "catalog" :: "vacuum" :: Nil => //   run on a schedule
         println(s"""{"vacuum_horizon":${cat.vacuumFilesLog()},""" +
-          s""""members_vacuum_horizon":${cat.vacuumMembersLog()}}""")
+          s""""members_vacuum_horizon":${cat.vacuumMembersLog()},""" +
+          s""""edges_vacuum_horizon":${cat.vacuumEdgesLog()}}""")
       case "catalog" :: "history" :: Nil =>
         emit(cat.logHistory())
 

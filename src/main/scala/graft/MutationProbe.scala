@@ -85,6 +85,49 @@ object MutationProbe {
       println(f"MUTPROBE n=$n%8d  retire  cow=$tCowRetire%6.2f s (${bCowRetire / 1024}%8d KiB)  mor=$tMorRetire%6.2f s (${bMorRetire / 1024}%5d KiB)")
       println(f"MUTPROBE n=$n%8d  meta    cow=$tCowMeta%6.2f s (${bCowMeta / 1024}%8d KiB)  mor=$tMorMeta%6.2f s (${bMorMeta / 1024}%5d KiB)")
       println(f"MUTPROBE n=$n%8d  read    cow=$tCowRead%6.2f s  mor(hot-log)=$tMorReadHot%6.2f s  mor(compacted)=$tMorReadCold%6.2f s  compact=$tCompact%6.2f s")
+
+      // ---- MEMBERSHIP + EDGE amplification: all n files in one dataset,
+      // a chain of n-1 provenance edges. COW rewrites files_datasets /
+      // parent_child whole; MOR commits one record (removeFrom), ONE
+      // wildcard (removeDataset — the 100M-member case), or one
+      // wildcard+adds commit (replace-parents). Bytes rewritten is the
+      // number that extrapolates.
+      def buildM(mor: Boolean): (ParquetCatalog, String) = {
+        val (cat, root) = build(mor)
+        cat.createDataset("p", "all")
+        cat.addTo(cat.files.select("fid"), "p", "all")
+        cat.addProvenance(spark.range(n.toLong - 1).select(
+          format_string("P%09d", col("id")).as("parent_fid"),
+          format_string("P%09d", col("id") + 1).as("child_fid")))
+        (cat, root)
+      }
+      val (cowM, cowMRoot) = buildM(mor = false)
+      val (morM, morMRoot) = buildM(mor = true)
+      import spark.implicits._
+      var t = 0.0
+      val bCowRm = bytesWritten(cowMRoot) { t = timeS(
+        cowM.removeFrom(Seq("P000000004").toDF("fid"), "p", "all")) }
+      val tCowRm = t
+      val bMorRm = bytesWritten(morMRoot) { t = timeS(
+        morM.removeFrom(Seq("P000000004").toDF("fid"), "p", "all")) }
+      val tMorRm = t
+      val bCowDrop = bytesWritten(cowMRoot) { t = timeS(cowM.removeDataset("p", "all")) }
+      val tCowDrop = t
+      val bMorDrop = bytesWritten(morMRoot) { t = timeS(morM.removeDataset("p", "all")) }
+      val tMorDrop = t
+      val bCowRep = bytesWritten(cowMRoot) { t = timeS(
+        cowM.updateFile("P000000006", parents = Some(Seq("P000000001")), mode = "replace")) }
+      val tCowRep = t
+      val bMorRep = bytesWritten(morMRoot) { t = timeS(
+        morM.updateFile("P000000006", parents = Some(Seq("P000000001")), mode = "replace")) }
+      val tMorRep = t
+      val tMemHot = timeS(morM.filesDatasets.count())
+      val tMemCompact = timeS(morM.compactFilesLog())
+      val tMemCold = timeS(morM.filesDatasets.count())
+      println(f"MUTPROBE n=$n%8d  rm-member    cow=$tCowRm%6.2f s (${bCowRm / 1024}%8d KiB)  mor=$tMorRm%6.2f s (${bMorRm / 1024}%5d KiB)")
+      println(f"MUTPROBE n=$n%8d  drop-dataset cow=$tCowDrop%6.2f s (${bCowDrop / 1024}%8d KiB)  mor=$tMorDrop%6.2f s (${bMorDrop / 1024}%5d KiB)")
+      println(f"MUTPROBE n=$n%8d  repl-parents cow=$tCowRep%6.2f s (${bCowRep / 1024}%8d KiB)  mor=$tMorRep%6.2f s (${bMorRep / 1024}%5d KiB)")
+      println(f"MUTPROBE n=$n%8d  member-read  mor(hot-log)=$tMemHot%6.2f s  mor(compacted)=$tMemCold%6.2f s  compact=$tMemCompact%6.2f s")
     }
     spark.stop()
   }

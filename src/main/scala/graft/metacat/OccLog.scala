@@ -219,7 +219,10 @@ private[metacat] final class OccLog(
     * `mkRows` MUST build a fresh plan on each call (re-reading the log),
     * because a lost claim means another commit landed and this mutation's
     * rows must be recomputed against it. The frame it returns carries the
-    * record shape minus `__op`/`__seq`, which are stamped here. */
+    * record shape minus `__seq` (stamped here); a frame WITHOUT `__op`
+    * gets `op` stamped, one WITH it keeps its per-row ops — the one seq
+    * then holds a mixed mutation (e.g. a replace = wildcard remove + new
+    * rows) that readers see atomically. */
   def commit(mkRows: () => DataFrame, op: String): Unit = {
     val fs = fsOf(hPath(name))
     var attempt = 0
@@ -230,8 +233,9 @@ private[metacat] final class OccLog(
       val tmp = new Path(path("_tmp"), s"commit-${java.util.UUID.randomUUID()}")
       val wrote =
         try {
-          align(mkRows()
-              .withColumn("__op", lit(op))
+          val rows = mkRows()
+          align((if (rows.columns.contains("__op")) rows
+              else rows.withColumn("__op", lit(op)))
               .withColumn("__seq", lit(s)))
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
           true

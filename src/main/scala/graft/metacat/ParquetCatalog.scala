@@ -64,14 +64,20 @@ import org.apache.spark.sql.types._
   *    to a second OCC log (`members_log`), and [[removeDataset]] retires
   *    a whole dataset's membership with ONE wildcard tombstone instead of
   *    rewriting the table. [[filesDatasets]] serves base ⊕ log.
+  *  - MOR PROVENANCE-EDGE mutations commit to a third OCC log
+  *    (`edges_log`): [[removeFiles]] retires every edge touching a fid
+  *    with two one-side wildcards, [[updateFile]]'s replace-parents/
+  *    children is one wildcard + the new edges in a SINGLE atomic commit,
+  *    and [[addProvenance]] base-appends unless shadowed. No fact-table
+  *    mutation (files, memberships, edges) rewrites its table in MOR
+  *    mode — a rewrite can never destroy a concurrent writer's append.
   *  - Declares are append-path (no log commit unless resurrecting), so
   *    concurrent declares of DISTINCT fids are safe; racing declares of
   *    the SAME fid — or a declare racing a remove of that fid — are
   *    unsynchronized (the duplicate surfaces in `Fsck.audit`).
-  *  - COW mode and the remaining dimension tables (datasets, queries,
-  *    provenance edges, namespaces) rewrite whole files, so they are
-  *    SINGLE-WRITER by contract — one admin session at a time, as a
-  *    maintenance window.
+  *  - COW mode and the DIMENSION tables (datasets, queries, namespaces,
+  *    dataset hierarchy) rewrite whole files, so they are SINGLE-WRITER
+  *    by contract — one admin session at a time, as a maintenance window.
   *  - [[compactFilesLog]] requires an exclusive window in both modes;
   *    [[checkpointFilesLog]] + [[vacuumFilesLog]] (and the
   *    `MembersLog` twins) bound the logs' read cost WITHOUT one — the
@@ -168,7 +174,35 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .withColumn("metadata", parse_json(col("metadata_json")))
       .drop("metadata_json")
 
-  override def parentChild: DataFrame = readOr("parent_child", ParentChildSchema)
+  /** Live provenance-edge view. COW: the base table. MOR: base overlaid
+    * with the edge delta log — pair records latest-wins; one-side-null
+    * wildcards kill base rows and pair records BELOW them. An add at the
+    * SAME seq as a wildcard survives it (`>=`): the two are one mutation
+    * (replace = wildcard + new edges), ordered remove-then-add within
+    * the commit. Windows run over the mutation-sized log only. */
+  override def parentChild: DataFrame = {
+    val base = readOr("parent_child", ParentChildSchema)
+    if (!mergeOnRead || !edgesLog.nonEmpty()) return base
+    val recs = edgesLog.records()
+    val pairLatest = OccLog.latestPerKey(Seq("parent_fid", "child_fid"))(
+      recs.filter(col("parent_fid").isNotNull && col("child_fid").isNotNull))
+    val wildP = recs.filter(col("child_fid").isNull)
+      .groupBy("parent_fid").agg(max(col("__seq")).as("__wp"))
+    val wildC = recs.filter(col("parent_fid").isNull)
+      .groupBy("child_fid").agg(max(col("__seq")).as("__wc"))
+    val baseLive = base
+      .join(broadcast(pairLatest.select("parent_fid", "child_fid")),
+        Seq("parent_fid", "child_fid"), "left_anti")
+      .join(broadcast(wildP.select("parent_fid")), Seq("parent_fid"), "left_anti")
+      .join(broadcast(wildC.select("child_fid")), Seq("child_fid"), "left_anti")
+    val logLive = pairLatest.filter(col("__op") === EdgeAdd)
+      .join(wildP, Seq("parent_fid"), "left")
+      .join(wildC, Seq("child_fid"), "left")
+      .filter((col("__wp").isNull || col("__seq") >= col("__wp")) &&
+        (col("__wc").isNull || col("__seq") >= col("__wc")))
+      .select("parent_fid", "child_fid")
+    baseLive.unionByName(logLive)
+  }
 
   override def datasetsParentChild: DataFrame =
     readOr("datasets_parent_child", DsParentChildSchema)
@@ -392,9 +426,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * are still queryable; orphan edges would corrupt provenance hops). */
   def removeFiles(fids: Seq[String]): Unit = {
     val hit = col("fid").isin(fids: _*)
-    rewrite(readOr("parent_child", ParentChildSchema)
-      .filter(!col("parent_fid").isin(fids: _*) && !col("child_fid").isin(fids: _*)),
-      "parent_child", ParentChildSchema, partitionCols = Nil)
+    if (mergeOnRead) {
+      // two wildcard tombstones per fid retire every provenance edge
+      // touching it — O(fids) records, never an edge-table rewrite
+      import spark.implicits._
+      edgesLog.commit(() => fids
+        .flatMap(f => Seq((Option(f), Option.empty[String]),
+          (Option.empty[String], Option(f))))
+        .toDF("parent_fid", "child_fid"), EdgeRemove)
+    } else {
+      rewrite(readOr("parent_child", ParentChildSchema)
+        .filter(!col("parent_fid").isin(fids: _*) && !col("child_fid").isin(fids: _*)),
+        "parent_child", ParentChildSchema, partitionCols = Nil)
+    }
     if (mergeOnRead) {
       // membership cleanup as remove records (mutation-sized; recomputed
       // on claim collision), then the file tombstones — same
@@ -678,9 +722,41 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (df.isEmpty) None else Some(df)
   }
 
-  def addProvenance(edges: DataFrame): Unit =
-    align(edges, ParentChildSchema)
-      .write.mode(SaveMode.Append).parquet(path("parent_child"))
+  def addProvenance(edges: DataFrame): Unit = {
+    val aligned = align(edges, ParentChildSchema)
+    if (!mergeOnRead || !edgesLog.nonEmpty()) {
+      aligned.write.mode(SaveMode.Append).parquet(path("parent_child"))
+      return
+    }
+    // edges the log would shadow (a pair record, or a wildcard on either
+    // endpoint — base appends carry implicit seq 0) resurrect through the
+    // log; the rest base-append. Same split as [[appendMemberships]]; the
+    // shadowed set is pinned driver-side, bounded by the log.
+    val recs = edgesLog.records()
+    val pairKeys = recs
+      .filter(col("parent_fid").isNotNull && col("child_fid").isNotNull)
+      .select("parent_fid", "child_fid")
+    val shadowed = aligned
+      .join(pairKeys, Seq("parent_fid", "child_fid"), "left_semi")
+      .unionByName(aligned.join(
+        recs.filter(col("child_fid").isNull).select("parent_fid"),
+        Seq("parent_fid"), "left_semi"))
+      .unionByName(aligned.join(
+        recs.filter(col("parent_fid").isNull).select("child_fid"),
+        Seq("child_fid"), "left_semi"))
+      .distinct().collect()
+      .map(r => r.getString(0) + "\u0001" + r.getString(1)).toSet
+    if (shadowed.isEmpty) {
+      aligned.write.mode(SaveMode.Append).parquet(path("parent_child"))
+    } else {
+      // \u0001-separated: a bare concat could alias across the boundary
+      val key = concat_ws("\u0001", col("parent_fid"), col("child_fid"))
+      val hit = key.isin(shadowed.toSeq: _*)
+      aligned.filter(!hit)
+        .write.mode(SaveMode.Append).parquet(path("parent_child"))
+      edgesLog.commit(() => align(edges, ParentChildSchema).filter(hit), EdgeAdd)
+    }
+  }
 
   /** Attach a child dataset (`add_child_dataset`,
     * data_handler.py:333-363): both datasets must exist, a circular
@@ -799,15 +875,43 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
     def writeEdges(given: Seq[String], asParents: Boolean): Unit = {
       import spark.implicits._
-      val pc = readOr("parent_child", ParentChildSchema)
       val fixedSide = if (asParents) "child_fid" else "parent_fid"
-      val keep = if (mode == "replace") pc.filter(col(fixedSide) =!= fid) else pc
       val add = given.distinct
         .map(p => if (asParents) (p, fid) else (fid, p))
         .toDF("parent_fid", "child_fid")
-        .join(keep, Seq("parent_fid", "child_fid"), "left_anti")
-      rewrite(keep.unionByName(add), "parent_child", ParentChildSchema,
-        partitionCols = Nil)
+      if (mergeOnRead) {
+        if (mode == "replace") {
+          // ONE commit: the side wildcard plus the replacement edges with
+          // per-row ops — readers see the whole replace atomically at a
+          // single seq (adds survive their own wildcard via the fold's
+          // `>=`, see [[EdgesLogSchema]])
+          val wildcard = (if (asParents)
+              Seq((Option.empty[String], Option(fid)))
+            else Seq((Option(fid), Option.empty[String])))
+            .toDF("parent_fid", "child_fid")
+          edgesLog.commit(() =>
+            wildcard.withColumn("__op", lit(EdgeRemove))
+              .unionByName(add.withColumn("__op", lit(EdgeAdd))), EdgeAdd)
+        } else {
+          def mkRows() =
+            add.join(parentChild, Seq("parent_fid", "child_fid"), "left_anti")
+          if (mkRows().limit(1).collect().nonEmpty)
+            edgesLog.commit(() => mkRows(), EdgeAdd)
+        }
+      } else {
+        val pc = readOr("parent_child", ParentChildSchema)
+        if (mode == "replace") {
+          val keep = pc.filter(col(fixedSide) =!= fid)
+          rewrite(keep.unionByName(
+              add.join(keep, Seq("parent_fid", "child_fid"), "left_anti")),
+            "parent_child", ParentChildSchema, partitionCols = Nil)
+        } else {
+          // update mode keeps every existing edge — a pure APPEND of the
+          // not-yet-present ones, not a whole-table rewrite
+          add.join(pc, Seq("parent_fid", "child_fid"), "left_anti")
+            .write.mode(SaveMode.Append).parquet(path("parent_child"))
+        }
+      }
     }
     parents.foreach(writeEdges(_, asParents = true))
     children.foreach(writeEdges(_, asParents = false))
@@ -834,6 +938,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           df.filter(col("__op") =!= MemberRemoveAll))
         .unionByName(OccLog.latestPerKey(Seq("dataset_namespace", "dataset_name"))(
           df.filter(col("__op") === MemberRemoveAll))))
+
+  /** the PROVENANCE-EDGE delta log (MOR mode): add/remove records per
+    * (parent, child) pair, plus one-side-null wildcard removes (a hard
+    * delete retires every edge touching a fid with two records; a
+    * replace-parents is one wildcard + the new edges in ONE commit).
+    * Checkpoints fold to latest-per-pair plus the latest wildcard per
+    * side — wildcards also govern base rows, so they never collapse
+    * into pair records. */
+  private val edgesLog = new OccLog(spark, root, "edges_log",
+    EdgesLogSchema, df => {
+      val pairs = df.filter(col("parent_fid").isNotNull && col("child_fid").isNotNull)
+      OccLog.latestPerKey(Seq("parent_fid", "child_fid"))(pairs)
+        .unionByName(OccLog.latestPerKey(Seq("parent_fid"))(
+          df.filter(col("child_fid").isNull)))
+        .unionByName(OccLog.latestPerKey(Seq("child_fid"))(
+          df.filter(col("parent_fid").isNull)))
+    })
 
   /** Declare-path membership append: the common case base-appends (cheap,
     * append-only, no claim contention between concurrent declares into
@@ -1072,6 +1193,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         partitionCols = Nil)
       membersLog.truncate()
     }
+    if (edgesLog.nonEmpty()) {
+      rewrite(parentChild, "parent_child", ParentChildSchema,
+        partitionCols = Nil)
+      edgesLog.truncate()
+    }
   }
 
   // ---- checkpoint + vacuum: bounded log reads WITHOUT compaction's
@@ -1135,6 +1261,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     membersLog.vacuum()
   }
 
+  /** checkpoint the PROVENANCE-EDGE log (latest-per-pair + latest
+    * wildcard per side); same contract as [[checkpointFilesLog]] */
+  def checkpointEdgesLog(): Long = {
+    require(mergeOnRead, "checkpointEdgesLog requires a merge-on-read catalog")
+    edgesLog.checkpoint()
+  }
+
+  /** vacuum the edge log's checkpointed prefix; same contract as
+    * [[vacuumMembersLog]] */
+  def vacuumEdgesLog(): Long = {
+    require(mergeOnRead, "vacuumEdgesLog requires a merge-on-read catalog")
+    edgesLog.vacuum()
+  }
+
   /** Delta-log integrity rows for [[Fsck.audit]] (merge-on-read only):
     *
     *  - `mor_tombstone_unknown_fid` — delete records whose fid is neither
@@ -1168,6 +1308,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           .select(lit("mor_tombstone_unknown_fid").as("check_name"), col("n_issues"))
       }
     val (mGaps, mOrphans, mUnclaimed) = membersLog.protocolAudit()
+    val (eGaps, eOrphans, eUnclaimed) = edgesLog.protocolAudit()
     Seq(
       tombstones,
       cntLit("mor_seq_gap", gaps),
@@ -1175,7 +1316,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       cntLit("mor_unclaimed_publish", unclaimed),
       cntLit("mor_members_seq_gap", mGaps),
       cntLit("mor_members_orphaned_claim", mOrphans),
-      cntLit("mor_members_unclaimed_publish", mUnclaimed))
+      cntLit("mor_members_unclaimed_publish", mUnclaimed),
+      cntLit("mor_edges_seq_gap", eGaps),
+      cntLit("mor_edges_orphaned_claim", eOrphans),
+      cntLit("mor_edges_unclaimed_publish", eUnclaimed))
   }
 
   /** JSON-text declare rows → stored shape: parse once, shred hot keys */
@@ -1391,6 +1535,23 @@ object ParquetCatalog {
     StructField("fid", StringType, nullable = true),
     StructField("dataset_namespace", StringType, nullable = false),
     StructField("dataset_name", StringType, nullable = false),
+    StructField("__op", StringType, nullable = false),
+    StructField("__seq", LongType, nullable = false)))
+
+  /** provenance-edge delta-log ops (same literals as the membership log) */
+  val EdgeAdd = MemberAdd
+  val EdgeRemove = MemberRemove
+
+  /** provenance-edge delta-log at-rest shape. A remove with ONE side null
+    * is a wildcard: (fid, null) retires every edge FROM fid, (null, fid)
+    * every edge TO fid — so a hard delete costs two records and a
+    * replace-parents one record plus the new edges, never a table
+    * rewrite. Within one `__seq`, removes order before adds (the read
+    * fold compares adds against wildcards with `>=`), so a replace
+    * commits atomically at a single sequence. */
+  val EdgesLogSchema: StructType = StructType(Seq(
+    StructField("parent_fid", StringType, nullable = true),
+    StructField("child_fid", StringType, nullable = true),
     StructField("__op", StringType, nullable = false),
     StructField("__seq", LongType, nullable = false)))
 

@@ -100,6 +100,7 @@ object WritePathQueries {
       if (ckptMidway) {
         cat.checkpointFilesLog(); cat.vacuumFilesLog()
         cat.checkpointMembersLog(); cat.vacuumMembersLog()
+        cat.checkpointEdgesLog(); cat.vacuumEdgesLog()
       }
 
       // hard delete (DBFile.delete analog): k 45..49 vanish from the
@@ -185,6 +186,40 @@ object WritePathQueries {
       cat.removeFrom(ks(">= 190"), "wds", "base") // against the vacuumed log
       cat.removeFiles((45 to 49).map(fidOf)) // drops from every dataset
       cat.filesDatasets
+    }),
+
+    // PROVENANCE-EDGE delta log (merge-on-read): arithmetic edge sets
+    // (k→2k, k→3k over the present keys), an atomic replace-parents (one
+    // wildcard + new edges in a single commit — the adds must survive
+    // their own wildcard), an update-mode edge add, hard deletes whose
+    // two-sided wildcards retire every touching edge, and a mid-history
+    // edges-log checkpoint + vacuum with a post-maintenance add. DuckDB
+    // replays the surviving edge set with self-joins on the key space.
+    "mql_write_path_edges" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpe_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      cat.declareFiles(seedRows(s, dir))
+      def k(c: String) = expr(s"CAST(substring($c, 2) AS INT)")
+      def edges(mult: Int) = {
+        // k > 0: orderkey 0 would make 0→0 a self-edge BOTH multipliers
+        // append (addProvenance appends blind, as the COW path always has)
+        val f = cat.files.select(col("fid"))
+        f.as("a").join(f.as("b"),
+            k("a.fid") * mult === k("b.fid") && k("a.fid") > 0, "inner")
+          .select(col("a.fid").as("parent_fid"), col("b.fid").as("child_fid"))
+      }
+      cat.addProvenance(edges(2)) // k → 2k where both present
+      cat.addProvenance(edges(3)) // k → 3k
+      // atomic replace: parents of k=4 become {1, 2} (2→4 existed — its
+      // re-add shares the wildcard's seq and must survive it)
+      cat.updateFile(fidOf(4), parents = Some(Seq(fidOf(1), fidOf(2))),
+        mode = "replace")
+      cat.updateFile(fidOf(5), children = Some(Seq(fidOf(7)))) // update add
+      cat.checkpointEdgesLog(); cat.vacuumEdgesLog()
+      cat.removeFiles(Seq(fidOf(6), fidOf(33)))
+      cat.updateFile(fidOf(4), parents = Some(Seq(fidOf(3)))) // post-vacuum
+      cat.parentChild
     }),
 
     // MULTI-WRITER merge-on-read: TWO independent catalog instances on one
@@ -420,6 +455,21 @@ object WritePathQueries {
     // k%3 adds were wildcard-tombstoned and only the post-recreate k%7
     // adds survive; hard-deleted 45..49 vanish everywhere; base loses
     // k ≥ 190 to the post-vacuum removeFrom.
+    // surviving edges: (k→2k ∪ k→3k) with parents-of-4 replaced by
+    // {1,2,3} (3 added update-mode post-vacuum), 5→7 added, and every
+    // edge touching the hard-deleted 6 or 33 gone. UNION dedups the
+    // replace's 2→4 re-add against the base 2→4 it shadows.
+    "mql_write_path_edges" ->
+      ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200), " +
+        "e AS (SELECT a.k AS p, b.k AS c FROM w a JOIN w b ON b.k = a.k * 2 AND a.k > 0 " +
+        "UNION SELECT a.k, b.k FROM w a JOIN w b ON b.k = a.k * 3 AND a.k > 0), " +
+        "r AS (SELECT p, c FROM e WHERE c <> 4 " +
+        "UNION SELECT 1, 4 UNION SELECT 2, 4 UNION SELECT 3, 4 " +
+        "UNION SELECT 5, 7) " +
+        "SELECT 'W' || lpad(CAST(p AS VARCHAR), 8, '0') AS parent_fid, " +
+        "'W' || lpad(CAST(c AS VARCHAR), 8, '0') AS child_fid " +
+        "FROM r WHERE p NOT IN (6, 33) AND c NOT IN (6, 33)"),
+
     "mql_write_path_members" ->
       ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200), " +
         "m AS (" +
