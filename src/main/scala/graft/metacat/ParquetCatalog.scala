@@ -321,17 +321,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         val dead = deletedFids().join(stored.select("fid"), Seq("fid"), "left_semi")
           .collect().map(_.getString(0)).toSet
         if (dead.isEmpty) {
-          stored.write.mode(SaveMode.Append)
-            .partitionBy("namespace").parquet(path("files"))
+          appendParquet(stored, "files", Seq("namespace"))
         } else {
           val deadCol = col("fid").isin(dead.toSeq: _*)
-          stored.filter(!deadCol).write.mode(SaveMode.Append)
-            .partitionBy("namespace").parquet(path("files"))
+          appendParquet(stored.filter(!deadCol), "files", Seq("namespace"))
           commitFilesLog(() => stored.filter(deadCol), LogUpsert)
         }
       } else {
-        stored.write.mode(SaveMode.Append)
-          .partitionBy("namespace").parquet(path("files"))
+        appendParquet(stored, "files", Seq("namespace"))
       }
     } finally { batch.unpersist(); () }
   }
@@ -517,31 +514,22 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // (data_handler.py:959 re-validates when files join a dataset)
       if (ds.requirements.nonEmpty) failOnViolations(fileSet, ds.requirements)
     }
-    if (mergeOnRead) {
-      // OCC log commit: the membership-is-a-set anti-join recomputes on
-      // claim collision, so concurrent addTo/removeFrom of the same pair
-      // serialize instead of racing a check-then-act append (the COW
-      // branch's — and the reference's unique-violation-swallowing —
-      // posture). An all-members call commits nothing.
-      def mkRows() = fileSet.select(col("fid")).dropDuplicates("fid")
-        .join(filesDatasets
-            .filter(col("dataset_namespace") === namespace &&
-              col("dataset_name") === name)
-            .select("fid"), Seq("fid"), "left_anti")
-        .withColumn("dataset_namespace", lit(namespace))
-        .withColumn("dataset_name", lit(name))
-      if (mkRows().limit(1).collect().nonEmpty)
-        membersLog.commit(() => mkRows(), MemberAdd)
-    } else {
-      val existing = filesDatasets
-        .filter(col("dataset_namespace") === namespace && col("dataset_name") === name)
-        .select("fid")
-      fileSet.select(col("fid"))
-        .join(existing, Seq("fid"), "left_anti") // membership is a set
-        .withColumn("dataset_namespace", lit(namespace))
-        .withColumn("dataset_name", lit(name))
-        .write.mode(SaveMode.Append).parquet(path("files_datasets"))
-    }
+    // APPEND path in both modes (via the shadow-aware helper): a bulk
+    // addTo can be corpus-sized, and committing it to the log would make
+    // every later fold window and broadcast corpus-sized too (measured:
+    // one-member removeFrom 5.3 s behind a 1M-row logged addTo vs 0.5 s
+    // behind a base append). Appends are multi-writer safe here because
+    // MOR removes never rewrite the table; racing addTo of the SAME pair
+    // can duplicate (fsck-flagged — the declare posture, where the
+    // reference relies on its PK). Only remove-shadowed pairs route
+    // through the log.
+    val existing = filesDatasets
+      .filter(col("dataset_namespace") === namespace && col("dataset_name") === name)
+      .select("fid")
+    appendMemberships(
+      fileSet.select(col("fid")).dropDuplicates("fid")
+        .join(existing, Seq("fid"), "left_anti"), // membership is a set
+      namespace, name)
   }
 
   /** remove files from a dataset (data_handler.py remove endpoint:
@@ -725,7 +713,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def addProvenance(edges: DataFrame): Unit = {
     val aligned = align(edges, ParentChildSchema)
     if (!mergeOnRead || !edgesLog.nonEmpty()) {
-      aligned.write.mode(SaveMode.Append).parquet(path("parent_child"))
+      appendParquet(aligned, "parent_child")
       return
     }
     // edges the log would shadow (a pair record, or a wildcard on either
@@ -747,13 +735,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .distinct().collect()
       .map(r => r.getString(0) + "\u0001" + r.getString(1)).toSet
     if (shadowed.isEmpty) {
-      aligned.write.mode(SaveMode.Append).parquet(path("parent_child"))
+      appendParquet(aligned, "parent_child")
     } else {
       // \u0001-separated: a bare concat could alias across the boundary
       val key = concat_ws("\u0001", col("parent_fid"), col("child_fid"))
       val hit = key.isin(shadowed.toSeq: _*)
-      aligned.filter(!hit)
-        .write.mode(SaveMode.Append).parquet(path("parent_child"))
+      appendParquet(aligned.filter(!hit), "parent_child")
       edgesLog.commit(() => align(edges, ParentChildSchema).filter(hit), EdgeAdd)
     }
   }
@@ -908,8 +895,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         } else {
           // update mode keeps every existing edge — a pure APPEND of the
           // not-yet-present ones, not a whole-table rewrite
-          add.join(pc, Seq("parent_fid", "child_fid"), "left_anti")
-            .write.mode(SaveMode.Append).parquet(path("parent_child"))
+          appendParquet(
+            add.join(pc, Seq("parent_fid", "child_fid"), "left_anti"),
+            "parent_child")
         }
       }
     }
@@ -956,6 +944,43 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           df.filter(col("parent_fid").isNull)))
     })
 
+  /** Concurrency-safe parquet APPEND. Spark's own append mode stages
+    * under a shared `_temporary/` INSIDE the destination directory, so
+    * two concurrent appending jobs race each other's staging cleanup and
+    * can silently lose files (observed: one of 24 concurrent membership
+    * appends vanished). Write to a private tmp dir instead, then MOVE the
+    * part files in under job-unique names — one rename per file, atomic
+    * on HDFS/local, the same object-store caveat the commit protocol
+    * documents. Partitioned layouts keep their subdirectories. */
+  private def appendParquet(df: DataFrame, table: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(path("_tmp"), s"append-$uuid")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    val fs = fsOf(tmp)
+    def move(srcDir: org.apache.hadoop.fs.Path,
+        dstDir: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(dstDir)
+      fs.listStatus(srcDir).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory) {
+          if (!nm.startsWith("_")) move(st.getPath,
+            new org.apache.hadoop.fs.Path(dstDir, nm))
+        } else if (!nm.startsWith("_") && !nm.startsWith(".")) {
+          if (!fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(dstDir, s"$uuid-$nm")))
+            throw new java.io.IOException(
+              s"append move failed: ${st.getPath} -> $dstDir")
+        }
+      }
+    }
+    move(tmp, hPath(table))
+    fs.delete(tmp, true)
+    ()
+  }
+
   /** Declare-path membership append: the common case base-appends (cheap,
     * append-only, no claim contention between concurrent declares into
     * different datasets); pairs a logged remove — or a dataset-wide
@@ -968,8 +993,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .withColumn("dataset_namespace", lit(ns))
       .withColumn("dataset_name", lit(n))
     def baseAppend(of: DataFrame): Unit =
-      align(pairs(of), FilesDatasetsSchema)
-        .write.mode(SaveMode.Append).parquet(path("files_datasets"))
+      appendParquet(align(pairs(of), FilesDatasetsSchema), "files_datasets")
     if (!mergeOnRead || !membersLog.nonEmpty()) { baseAppend(fids); return }
     val recs = membersLog.records()
     val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n

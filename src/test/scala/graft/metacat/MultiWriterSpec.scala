@@ -140,4 +140,27 @@ class MultiWriterSpec extends SparkTestBase {
       .select(expr("try_variant_get(metadata, \"$['opt.y']\", 'long')"))
       .head().getLong(0) == 2L)
   }
+
+  test("concurrent declares of distinct fids: every file row survives") {
+    // Spark's own append mode stages under a shared _temporary/ inside
+    // the destination, so two concurrent appending jobs could delete each
+    // other's staging and silently lose rows (this burst reproduced the
+    // loss before appendParquet's write-then-move). The declare path must
+    // keep every batch from every writer.
+    import spark.implicits._
+    val root = newRoot()
+    val a = new ParquetCatalog(spark, root, mergeOnRead = true)
+    val b = new ParquetCatalog(spark, root, mergeOnRead = true)
+    def batch(tag: String, i: Int) =
+      Seq((s"D$tag$i", "alpha", s"d_$tag$i.dat", s"""{"core.run":$i}""", "tester", 1L))
+        .toDF("fid", "namespace", "name", "metadata_json", "creator", "size")
+        .withColumn("created_timestamp", to_timestamp(lit("2026-02-01 00:00:00")))
+    val burstA = Future { for (i <- 0 until 10) a.declareFiles(batch("A", i)) }
+    val burstB = Future { for (i <- 0 until 10) b.declareFiles(batch("B", i)) }
+    Await.result(Future.sequence(Seq(burstA, burstB)), 10.minutes)
+    val fids = new ParquetCatalog(spark, root, mergeOnRead = true)
+      .files.select("fid").collect().map(_.getString(0)).toSet
+    for (t <- Seq("A", "B"); i <- 0 until 10)
+      assert(fids(s"D$t$i"), s"declare D$t$i lost to a concurrent append")
+  }
 }
