@@ -375,10 +375,12 @@ private[metacat] object OccLog {
     while (t != null && depth < 12) {
       if (t.isInstanceOf[java.io.FileNotFoundException]) return true
       val m = t.getMessage
-      // execution-time miss (task read) or plan-time miss (the listing
-      // saw a segment vacuum then deleted before spark.read opened it)
+      // execution-time miss (task read; Spark 4 surfaces it as
+      // FAILED_READ_FILE.FILE_NOT_EXIST) or plan-time miss (the listing
+      // saw a segment a vacuum then deleted before spark.read opened it)
       if (m != null && (m.contains("FileNotFoundException") ||
-          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")))
+          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
+          m.contains("FILE_NOT_EXIST") || m.contains("File does not exist")))
         return true
       t = t.getCause
       depth += 1

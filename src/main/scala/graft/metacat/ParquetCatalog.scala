@@ -260,6 +260,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         defaulted.dropDuplicates("fid")
           .join(storedFiles().select("fid"), Seq("fid"), "left_anti")
       else defaulted).persist()
+    // force the pin NOW, retrying if the ignoreExisting anti-join's log
+    // read raced a vacuum — every later use then hits the cache instead
+    // of first materializing inside a write job where no retry can help
+    retryOnVanish(batch.count())
     try {
       // re-declaring an existing id — or declaring the same id twice in
       // one batch — is an error, as in the reference (data_handler.py
@@ -268,9 +272,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // duplicate check against the LIVE view (merged in MOR mode, so a
       // hard-deleted fid may legally be re-declared)
       if (!ignoreExisting) {
-        val dup = batch.select("fid")
+        val dup = retryOnVanish(batch.select("fid")
           .join(storedFiles().select("fid"), Seq("fid"), "left_semi")
-          .limit(1).collect()
+          .limit(1).collect())
         if (dup.nonEmpty)
           throw new IllegalArgumentException(
             s"file ${dup.head.getString(0)} already declared")
@@ -318,8 +322,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         // retries; a WRITER racing a remove of the very fids being
         // re-declared is unsynchronized by design (declares are
         // append-path, not log commits) and surfaces in Fsck.audit.
-        val dead = deletedFids().join(stored.select("fid"), Seq("fid"), "left_semi")
-          .collect().map(_.getString(0)).toSet
+        val dead = retryOnVanish(
+          deletedFids().join(stored.select("fid"), Seq("fid"), "left_semi")
+            .collect().map(_.getString(0)).toSet)
         if (dead.isEmpty) {
           appendParquet(stored, "files", Seq("namespace"))
         } else {
@@ -441,7 +446,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // on claim collision), then the file tombstones — same
       // dangling-edge-free order as the COW rewrites
       def mkMembers() = filesDatasets.filter(hit)
-      if (mkMembers().limit(1).collect().nonEmpty)
+      if (retryOnVanish(mkMembers().limit(1).collect().nonEmpty))
         membersLog.commit(() => mkMembers(), MemberRemove)
       commitFilesLog(() => storedFiles().filter(hit), LogDelete)
     } else {
@@ -547,7 +552,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .filter(col("dataset_namespace") === namespace &&
           col("dataset_name") === name)
         .join(fileSet.select("fid").dropDuplicates("fid"), Seq("fid"), "left_semi")
-      if (mkRows().limit(1).collect().nonEmpty)
+      if (retryOnVanish(mkRows().limit(1).collect().nonEmpty))
         membersLog.commit(() => mkRows(), MemberRemove)
     } else {
       val all = readOr("files_datasets", FilesDatasetsSchema)
@@ -724,7 +729,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val pairKeys = recs
       .filter(col("parent_fid").isNotNull && col("child_fid").isNotNull)
       .select("parent_fid", "child_fid")
-    val shadowed = aligned
+    val shadowed = retryOnVanish(aligned
       .join(pairKeys, Seq("parent_fid", "child_fid"), "left_semi")
       .unionByName(aligned.join(
         recs.filter(col("child_fid").isNull).select("parent_fid"),
@@ -733,7 +738,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         recs.filter(col("parent_fid").isNull).select("child_fid"),
         Seq("child_fid"), "left_semi"))
       .distinct().collect()
-      .map(r => r.getString(0) + "\u0001" + r.getString(1)).toSet
+      .map(r => r.getString(0) + "\u0001" + r.getString(1)).toSet)
     if (shadowed.isEmpty) {
       appendParquet(aligned, "parent_child")
     } else {
@@ -792,7 +797,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       by: String = "graft"): Unit = {
     require(mode == "add-update" || mode == "replace", s"bad mode $mode")
     val raw = storedFiles()
-    if (raw.filter(col("fid") === fid).limit(1).collect().isEmpty)
+    if (retryOnVanish(raw.filter(col("fid") === fid).limit(1).collect().isEmpty))
       throw new IllegalArgumentException(s"file $fid not found")
     metadataJson.foreach { mj =>
       requireJsonObject(mj)
@@ -848,10 +853,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
     // the MERGED metadata must satisfy every member dataset's contract
     metadataJson.foreach { _ =>
-      val memberDs = filesDatasets
+      val memberDs = retryOnVanish(filesDatasets
         .filter(col("fid") === fid)
         .select("dataset_namespace", "dataset_name")
-        .collect().map(r => (r.getString(0), r.getString(1)))
+        .collect().map(r => (r.getString(0), r.getString(1))))
       val newRow = mkUpdated().filter(hit)
       for ((ns, n) <- memberDs) {
         val reqs = datasetRow(ns, n).requirements
@@ -882,7 +887,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         } else {
           def mkRows() =
             add.join(parentChild, Seq("parent_fid", "child_fid"), "left_anti")
-          if (mkRows().limit(1).collect().nonEmpty)
+          if (retryOnVanish(mkRows().limit(1).collect().nonEmpty))
             edgesLog.commit(() => mkRows(), EdgeAdd)
         }
       } else {
@@ -944,6 +949,26 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           df.filter(col("parent_fid").isNull)))
     })
 
+  /** Retry a driver-side read action that raced a concurrent vacuum: the
+    * plan's file listing saw raw log segments a vacuum then deleted — the
+    * checkpoint carries them, so a FRESH snapshot read is correct (the
+    * same remedy Delta prescribes for reads racing VACUUM, and the same
+    * one [[OccLog.commit]] applies to its own snapshot writes). Wraps the
+    * catalog's internal collect/probe sites; external callers' lazy
+    * DataFrames keep the documented read-vs-vacuum caveat. */
+  private def retryOnVanish[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if OccLog.fileVanished(e) && attempt < 5 =>
+          attempt += 1
+          Thread.sleep(10L * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Concurrency-safe parquet APPEND. Spark's own append mode stages
     * under a shared `_temporary/` INSIDE the destination directory, so
     * two concurrent appending jobs race each other's staging cleanup and
@@ -997,12 +1022,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (!mergeOnRead || !membersLog.nonEmpty()) { baseAppend(fids); return }
     val recs = membersLog.records()
     val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n
-    val wildcarded = recs.filter(col("__op") === MemberRemoveAll && dsHit)
-      .limit(1).collect().nonEmpty
+    val wildcarded = retryOnVanish(
+      recs.filter(col("__op") === MemberRemoveAll && dsHit)
+        .limit(1).collect().nonEmpty)
     if (wildcarded) { membersLog.commit(() => pairs(fids), MemberAdd); return }
-    val shadowed = recs.filter(col("__op") === MemberRemove && dsHit)
-      .select("fid").join(fids.select("fid"), Seq("fid"), "left_semi")
-      .collect().map(_.getString(0)).toSet
+    val shadowed = retryOnVanish(
+      recs.filter(col("__op") === MemberRemove && dsHit)
+        .select("fid").join(fids.select("fid"), Seq("fid"), "left_semi")
+        .collect().map(_.getString(0)).toSet)
     if (shadowed.isEmpty) baseAppend(fids)
     else {
       val hit = col("fid").isin(shadowed.toSeq: _*)

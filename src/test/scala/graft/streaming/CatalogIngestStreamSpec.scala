@@ -55,4 +55,64 @@ class CatalogIngestStreamSpec extends SparkTestBase {
     assert(cat.files.filter(
       expr("try_variant_get(metadata, \"$['core.run']\", 'long')") === 33L).count() == 1)
   }
+
+  test("stream ingest concurrent with admin mutations and log maintenance") {
+    // The always-on deployment shape: a crawler declares micro-batches
+    // into the catalog WHILE an admin instance retires files, edits
+    // memberships and runs checkpoint+vacuum on all three logs. Nothing
+    // may be lost: streamed declares are append-path (appendParquet),
+    // admin mutations are OCC log commits, and the catalog's internal
+    // probes retry reads that race a vacuum.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ing-conc-").toString
+    val streamCat = new ParquetCatalog(spark, root, mergeOnRead = true)
+    val adminCat = new ParquetCatalog(spark, root, mergeOnRead = true)
+    streamCat.createDataset("ing", "live")
+    streamCat.declareFiles(declareRows(10, "S"), dataset = Some(("ing", "live")))
+
+    // six single-file micro-batches of NEW fids, one per trigger
+    val stage = Files.createTempDirectory("graft-ing-conc-stage-")
+    graft.TempDirs.register(stage)
+    for (b <- 0 until 6) {
+      val tmp = Files.createTempDirectory("graft-ing-conc-tmp-")
+      graft.TempDirs.register(tmp)
+      declareRows(5, s"C${b}_").coalesce(1).write.parquet(s"$tmp/out")
+      val part = new java.io.File(s"$tmp/out").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, stage.resolve(f"batch_$b%02d.parquet"))
+    }
+    val src = spark.readStream.schema(declareRows(1, "x").schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = CatalogIngestStream.declareStream(src, streamCat,
+      dataset = Some(("ing", "live")))
+    val admin = Future {
+      for (k <- 0 until 10) {
+        adminCat.retireFiles(Seq(s"S$k"))
+        if (k % 3 == 0) {
+          adminCat.checkpointFilesLog(); adminCat.vacuumFilesLog()
+          adminCat.checkpointMembersLog(); adminCat.vacuumMembersLog()
+          adminCat.checkpointEdgesLog(); adminCat.vacuumEdgesLog()
+        }
+      }
+      adminCat.removeFrom(Seq("S0", "S1").toDF("fid"), "ing", "live")
+    }
+    q.awaitTermination()
+    Await.result(admin, 10.minutes)
+
+    val fresh = new ParquetCatalog(spark, root, mergeOnRead = true)
+    // every streamed declare landed exactly once (files AND membership)
+    assert(fresh.files.count() == 40) // 10 seeded + 30 streamed
+    assert(fresh.files.groupBy("fid").count().filter(col("count") > 1).count() == 0)
+    assert(fresh.filesDatasets.count() == 38) // 40 members - 2 removeFrom
+    // every admin mutation landed
+    assert(fresh.files.filter(col("retired")).count() == 10)
+    // and the commit protocols stayed dense through the maintenance race
+    val audit = graft.metacat.Fsck.audit(fresh).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (k <- audit.keys if k.startsWith("mor_"))
+      assert(audit(k) == 0L, s"protocol row $k flagged: $audit")
+  }
 }
