@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.metacat.ParquetCatalog
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** Commit-throughput probe for the multi-writer OCC protocol: W catalog
+  * instances on one root each issue M metadata patches concurrently, and
+  * the probe reports aggregate commits/s per writer count.
+  *
+  * Claims serialize on the dense sequence space, so each collision costs
+  * one recompute+rewrite of the loser's mutation-sized frame — aggregate
+  * throughput should hold roughly flat (not collapse) as writers are
+  * added, with per-commit latency growing with the collision rate. This
+  * is the catalog-write ceiling a deployment sizes its ingest/admin
+  * concurrency against; bulk work (declares, bulk addTo) bypasses it on
+  * the append path entirely.
+  *
+  *   sbt "runMain graft.ConcurrencyProbe [nFiles perWriter w1 w2 ...]"
+  */
+object ConcurrencyProbe {
+  def main(args: Array[String]): Unit = {
+    val nFiles = if (args.nonEmpty) args(0).toInt else 50000
+    val perWriter = if (args.length > 1) args(1).toInt else 12
+    val writerCounts =
+      if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (w <- writerCounts) {
+      val root = java.nio.file.Files.createTempDirectory("graft_cc_").toString
+      val seed = new ParquetCatalog(spark, root, mergeOnRead = true)
+      seed.declareFiles(spark.range(nFiles.toLong).select(
+        format_string("P%09d", col("id")).as("fid"),
+        format_string("ns%d", col("id") % 4).as("namespace"),
+        format_string("f_%d.dat", col("id")).as("name"),
+        format_string("{\"core.run\":%d}", col("id") % 1000).as("metadata_json"),
+        lit("probe").as("creator"),
+        to_timestamp(lit("2026-03-01 00:00:00")).as("created_timestamp"),
+        (col("id") * 10).as("size")))
+      val writers = (0 until w).map(_ =>
+        new ParquetCatalog(spark, root, mergeOnRead = true))
+      val t0 = System.nanoTime()
+      val bursts = writers.zipWithIndex.map { case (cat, i) =>
+        Future {
+          for (k <- 0 until perWriter)
+            cat.updateFileMeta(Seq(f"P${(i * perWriter + k) % nFiles}%09d"),
+              s"""{"opt.w${i}_$k":$k}""")
+        }
+      }
+      Await.result(Future.sequence(bursts), 60.minutes)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val commits = w * perWriter
+      // protocol sanity: dense seqs, no orphans (a lost commit would gap)
+      val last = new ParquetCatalog(spark, root, mergeOnRead = true)
+      assert(last.currentLogSeq() == commits.toLong,
+        s"expected $commits dense seqs, got ${last.currentLogSeq()}")
+      println(f"CCPROBE writers=$w%2d  commits=$commits%4d  wall=$secs%6.1f s  " +
+        f"throughput=${commits / secs}%5.2f commits/s  " +
+        f"per-commit=${secs / commits}%5.2f s")
+    }
+    spark.stop()
+  }
+}

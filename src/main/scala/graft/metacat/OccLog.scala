@@ -17,14 +17,13 @@ import org.apache.hadoop.fs.Path
   * connection each; uniqueness comes from the schema's primary keys).
   * Here the log IS the commit protocol, in the Delta-log shape: each
   * mutation occupies exactly one `__seq`, a seq is CLAIMED by an atomic
-  * create-if-absent marker file and PUBLISHED by renaming the pre-written
+  * create-if-absent marker file and PUBLISHED by renaming the written
   * parquet directory to `<name>/s<seq>/`. Claims are dense (next = max
-  * claimed + 1), so a writer that wins the claim for seq s is guaranteed
-  * no other commit landed between its snapshot read (all published seqs
-  * ≤ s-1) and its claim — the mutation's row versions were computed
-  * against exactly the state they serialize after. A lost claim aborts
-  * the attempt and the mutation RECOMPUTES from the new state and
-  * retries: serializable OCC.
+  * claimed + 1) and taken FIRST: the winner of seq s waits for every
+  * predecessor's publish and then computes its row versions against
+  * exactly the published state of seqs < s — the state they serialize
+  * after. Serializable, with one Spark write per mutation; a lost claim
+  * race costs a failed file-create, never a recompute (see [[commit]]).
   *
   * Atomicity of the claim: `java.nio.Files.createFile` (O_CREAT|O_EXCL)
   * on local filesystems — Hadoop's RawLocalFileSystem.create is
@@ -185,8 +184,11 @@ private[metacat] final class OccLog(
   }
 
   /** Block until every claimed seq ≤ `upTo` has published its data dir —
-    * the predecessor is mid-rename, a bounded wait. A claim that never
-    * publishes (crashed writer) fails loudly after the timeout. */
+    * under claim-first commits a predecessor holds its claim for its
+    * whole compute+publish, so the wait covers the queue of commits
+    * ahead (deadline via `graft.occ.publishTimeoutMs`, default 120 s). A
+    * claim that never publishes (crashed writer) fails loudly after the
+    * timeout. */
   private def awaitPublished(upTo: Long): Unit = {
     if (upTo <= 0L) return
     val legacy = legacyFlatSeq()
@@ -195,7 +197,9 @@ private[metacat] final class OccLog(
       .filter(s => s <= upTo && s > legacy && s > ckpt)
     if (pending.isEmpty) return
     val fs = fsOf(hPath(name))
-    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    val timeoutMs =
+      sys.props.getOrElse("graft.occ.publishTimeoutMs", "120000").toLong
+    val deadline = System.nanoTime() + timeoutMs * 1000 * 1000
     for (s <- pending.sorted) {
       val dir = new Path(path(name), seqDirName(s))
       val marker = new Path(path(claimsT), seqDirName(s))
@@ -208,7 +212,9 @@ private[metacat] final class OccLog(
         else if (System.nanoTime() > deadline)
           throw new IllegalStateException(
             s"log seq $s is claimed but never published (crashed writer?); " +
-            s"remove ${path(claimsT)}/${seqDirName(s)} to recover")
+            s"publish an empty no-op commit (mkdir ${path(name)}/${seqDirName(s)}) " +
+            s"to recover gap-free, or remove ${path(claimsT)}/${seqDirName(s)} " +
+            "(fsck will flag the seq gap)")
         else Thread.sleep(5L)
       }
     }
@@ -216,53 +222,78 @@ private[metacat] final class OccLog(
 
   /** Commit one mutation's records under multi-writer OCC — O(rows
     * touched), no base-table I/O beyond the read feeding `mkRows`.
-    * `mkRows` MUST build a fresh plan on each call (re-reading the log),
-    * because a lost claim means another commit landed and this mutation's
-    * rows must be recomputed against it. The frame it returns carries the
-    * record shape minus `__seq` (stamped here); a frame WITHOUT `__op`
-    * gets `op` stamped, one WITH it keeps its per-row ops — the one seq
-    * then holds a mixed mutation (e.g. a replace = wildcard remove + new
-    * rows) that readers see atomically. */
+    *
+    * CLAIM-FIRST: own the next dense seq before computing, await the
+    * predecessors' publishes, then compute the mutation against exactly
+    * the state of seqs < s and publish — each mutation runs its Spark
+    * write exactly ONCE. (The original write-first variant computed
+    * speculatively and re-computed on every lost claim; at 4 concurrent
+    * writers a slow writer burned a full write per collision and starved
+    * past the retry cap. Losing a claim-first race costs one failed
+    * file-create, ~ms.) The cost is that commits serialize behind each
+    * other's computes — the same aggregate throughput write-first
+    * delivered under contention, with none of the wasted work.
+    *
+    * The frame `mkRows` returns carries the record shape minus `__seq`
+    * (stamped here); a frame WITHOUT `__op` gets `op` stamped, one WITH
+    * it keeps its per-row ops — the one seq then holds a mixed mutation
+    * (e.g. a replace = wildcard remove + new rows) that readers see
+    * atomically. If the compute/write FAILS, the claimed seq publishes
+    * as an EMPTY no-op commit so the sequence space stays dense and
+    * successors are never stranded behind the claim. */
   def commit(mkRows: () => DataFrame, op: String): Unit = {
     val fs = fsOf(hPath(name))
     var attempt = 0
-    while (true) {
-      val prev = maxClaimed()
-      awaitPublished(prev) // snapshot = exactly the committed seqs ≤ prev
-      val s = prev + 1L
+    var s = 0L
+    while (s == 0L) {
+      val next = maxClaimed() + 1L
+      if (claim(next)) s = next
+      else {
+        attempt += 1
+        if (attempt >= 10000)
+          throw new IllegalStateException(
+            s"gave up claiming a seq in $root/$name after $attempt collisions")
+        Thread.sleep(math.min(20L, 1L + attempt / 10L))
+      }
+    }
+    val dst = new Path(path(name), seqDirName(s))
+    try {
+      // predecessors may still be computing/publishing: the snapshot for
+      // THIS mutation is exactly the published seqs < s
+      awaitPublished(s - 1L)
       val tmp = new Path(path("_tmp"), s"commit-${java.util.UUID.randomUUID()}")
-      val wrote =
+      var wrote = false
+      var writeAttempt = 0
+      while (!wrote) {
         try {
           val rows = mkRows()
           align((if (rows.columns.contains("__op")) rows
               else rows.withColumn("__op", lit(op)))
               .withColumn("__seq", lit(s)))
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          true
+          wrote = true
         } catch {
           // a concurrent vacuum deleted raw segments between this plan's
           // file listing and its execution — the checkpoint now carries
-          // them, so a FRESH snapshot read is correct: retry (the same
-          // remedy Delta prescribes for reads racing VACUUM)
-          case e: Throwable if OccLog.fileVanished(e) => false
+          // them, so a FRESH snapshot read is correct: retry the write
+          // (the same remedy Delta prescribes for reads racing VACUUM)
+          case e: Throwable if OccLog.fileVanished(e) && writeAttempt < 5 =>
+            writeAttempt += 1
+            fs.delete(tmp, true)
+            Thread.sleep(10L * writeAttempt)
         }
-      if (wrote && claim(s)) {
-        // we own s exclusively — the publish rename is uncontended
-        val dst = new Path(path(name), seqDirName(s))
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(tmp, dst))
-          throw new IllegalStateException(
-            s"publish of claimed log seq $s failed: $tmp -> $dst")
-        return
       }
-      // lost the claim (another commit took s) or the snapshot read raced
-      // a vacuum — discard and recompute against the fresh state
-      fs.delete(tmp, true)
-      attempt += 1
-      if (attempt >= 20)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(tmp, dst))
         throw new IllegalStateException(
-          s"gave up committing to $root/$name after $attempt claim collisions")
-      Thread.sleep(5L * attempt)
+          s"publish of claimed log seq $s failed: $tmp -> $dst")
+    } catch {
+      case e: Throwable =>
+        // keep the protocol dense and successors unblocked: the claimed
+        // seq publishes as an empty no-op commit before the failure
+        // propagates (readers fold zero rows from it)
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        throw e
     }
   }
 

@@ -56,9 +56,10 @@ import org.apache.spark.sql.types._
   *  - MOR file-row mutations (retire / update-meta / update-file /
   *    move-namespace / remove) are MULTI-WRITER SAFE across catalog
   *    instances and JVMs sharing one root: each mutation commits exactly
-  *    one log sequence via claim-by-atomic-create + publish-by-rename,
-  *    recomputing its row versions on claim collision — serializable
-  *    optimistic concurrency, fuzz-proven by `MultiWriterSpec`.
+  *    one log sequence via claim-FIRST-by-atomic-create +
+  *    publish-by-rename, computing its row versions once against the
+  *    published predecessors — serializable optimistic concurrency,
+  *    fuzz-proven by `MultiWriterSpec`.
   *  - MOR MEMBERSHIP mutations are multi-writer safe the same way:
   *    [[addTo]]/[[removeFrom]]/[[removeFiles]] commit add/remove records
   *    to a second OCC log (`members_log`), and [[removeDataset]] retires
@@ -260,10 +261,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         defaulted.dropDuplicates("fid")
           .join(storedFiles().select("fid"), Seq("fid"), "left_anti")
       else defaulted).persist()
-    // force the pin NOW, retrying if the ignoreExisting anti-join's log
-    // read raced a vacuum — every later use then hits the cache instead
-    // of first materializing inside a write job where no retry can help
-    retryOnVanish(batch.count())
+    // when the batch's own plan reads the delta log (the ignoreExisting
+    // anti-join against the merged view), force the pin NOW, retrying if
+    // that read raced a vacuum — every later use then hits the cache
+    // instead of first materializing inside a write job where no retry
+    // can help. Plain declares carry no log read: skip the extra job.
+    if (ignoreExisting && mergeOnRead && logNonEmpty())
+      retryOnVanish(batch.count())
     try {
       // re-declaring an existing id — or declaring the same id twice in
       // one batch — is an error, as in the reference (data_handler.py
@@ -442,8 +446,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         "parent_child", ParentChildSchema, partitionCols = Nil)
     }
     if (mergeOnRead) {
-      // membership cleanup as remove records (mutation-sized; recomputed
-      // on claim collision), then the file tombstones — same
+      // membership cleanup as remove records (mutation-sized; computed
+      // under the claimed seq), then the file tombstones — same
       // dangling-edge-free order as the COW rewrites
       def mkMembers() = filesDatasets.filter(hit)
       if (retryOnVanish(mkMembers().limit(1).collect().nonEmpty))
@@ -547,7 +551,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       throw new IllegalArgumentException(s"dataset $namespace:$name is monotonic")
     if (mergeOnRead) {
       // remove records for the pairs that ARE currently members —
-      // recomputed on claim collision, O(rows touched), no rewrite
+      // computed under the claimed seq, O(rows touched), no rewrite
       def mkRows() = filesDatasets
         .filter(col("dataset_namespace") === namespace &&
           col("dataset_name") === name)
@@ -567,8 +571,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** retire files by id (data_handler.py retire path; schema.sql:63-65) —
     * compacting rewrite of the affected rows. */
   def retireFiles(fids: Seq[String], by: String = "graft"): Unit = {
-    // built per commit attempt: a claim collision means another mutation
-    // landed first and the new row versions must derive from ITS state
+    // built inside the commit, under the claimed seq: the new row
+    // versions derive from every predecessor commit's published state
     def mkUpdated(): DataFrame = storedFiles()
       .withColumn("__hit", col("fid").isin(fids: _*))
       .withColumn("retired", when(col("__hit"), lit(true)).otherwise(col("retired")))
@@ -1088,16 +1092,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** Commit one files-table mutation's new row versions (or tombstones)
     * to the delta log under multi-writer OCC — O(rows touched). `mkRows`
-    * MUST build a fresh plan on each call (re-reading the log), because a
-    * lost claim means another commit landed and this mutation's rows must
-    * be recomputed against it. */
+    * MUST build a fresh plan when invoked (it is evaluated inside the
+    * commit, under the claimed seq, so it reads every predecessor
+    * commit's published state). */
   private def commitFilesLog(mkRows: () => DataFrame, op: String): Unit =
     filesLog.commit(() => align(withShredCols(mkRows()), storedSchema), op)
 
   /** mutation dispatch for the files table: MOR commits the touched rows'
-    * new versions to the log (recomputing via `mkUpdated` on claim
-    * collision); COW rewrites the touched partitions. `namespacesOf` (a
-    * table scan) only runs on the COW branch. */
+    * new versions to the log (`mkUpdated` evaluated under the claimed
+    * seq, against the published predecessors); COW rewrites the touched
+    * partitions. `namespacesOf` (a table scan) only runs on the COW
+    * branch. */
   private def applyFilesUpdate(mkUpdated: () => DataFrame, fids: Seq[String],
       extraTouched: Seq[String] = Nil): Unit = {
     if (mergeOnRead)

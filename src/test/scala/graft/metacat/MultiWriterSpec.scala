@@ -128,13 +128,20 @@ class MultiWriterSpec extends SparkTestBase {
     val claims = new java.io.File(s"$root/files_log_claims")
     val orphan = new java.io.File(claims, "s" + "0" * 18 + "02")
     assert(orphan.createNewFile())
-    val ex = intercept[IllegalStateException] {
-      a.updateFileMeta(Seq("W1"), """{"opt.y":2}""")
-    }
+    // shorten the publish wait for the test (production default: 120 s,
+    // sized to cover a queue of claim-first computes ahead)
+    System.setProperty("graft.occ.publishTimeoutMs", "2000")
+    val ex =
+      try intercept[IllegalStateException] {
+        a.updateFileMeta(Seq("W1"), """{"opt.y":2}""")
+      } finally System.clearProperty("graft.occ.publishTimeoutMs")
     assert(ex.getMessage.contains("claimed but never published"))
     assert(ex.getMessage.contains("files_log_claims"))
     // manual recovery: drop the marker, the writer proceeds
     assert(orphan.delete())
+    // the failed attempt consumed seq 3 as an empty no-op commit (the
+    // claim-first protocol publishes the claimed seq even on failure so
+    // successors are never stranded); the retry lands at seq 4
     a.updateFileMeta(Seq("W1"), """{"opt.y":2}""")
     assert(a.files.filter(col("fid") === "W1")
       .select(expr("try_variant_get(metadata, \"$['opt.y']\", 'long')"))
