@@ -147,8 +147,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * log-derived key sets — never a corpus-wide shuffle. */
   override def filesDatasets: DataFrame = {
     val base = readOr("files_datasets", FilesDatasetsSchema)
-    if (!mergeOnRead || !membersLog.nonEmpty()) return base
-    val recs = membersLog.records()
+    if (!mergeOnRead || !membersLog.nonEmpty()) base
+    else foldMembers(base, membersLog.records())
+  }
+
+  /** base ⊕ membership-log overlay (see [[filesDatasets]]) */
+  private def foldMembers(base: DataFrame, recs: DataFrame): DataFrame = {
     val pairLatest = OccLog.latestPerKey(
       Seq("fid", "dataset_namespace", "dataset_name"))(
       recs.filter(col("__op") =!= MemberRemoveAll))
@@ -170,6 +174,40 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     baseLive.unionByName(logLive)
   }
 
+  /** current membership-log version, for naming [[filesDatasetsAsOf]]
+    * snapshots (0 = empty/just-compacted log) */
+  def currentMembersSeq(): Long = membersLog.currentSeq()
+
+  /** Merge-on-read TIME TRAVEL for MEMBERSHIPS: the dataset-contents
+    * view as of membership-log sequence `seq` — the reproducibility
+    * primitive a training pipeline needs ("the exact file set this run
+    * read"). Adds are append-path base rows, so — like [[filesAsOf]]'s
+    * declares — they are part of every snapshot; the sequence bounds the
+    * LOGGED mutations (removes, dataset wildcards, shadowed re-adds).
+    * `seq = 0` is the pure base; reachability is bounded below by the
+    * members vacuum horizon and resets at compaction, exactly like
+    * [[filesAsOf]]. Capture versions with [[currentMembersSeq]]. */
+  def filesDatasetsAsOf(seq: Long): DataFrame = {
+    require(mergeOnRead, "filesDatasetsAsOf requires a merge-on-read catalog")
+    val base = readOr("files_datasets", FilesDatasetsSchema)
+    val horizon = membersLog.vacuumHorizon()
+    if (seq > 0L && seq < horizon)
+      throw new IllegalStateException(
+        s"as-of members seq $seq predates the vacuum horizon $horizon: " +
+        "the per-sequence membership history below a vacuumed checkpoint " +
+        "is gone (vacuumMembersLog bounds time travel the way VACUUM " +
+        "bounds VERSION AS OF in a Delta table)")
+    if (!membersLog.nonEmpty() || seq <= 0L) base
+    else {
+      // below the checkpoint (but above any vacuum horizon) the raw
+      // segments are authoritative — the checkpoint's latest-wins
+      // collapse would leak mutations in (seq, ckpt] into the snapshot
+      val source =
+        if (horizon > 0L) membersLog.records() else membersLog.readRaw()
+      foldMembers(base, source.filter(col("__seq") <= seq))
+    }
+  }
+
   override def datasets: DataFrame =
     readOr("datasets", DatasetsSchema)
       .withColumn("metadata", parse_json(col("metadata_json")))
@@ -183,8 +221,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * the commit. Windows run over the mutation-sized log only. */
   override def parentChild: DataFrame = {
     val base = readOr("parent_child", ParentChildSchema)
-    if (!mergeOnRead || !edgesLog.nonEmpty()) return base
-    val recs = edgesLog.records()
+    if (!mergeOnRead || !edgesLog.nonEmpty()) base
+    else foldEdges(base, edgesLog.records())
+  }
+
+  /** base ⊕ edge-log overlay (see [[parentChild]]) */
+  private def foldEdges(base: DataFrame, recs: DataFrame): DataFrame = {
     val pairLatest = OccLog.latestPerKey(Seq("parent_fid", "child_fid"))(
       recs.filter(col("parent_fid").isNotNull && col("child_fid").isNotNull))
     val wildP = recs.filter(col("child_fid").isNull)
@@ -203,6 +245,30 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         (col("__wc").isNull || col("__seq") >= col("__wc")))
       .select("parent_fid", "child_fid")
     baseLive.unionByName(logLive)
+  }
+
+  /** current edge-log version, for naming [[parentChildAsOf]] snapshots */
+  def currentEdgesSeq(): Long = edgesLog.currentSeq()
+
+  /** Merge-on-read TIME TRAVEL for PROVENANCE edges, mirroring
+    * [[filesDatasetsAsOf]]: lineage as of edge-log sequence `seq`.
+    * Append-path edges are part of every snapshot; the sequence bounds
+    * the logged mutations (hard-delete wildcards, replaces, shadowed
+    * re-adds). Bounded below by the edges vacuum horizon. */
+  def parentChildAsOf(seq: Long): DataFrame = {
+    require(mergeOnRead, "parentChildAsOf requires a merge-on-read catalog")
+    val base = readOr("parent_child", ParentChildSchema)
+    val horizon = edgesLog.vacuumHorizon()
+    if (seq > 0L && seq < horizon)
+      throw new IllegalStateException(
+        s"as-of edges seq $seq predates the vacuum horizon $horizon: " +
+        "the per-sequence edge history below a vacuumed checkpoint is gone")
+    if (!edgesLog.nonEmpty() || seq <= 0L) base
+    else {
+      val source =
+        if (horizon > 0L) edgesLog.records() else edgesLog.readRaw()
+      foldEdges(base, source.filter(col("__seq") <= seq))
+    }
   }
 
   override def datasetsParentChild: DataFrame =

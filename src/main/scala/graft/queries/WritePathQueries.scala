@@ -188,6 +188,36 @@ object WritePathQueries {
       cat.filesDatasets
     }),
 
+    // MEMBERSHIP TIME TRAVEL: dataset contents as of a membership-log
+    // sequence — the reproducibility primitive ("the exact file set this
+    // training run read"). Adds are append-path base rows (part of every
+    // snapshot, like filesAsOf's declares); the sequence bounds the
+    // LOGGED mutations. Three snapshots of one mutation history, all
+    // recomputed arithmetically by DuckDB.
+    "mql_write_path_members_asof" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpma_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      cat.createDataset("wds", "base")
+      cat.declareFiles(seedRows(s, dir), dataset = Some(("wds", "base")))
+      cat.createDataset("wds", "even")
+      def ks(cond: String) =
+        cat.files.filter(expr(s"CAST(substring(fid, 2) AS INT) $cond"))
+      cat.addTo(ks("% 2 = 0"), "wds", "even") // base append: in EVERY snapshot
+      cat.removeFrom(ks("% 10 = 0"), "wds", "even") // members seq 1
+      cat.addTo(ks("% 20 = 0"), "wds", "even") // seq 2: shadowed re-add
+      val mid = cat.currentMembersSeq()
+      cat.removeDataset("wds", "even") // seq 3: wildcard
+      cat.createDataset("wds", "even")
+      cat.addTo(ks("% 50 = 0"), "wds", "even") // seq 4: out-sequences it
+      def shape(df: DataFrame, snap: String) = df.select(
+        lit(snap).as("snap"), col("fid"),
+        col("dataset_namespace"), col("dataset_name"))
+      shape(cat.filesDatasetsAsOf(0L), "declared")
+        .unionByName(shape(cat.filesDatasetsAsOf(mid), "mid"))
+        .unionByName(shape(cat.filesDatasets, "final"))
+    }),
+
     // PROVENANCE-EDGE delta log (merge-on-read): arithmetic edge sets
     // (k→2k, k→3k over the present keys), an atomic replace-parents (one
     // wildcard + new edges in a single commit — the adds must survive
@@ -455,6 +485,21 @@ object WritePathQueries {
     // k%3 adds were wildcard-tombstoned and only the post-recreate k%7
     // adds survive; hard-deleted 45..49 vanish everywhere; base loses
     // k ≥ 190 to the post-vacuum removeFrom.
+    // three membership snapshots: declared = pure base (all base members
+    // + the even k%2 append); mid = removes/re-adds applied; final =
+    // wildcard wipe + the post-recreate k%50 adds
+    "mql_write_path_members_asof" ->
+      ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200), " +
+        "snaps AS (" +
+        "SELECT 'declared' AS s, k, 'base' AS d FROM w " +
+        "UNION ALL SELECT 'declared', k, 'even' FROM w WHERE k % 2 = 0 " +
+        "UNION ALL SELECT 'mid', k, 'base' FROM w " +
+        "UNION ALL SELECT 'mid', k, 'even' FROM w WHERE k % 2 = 0 AND (k % 10 <> 0 OR k % 20 = 0) " +
+        "UNION ALL SELECT 'final', k, 'base' FROM w " +
+        "UNION ALL SELECT 'final', k, 'even' FROM w WHERE k % 50 = 0) " +
+        "SELECT s AS snap, 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS fid, " +
+        "'wds' AS dataset_namespace, d AS dataset_name FROM snaps"),
+
     // surviving edges: (k→2k ∪ k→3k) with parents-of-4 replaced by
     // {1,2,3} (3 added update-mode post-vacuum), 5→7 added, and every
     // edge touching the hard-deleted 6 or 33 gone. UNION dedups the

@@ -114,6 +114,26 @@ class EdgesLogSpec extends SparkTestBase {
     assert(edges(cat) == Seq("E0000>E0003", "E0004>E0005"))
   }
 
+  test("edge time travel: lineage snapshots by seq") {
+    val root = newRoot()
+    val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
+    declare(cat, 0 until 6)
+    cat.addProvenance(edgeDf(Seq((0, 1), (1, 2), (2, 3)))) // base appends
+    cat.removeFiles(Seq("E0002")) // seq 1+2 (wildcards) + files tombstone
+    val mid = cat.currentEdgesSeq()
+    // replace-parents swaps E0001's WHOLE parent set (0→1 goes too)
+    cat.updateFile("E0001", parents = Some(Seq("E0004")), mode = "replace")
+    assert(edges(cat) == Seq("E0004>E0001"))
+    // as-of 0: the pure base; as-of mid: the hard delete applied, the
+    // replace not yet
+    def at(seq: Long) = cat.parentChildAsOf(seq)
+      .select(concat_ws(">", col("parent_fid"), col("child_fid")))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(at(0L) == Seq("E0000>E0001", "E0001>E0002", "E0002>E0003"))
+    assert(at(mid) == Seq("E0000>E0001"))
+    assert(at(cat.currentEdgesSeq()) == Seq("E0004>E0001"))
+  }
+
   test("two concurrent writers: disjoint edge adds all survive; fsck protocol green") {
     val root = newRoot()
     val a = new ParquetCatalog(spark, root, mergeOnRead = true)

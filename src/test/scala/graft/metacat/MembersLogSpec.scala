@@ -162,6 +162,30 @@ class MembersLogSpec extends SparkTestBase {
       !f.getName.matches("s\\d{20}")), "vacuum left covered raw segments")
   }
 
+  test("membership time travel: snapshots by seq, horizon-bounded after vacuum") {
+    val root = newRoot()
+    val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
+    cat.createDataset("wds", "a")
+    declare(cat, 0 until 10, ds = Some(("wds", "a")))
+    cat.removeFrom(fidSet(cat, Seq(1, 2)), "wds", "a") // seq 1
+    val mid = cat.currentMembersSeq()
+    cat.removeDataset("wds", "a") // seq 2: wildcard
+    cat.createDataset("wds", "a")
+    cat.addTo(fidSet(cat, Seq(5)), "wds", "a") // seq 3
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.select("fid").collect().map(_.getString(0)).sorted.toSeq
+    assert(names(cat.filesDatasetsAsOf(0L)) == (0 until 10).map(i => f"M$i%04d"))
+    assert(names(cat.filesDatasetsAsOf(mid)) ==
+      Seq(0, 3, 4, 5, 6, 7, 8, 9).map(i => f"M$i%04d"))
+    assert(names(cat.filesDatasetsAsOf(2L)).isEmpty)
+    assert(names(cat.filesDatasetsAsOf(cat.currentMembersSeq())) == Seq("M0005"))
+    // vacuum bounds reachability, loudly
+    cat.checkpointMembersLog(); cat.vacuumMembersLog()
+    val ex = intercept[IllegalStateException](cat.filesDatasetsAsOf(mid).count())
+    assert(ex.getMessage.contains("vacuum horizon"))
+    assert(names(cat.filesDatasetsAsOf(cat.currentMembersSeq())) == Seq("M0005"))
+  }
+
   test("compaction reclaims wildcard-tombstoned rows and restarts the seq space") {
     val root = newRoot()
     val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
