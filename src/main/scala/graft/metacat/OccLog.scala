@@ -132,23 +132,39 @@ private[metacat] final class OccLog(
   }
 
   /** Highest seq of the pre-OCC flat layout (parquet part files directly
-    * under `<name>/`). Read per call — cheap listing, and the flat files
-    * vanish for good at the first compaction, so memoizing would go
-    * stale across it. */
+    * under `<name>/`). Flat files are immutable once OCC is in force (no
+    * new flat writes happen), so the computed value is MEMOIZED — the
+    * pre-memo path cost a directory listing plus, when flat files exist,
+    * a full Spark aggregate over the raw log PER CLAIM ATTEMPT on the
+    * commit hot path. [[truncate]] and [[vacuum]] (the two operations
+    * that delete flat files in this instance) invalidate; a concurrent
+    * vacuum in ANOTHER instance can leave this memo stale-nonzero, but
+    * only after proving `legacyFlatSeq <= ckptSeq`, so every consumer —
+    * the allocation frontier (max with ckpt), the awaitPublished filter
+    * (> legacy implies > some published prefix) and [[records]]'s
+    * `legacy > ckpt` branch test — degrades safely. */
   def legacyFlatSeq(): Long = {
     if (!legacyFlat) return 0L
+    val memo = legacyMemo
+    if (memo >= 0L) return memo
     val p = hPath(name)
     val fs = fsOf(p)
     val hasFlat = fs.exists(p) && fs.listStatus(p).exists { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
-    if (!hasFlat) 0L
-    else readRaw().agg(max(col("__seq"))).collect().head match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    val computed =
+      if (!hasFlat) 0L
+      else readRaw().agg(max(col("__seq"))).collect().head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    legacyMemo = computed
+    computed
   }
+
+  /** -1 = not yet computed */
+  @volatile private var legacyMemo: Long = -1L
 
   /** highest checkpointed seq (0 = no checkpoint). The checkpoint dir
     * name IS the horizon record, so a vacuumed log (claims ≤ horizon
@@ -199,23 +215,40 @@ private[metacat] final class OccLog(
     val fs = fsOf(hPath(name))
     val timeoutMs =
       sys.props.getOrElse("graft.occ.publishTimeoutMs", "120000").toLong
-    val deadline = System.nanoTime() + timeoutMs * 1000 * 1000
+    // the checkpoint frontier is re-listed only every ~250 ms (cached
+    // across wait iterations — the pre-cache loop re-listed the ckpt dir
+    // every 5 ms, O(listings) growing with commits-since-vacuum), and the
+    // sleep backs off exponentially 5 → 80 ms per pending seq
+    var cachedCkpt = ckpt
+    var nextCkptProbe = System.nanoTime() + 250L * 1000 * 1000
     for (s <- pending.sorted) {
       val dir = new Path(path(name), seqDirName(s))
       val marker = new Path(path(claimsT), seqDirName(s))
+      // the deadline is PER pending seq: a queue of k slow predecessors
+      // gets k independent windows instead of timing out collectively
+      val deadline = System.nanoTime() + timeoutMs * 1000 * 1000
+      var sleepMs = 5L
       var waiting = true
       while (waiting && !fs.exists(dir)) {
+        val now = System.nanoTime()
+        if (now > nextCkptProbe) {
+          cachedCkpt = ckptSeq()
+          nextCkptProbe = now + 250L * 1000 * 1000
+        }
         // a concurrent vacuum may retire the claim (and its segment)
         // after we listed it — the checkpoint carries that commit, stop
         // waiting
-        if (!fs.exists(marker) || s <= ckptSeq()) waiting = false
-        else if (System.nanoTime() > deadline)
+        if (!fs.exists(marker) || s <= cachedCkpt) waiting = false
+        else if (now > deadline)
           throw new IllegalStateException(
             s"log seq $s is claimed but never published (crashed writer?); " +
             s"publish an empty no-op commit (mkdir ${path(name)}/${seqDirName(s)}) " +
             s"to recover gap-free, or remove ${path(claimsT)}/${seqDirName(s)} " +
             "(fsck will flag the seq gap)")
-        else Thread.sleep(5L)
+        else {
+          Thread.sleep(sleepMs)
+          sleepMs = math.min(80L, sleepMs * 2L)
+        }
       }
     }
   }
@@ -257,10 +290,28 @@ private[metacat] final class OccLog(
       }
     }
     val dst = new Path(path(name), seqDirName(s))
+    // Predecessors may still be computing/publishing: the snapshot for
+    // THIS mutation is exactly the published seqs < s. A failure HERE —
+    // an unpublished predecessor timing out — must NOT publish this seq
+    // as an empty no-op: seq s landing while s-1 is merely slow (any
+    // Spark write can exceed the timeout under load) would open a hole
+    // BELOW a published seq, and a reader counting published frontiers
+    // could mistake the queue for further along than it is. The claim is
+    // left in place (it joins the stuck queue behind the orphan, loudly
+    // named below); [[checkpoint]] independently refuses to fold past a
+    // hole, so even a hand-published no-op above a slow predecessor can
+    // never cost that predecessor's eventual commit.
+    try awaitPublished(s - 1L)
+    catch {
+      case e: Throwable =>
+        throw new IllegalStateException(
+          s"commit of claimed log seq $s in $root/$name aborted while " +
+          s"waiting for its predecessors (${e.getMessage}); this claim " +
+          s"remains and blocks successors — clear it (remove " +
+          s"${path(claimsT)}/${seqDirName(s)}) after recovering the stuck " +
+          "predecessor", e)
+    }
     try {
-      // predecessors may still be computing/publishing: the snapshot for
-      // THIS mutation is exactly the published seqs < s
-      awaitPublished(s - 1L)
       val tmp = new Path(path("_tmp"), s"commit-${java.util.UUID.randomUUID()}")
       var wrote = false
       var writeAttempt = 0
@@ -309,18 +360,52 @@ private[metacat] final class OccLog(
     else 0L
   }
 
+  /** Highest seq `n` such that EVERY seq in 1..n is published (or proven
+    * published by the legacy/checkpoint floor) — the only prefix a
+    * checkpoint may fold. Folding up to the raw maximum instead would be
+    * unsafe: with seq s published while s-1 is still in flight (a
+    * hand-published recovery no-op, or any protocol deviation), a fold
+    * bounded at s would cover the hole, and when the slow-but-alive
+    * writer later publishes s-1 BELOW the checkpoint, [[records]] would
+    * never read it and [[vacuum]] would delete it — a commit that
+    * returned success, silently lost. */
+  def densePublishedSeq(): Long = {
+    val floor = math.max(ckptSeq(), legacyFlatSeq())
+    val published = listSeqNames(name).filter(_ > floor).toSet
+    var n = floor
+    while (published(n + 1L)) n += 1L
+    n
+  }
+
   /** Materialize the published prefix into a checkpoint; returns its seq
     * (0 = empty log, nothing to do). Safe under concurrent writers; must
-    * not race compaction (it truncates what the checkpoint reads). */
+    * not race compaction (it truncates what the checkpoint reads). The
+    * fold is bounded at the DENSE published prefix ([[densePublishedSeq]])
+    * — never past a hole a slow predecessor may still fill — and the
+    * read+write retries when its file listing races a concurrent
+    * [[vacuum]] (same remedy as [[commit]]'s snapshot writes; the two are
+    * advertised concurrent-safe and run together by maintenance CLIs). */
   def checkpoint(): Long = {
-    val n = currentSeq()
+    val n = densePublishedSeq()
     if (n <= 0L) return 0L
     if (ckptSeq() >= n) return ckptSeq() // already covered
-    val merged = fold(records()
-      .filter(col("__seq") <= n)) // guard: a commit may publish mid-write
     val fs = fsOf(hPath(ckptT))
     val tmp = new Path(path("_tmp"), s"ckpt-${java.util.UUID.randomUUID()}")
-    align(merged).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    var wrote = false
+    var attempt = 0
+    while (!wrote) {
+      try {
+        val merged = fold(records()
+          .filter(col("__seq") <= n)) // guard: a commit may publish mid-write
+        align(merged).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        wrote = true
+      } catch {
+        case e: Throwable if OccLog.fileVanished(e) && attempt < 5 =>
+          attempt += 1
+          fs.delete(tmp, true)
+          Thread.sleep(10L * attempt)
+      }
+    }
     val dst = new Path(path(ckptT), seqDirName(n))
     fs.mkdirs(dst.getParent)
     if (!fs.rename(tmp, dst)) {
@@ -363,6 +448,7 @@ private[metacat] final class OccLog(
     listSeqNames(ckptT).filter(_ < c).foreach { s =>
       fs.delete(new Path(path(ckptT), seqDirName(s)), true)
     }
+    legacyMemo = -1L // flat files may be gone — recompute on next use
     c
   }
 
@@ -376,6 +462,7 @@ private[metacat] final class OccLog(
     fsOf(hPath(name)).delete(hPath(name), true)
     fsOf(hPath(claimsT)).delete(hPath(claimsT), true)
     fsOf(hPath(ckptT)).delete(hPath(ckptT), true)
+    legacyMemo = -1L // compaction removed the flat layout for good
     ()
   }
 

@@ -47,10 +47,20 @@ object MqlSql {
     cat
   }
 
+  /** true iff [[install]] has bound a catalog for this session — the
+    * gate for MQL capture: a session that never installed one gets pure
+    * SQL behavior (a typo'd `filter …` surfaces Spark's own parse error,
+    * not an IllegalStateException about a feature it never enabled) */
+  private[mql] def installed(spark: SparkSession): Boolean =
+    catalogs.get(spark) != null
+
   /** MQL statement leaders (the reference grammar's top productions);
-    * `{` opens the intersect form */
+    * `{` opens the intersect form. Case-insensitive: no SQL statement
+    * begins with any of these words, and `Files from …` routed to the
+    * SQL parser would die with a baffling SQL error instead of the MQL
+    * parser's pointed one. */
   private val Leader =
-    "^\\s*(files|fids|datasets|queries|union\\s*\\(|filter\\s|parents\\s*\\(|children\\s*\\(|\\{)".r
+    "(?i)^\\s*(files|fids|datasets|queries|union\\s*\\(|filter\\s|parents\\s*\\(|children\\s*\\(|\\{)".r
 
   private[mql] def looksLikeMql(text: String): Boolean =
     Leader.findFirstIn(text).isDefined
@@ -66,18 +76,38 @@ class MqlSqlParser(delegate: ParserInterface) extends ParserInterface {
     Mql.query(spark, MqlSql.catalogFor(spark), text).queryExecution.analyzed
   }
 
+  /** MQL capture requires BOTH an MQL leader and an installed catalog —
+    * GraftExtensions injects this parser into every session that loads
+    * it, so a session that never called `MqlSql.install` must behave as
+    * pure SQL (delegate everything, even leader-shaped statements) */
+  private def captures(sqlText: String): Boolean =
+    MqlSql.looksLikeMql(sqlText) &&
+      SparkSession.getActiveSession.exists(MqlSql.installed)
+
+  /** delegate, but when the SQL parser rejects a LEADER-shaped statement
+    * in an uninstalled session, name the likely cause — the user probably
+    * meant MQL and forgot `MqlSql.install` */
+  private def delegated[T](sqlText: String)(f: => T): T =
+    try f catch {
+      case e: Exception if MqlSql.looksLikeMql(sqlText) =>
+        throw new IllegalStateException(
+          "statement looks like MQL but no catalog is bound to this session " +
+          "— call graft.mql.MqlSql.install(spark, catalog) first " +
+          s"(the SQL parser rejected it: ${e.getMessage})", e)
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    if (MqlSql.looksLikeMql(sqlText)) planMql(sqlText)
-    else delegate.parsePlan(sqlText)
+    if (captures(sqlText)) planMql(sqlText)
+    else delegated(sqlText)(delegate.parsePlan(sqlText))
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    if (MqlSql.looksLikeMql(sqlText)) planMql(sqlText)
-    else delegate.parsePlanWithParameters(sqlText, ctx)
+    if (captures(sqlText)) planMql(sqlText)
+    else delegated(sqlText)(delegate.parsePlanWithParameters(sqlText, ctx))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    if (MqlSql.looksLikeMql(sqlText)) planMql(sqlText)
-    else delegate.parseQuery(sqlText)
+    if (captures(sqlText)) planMql(sqlText)
+    else delegated(sqlText)(delegate.parseQuery(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -225,4 +225,50 @@ class CheckpointSpec extends SparkTestBase {
     val partial = issues(new ParquetCatalog(spark, root2, mergeOnRead = true))
     assert(partial("mor_seq_gap") == 1L, s"partial vacuum not flagged: $partial")
   }
+
+  test("checkpoint bounds at the dense published prefix — a slow predecessor's late publish survives") {
+    // The data-loss scenario the dense bound closes: seq 1 published,
+    // seq 2 claimed by a slow-but-alive writer (any Spark write can
+    // exceed the publish timeout under load), seq 3 hand-published as a
+    // recovery no-op ABOVE the hole. A checkpoint folding to the raw max
+    // (3) would cover seq 2 sight-unseen; when the slow writer later
+    // publishes it BELOW the checkpoint, records() would never read it
+    // and vacuum would delete it — a commit that returned success,
+    // silently lost. The fold must stop at the dense prefix (1).
+    import org.apache.spark.sql.types._
+    val root = newRoot()
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("__op", StringType), StructField("__seq", LongType)))
+    val log = new OccLog(spark, root, "tlog", schema, OccLog.latestPerKey(Seq("k")))
+    import spark.implicits._
+    log.commit(() => Seq(("a", 1L)).toDF("k", "v"), "upsert") // seq 1
+    def seqName(s: Long) = f"s$s%020d"
+    val claim2 = new java.io.File(s"$root/tlog_claims/${seqName(2)}")
+    assert(claim2.createNewFile(), "simulated slow writer's claim")
+    // operator hand-recovery: claim + empty no-op publish at seq 3
+    assert(new java.io.File(s"$root/tlog_claims/${seqName(3)}").createNewFile())
+    assert(new java.io.File(s"$root/tlog/${seqName(3)}").mkdirs())
+
+    assert(log.densePublishedSeq() == 1L)
+    assert(log.checkpoint() == 1L, "checkpoint must not fold past the hole")
+    log.vacuum() // horizon 1: must not touch the in-flight seq 2
+
+    // the slow writer finally publishes seq 2
+    Seq(("b", 2L)).toDF("k", "v")
+      .withColumn("__op", lit("upsert")).withColumn("__seq", lit(2L))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.parquet(s"$root/tlog/${seqName(2)}")
+
+    val live = log.records().groupBy("k").agg(max_by(col("v"), col("__seq")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(live == Map("a" -> 1L, "b" -> 2L),
+      s"late-published commit lost: $live")
+    // the prefix is dense through 3 now — the next checkpoint covers it
+    assert(log.checkpoint() == 3L)
+    log.vacuum()
+    val post = log.records().groupBy("k").agg(max_by(col("v"), col("__seq")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(post == Map("a" -> 1L, "b" -> 2L))
+  }
 }

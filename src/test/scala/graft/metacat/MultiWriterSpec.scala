@@ -137,11 +137,19 @@ class MultiWriterSpec extends SparkTestBase {
       } finally System.clearProperty("graft.occ.publishTimeoutMs")
     assert(ex.getMessage.contains("claimed but never published"))
     assert(ex.getMessage.contains("files_log_claims"))
-    // manual recovery: drop the marker, the writer proceeds
+    // the aborted writer does NOT publish its own seq as an empty no-op
+    // (the predecessor may be slow-but-alive, and a published seq above
+    // an unpublished one would misrepresent the queue); its claim stays,
+    // named in the error for recovery
+    assert(ex.getMessage.contains("s" + "0" * 18 + "03"))
+    val aborted = new java.io.File(claims, "s" + "0" * 18 + "03")
+    assert(aborted.exists(), "aborted writer's claim must remain")
+    assert(!new java.io.File(s"$root/files_log", "s" + "0" * 18 + "03").exists(),
+      "aborted writer must not publish a no-op over the hole")
+    // manual recovery: drop the orphan AND the aborted claim; the retry
+    // then re-claims the freed sequence space
     assert(orphan.delete())
-    // the failed attempt consumed seq 3 as an empty no-op commit (the
-    // claim-first protocol publishes the claimed seq even on failure so
-    // successors are never stranded); the retry lands at seq 4
+    assert(aborted.delete())
     a.updateFileMeta(Seq("W1"), """{"opt.y":2}""")
     assert(a.files.filter(col("fid") === "W1")
       .select(expr("try_variant_get(metadata, \"$['opt.y']\", 'long')"))
