@@ -211,11 +211,13 @@ object AdminCli {
       case "catalog" :: "checkpoint" :: Nil => // concurrent-safe pair:
         println(s"""{"checkpoint_seq":${cat.checkpointFilesLog()},""" +
           s""""members_checkpoint_seq":${cat.checkpointMembersLog()},""" +
-          s""""edges_checkpoint_seq":${cat.checkpointEdgesLog()}}""")
+          s""""edges_checkpoint_seq":${cat.checkpointEdgesLog()},""" +
+          s""""admin_checkpoint_seq":${cat.checkpointAdminLog()}}""")
       case "catalog" :: "vacuum" :: Nil => //   run on a schedule
         println(s"""{"vacuum_horizon":${cat.vacuumFilesLog()},""" +
           s""""members_vacuum_horizon":${cat.vacuumMembersLog()},""" +
-          s""""edges_vacuum_horizon":${cat.vacuumEdgesLog()}}""")
+          s""""edges_vacuum_horizon":${cat.vacuumEdgesLog()},""" +
+          s""""admin_vacuum_horizon":${cat.vacuumAdminLog()}}""")
       case "catalog" :: "history" :: Nil =>
         emit(cat.logHistory())
 

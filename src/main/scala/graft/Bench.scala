@@ -36,6 +36,31 @@ object Bench {
 
     def secs(t0: Long): Double = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
 
+    // ---- contention guard (r10: a loaded machine inflated the driver's
+    // artifact 2.4x over the same-code clean run, and nothing in the
+    // artifact flagged it). Two independent signals, recorded so
+    // tools/bench_diff.py can refuse to regress-flag a contaminated run:
+    //  - /proc/loadavg before/after (machine-wide, catches OTHER procs)
+    //  - a fixed calibration query (constant work, SF-independent): its
+    //    median run time moves only with machine conditions, never with
+    //    engine changes
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(10L * 1000 * 1000)
+          .select(max(xxhash64(col("id")))).collect() // max: no ANSI overflow
+        secs(t0)
+      }.sorted
+      runs(1) // median of 3
+    }
+    val calibSec = try calibrate() catch { case _: Throwable => -1.0 }
+
     // catalog_init = open the stored catalog + first scan. When the
     // shredded store is cold this includes the one-time ingest (JSON →
     // Variant + shred columns, persisted); catalog_ingest reports that
@@ -84,8 +109,9 @@ object Bench {
     val total = math.rint(results.values.map(_._1).filter(_ >= 0).sum * 1e3) / 1e3
     // full artifact (incl. per-query map) on disk; the stdout line stays
     // short so a log-tail capture can't clip it
+    val loadAfter = loadAvg()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSec,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }
     // append-only, git-retained history: bench_last.json is overwritten by
@@ -97,7 +123,7 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSec,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

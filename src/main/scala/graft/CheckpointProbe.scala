@@ -47,10 +47,17 @@ object CheckpointProbe {
         to_timestamp(lit("2026-03-01 00:00:00")).as("created_timestamp"),
         (col("id") * 10).as("size"))
       cat.declareFiles(rows)
+      val listings0 = graft.metacat.OccLog.listings.get()
       val tCommits = timeS {
         for (i <- 0 until k)
           cat.updateFileMeta(Seq(f"P${i % nFiles}%09d"), s"""{"opt.c$i":$i}""")
       }
+      // claim-path cost in directory LISTINGS per commit: each commit
+      // pays maxClaimed (claims + ckpt dirs) + awaitPublished's pending
+      // scan; the r11 fixes (memoized legacy seq, cached ckpt frontier,
+      // backoff) bound it to a small constant instead of O(wait-iterations)
+      val listingsPerCommit =
+        (graft.metacat.OccLog.listings.get() - listings0).toDouble / k
       def readS(): Double = { // fresh instance: no warm caches
         val c = new ParquetCatalog(spark, root, mergeOnRead = true)
         timeS(assert(c.files.count() == nFiles.toLong))
@@ -65,6 +72,7 @@ object CheckpointProbe {
         cat.updateFileMeta(Seq(f"P${i}%09d"), s"""{"opt.post$i":$i}""")
       val tSteady = readS()
       println(f"CKPTPROBE n=$nFiles%8d commits=$k%4d  commit-burst=$tCommits%7.1f s  " +
+        f"listings/commit=$listingsPerCommit%5.1f  " +
         f"read(raw-log)=$tRawRead%6.2f s  ckpt=$tCkpt%5.2f s  read(ckpt)=$tCkptRead%6.2f s  " +
         f"vacuum=$tVacuum%5.2f s  read(vacuumed)=$tVacRead%6.2f s  read(+8 commits)=$tSteady%6.2f s")
     }

@@ -11,22 +11,26 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * instances on one root each issue M metadata patches concurrently, and
   * the probe reports aggregate commits/s per writer count.
   *
-  * Claims serialize on the dense sequence space, so each collision costs
-  * one recompute+rewrite of the loser's mutation-sized frame — aggregate
-  * throughput should hold roughly flat (not collapse) as writers are
-  * added, with per-commit latency growing with the collision rate. This
-  * is the catalog-write ceiling a deployment sizes its ingest/admin
-  * concurrency against; bulk work (declares, bulk addTo) bypasses it on
-  * the append path entirely.
+  * The writers patch DISJOINT fid sets, and fid-footprint commits are
+  * KEYED (conflict-detection OCC): a commit waits only for unpublished
+  * predecessors whose footprints intersect its own, so disjoint
+  * mutations' Spark writes OVERLAP — aggregate throughput should now
+  * SCALE with writers until CPU saturates, where the pre-keys protocol
+  * held flat ~2 commits/s (every commit waited out every predecessor's
+  * full compute). Intersecting footprints still serialize — the bar the
+  * `MultiWriterSpec` same-fid storm pins. Pass `--overlap` to force all
+  * writers onto ONE shared fid and measure the serialized path.
   *
-  *   sbt "runMain graft.ConcurrencyProbe [nFiles perWriter w1 w2 ...]"
+  *   sbt "runMain graft.ConcurrencyProbe [nFiles perWriter w1 w2 ...] [--overlap]"
   */
 object ConcurrencyProbe {
   def main(args: Array[String]): Unit = {
-    val nFiles = if (args.nonEmpty) args(0).toInt else 50000
-    val perWriter = if (args.length > 1) args(1).toInt else 12
+    val overlap = args.contains("--overlap")
+    val rest = args.filterNot(_ == "--overlap")
+    val nFiles = if (rest.nonEmpty) rest(0).toInt else 50000
+    val perWriter = if (rest.length > 1) rest(1).toInt else 12
     val writerCounts =
-      if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+      if (rest.length > 2) rest.drop(2).map(_.toInt).toSeq else Seq(1, 2, 4, 8)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -51,9 +55,10 @@ object ConcurrencyProbe {
       val t0 = System.nanoTime()
       val bursts = writers.zipWithIndex.map { case (cat, i) =>
         Future {
-          for (k <- 0 until perWriter)
-            cat.updateFileMeta(Seq(f"P${(i * perWriter + k) % nFiles}%09d"),
-              s"""{"opt.w${i}_$k":$k}""")
+          for (k <- 0 until perWriter) {
+            val fid = if (overlap) 0 else (i * perWriter + k) % nFiles
+            cat.updateFileMeta(Seq(f"P$fid%09d"), s"""{"opt.w${i}_$k":$k}""")
+          }
         }
       }
       Await.result(Future.sequence(bursts), 60.minutes)

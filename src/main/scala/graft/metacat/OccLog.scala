@@ -78,6 +78,7 @@ private[metacat] final class OccLog(
 
   /** seq numbers present as `s<20 digits>` children of `t` */
   private def listSeqNames(t: String): Seq[Long] = {
+    OccLog.listings.incrementAndGet()
     val p = hPath(t)
     val fs = fsOf(p)
     if (!fs.exists(p)) Nil
@@ -182,6 +183,50 @@ private[metacat] final class OccLog(
   def currentSeq(): Long =
     ((0L +: listSeqNames(name)) :+ legacyFlatSeq() :+ ckptSeq()).max
 
+  /** Write the claimed seq's DECLARED KEY SET beside its marker
+    * (`<claims>/s<seq>.keys`): the conflict-detection handshake that
+    * lets DISJOINT-key successors compute concurrently instead of
+    * serializing behind every predecessor's Spark write (the flat
+    * ~2 commits/s ceiling measured through 8 writers). One key per
+    * line; the single line `*` means "all keys" (an unkeyed commit —
+    * conflicts with everything, the original total order). Written
+    * immediately after winning the claim, so a reader finding a marker
+    * without keys is either a microsecond-old claim (grace-polled) or a
+    * crashed writer (degrades to the conservative full wait). */
+  private def writeKeys(s: Long, keys: Option[Seq[String]]): Unit = {
+    val p = new Path(path(claimsT), seqDirName(s) + ".keys")
+    val fs = fsOf(p)
+    val content = keys match {
+      case Some(ks) => ks.distinct.sorted.mkString("\n")
+      case None => "*"
+    }
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** the declared key set of claimed seq `s`: Some(keys), or None for
+    * "treat as conflicting" (unkeyed `*`, a not-yet-written keys file
+    * past the grace, or a pre-keys legacy claim) */
+  private def readKeys(s: Long): Option[Set[String]] = {
+    val p = new Path(path(claimsT), seqDirName(s) + ".keys")
+    val fs = fsOf(p)
+    var graceLeft = 40 // ~1 s: the writer stamps keys right after claiming
+    while (!fs.exists(p) && graceLeft > 0) {
+      if (!fs.exists(new Path(path(claimsT), seqDirName(s)))) return None
+      Thread.sleep(25L)
+      graceLeft -= 1
+    }
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val content =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    if (content.trim == "*") None
+    else Some(content.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+  }
+
   /** atomically claim `s`: create-if-absent on the marker file; false ⇒
     * another writer owns it */
   private def claim(s: Long): Boolean = {
@@ -205,12 +250,28 @@ private[metacat] final class OccLog(
     * ahead (deadline via `graft.occ.publishTimeoutMs`, default 120 s). A
     * claim that never publishes (crashed writer) fails loudly after the
     * timeout. */
-  private def awaitPublished(upTo: Long): Unit = {
+  private def awaitPublished(upTo: Long,
+      myKeys: Option[Seq[String]] = None): Unit = {
     if (upTo <= 0L) return
     val legacy = legacyFlatSeq()
     val ckpt = ckptSeq() // the checkpoint proves its prefix published
-    val pending = listSeqNames(claimsT)
+    var pending = listSeqNames(claimsT)
       .filter(s => s <= upTo && s > legacy && s > ckpt)
+    // conflict detection: a KEYED commit waits only for predecessors
+    // whose declared key sets intersect its own — disjoint mutations
+    // commute under the per-key latest-wins folds, so computing against
+    // the published state (which can only lack disjoint records) is the
+    // same serializable outcome, and the Spark writes overlap instead of
+    // queueing. Predecessors with unknown keys conservatively conflict.
+    myKeys.foreach { mine =>
+      val mineSet = mine.toSet
+      pending = pending.filter { s =>
+        readKeys(s) match {
+          case Some(theirs) => theirs.exists(mineSet.contains)
+          case None => true // unkeyed or unknown: total-order behavior
+        }
+      }
+    }
     if (pending.isEmpty) return
     val fs = fsOf(hPath(name))
     val timeoutMs =
@@ -274,7 +335,20 @@ private[metacat] final class OccLog(
     * atomically. If the compute/write FAILS, the claimed seq publishes
     * as an EMPTY no-op commit so the sequence space stays dense and
     * successors are never stranded behind the claim. */
-  def commit(mkRows: () => DataFrame, op: String): Unit = {
+  def commit(mkRows: () => DataFrame, op: String): Unit =
+    commit(mkRows, op, None)
+
+  /** [[commit]] with a DECLARED KEY FOOTPRINT: the caller contracts that
+    * this mutation's reads and records concern only `keys` (under the
+    * log's per-key fold — e.g. one dataset's identity on the members
+    * log, the touched fids on the edges log). Commits whose footprints
+    * are disjoint from every unpublished predecessor skip the publish
+    * wait and compute CONCURRENTLY — disjoint per-key mutations commute,
+    * so any publish order folds to the same state (a reader may
+    * momentarily see seq s without s-1; that is the serialization where
+    * s came first). Unkeyed commits keep the total order. */
+  def commit(mkRows: () => DataFrame, op: String,
+      keys: Option[Seq[String]]): Unit = {
     val fs = fsOf(hPath(name))
     var attempt = 0
     var s = 0L
@@ -289,6 +363,7 @@ private[metacat] final class OccLog(
         Thread.sleep(math.min(20L, 1L + attempt / 10L))
       }
     }
+    writeKeys(s, keys) // the conflict-detection handshake for successors
     val dst = new Path(path(name), seqDirName(s))
     // Predecessors may still be computing/publishing: the snapshot for
     // THIS mutation is exactly the published seqs < s. A failure HERE —
@@ -301,7 +376,7 @@ private[metacat] final class OccLog(
     // named below); [[checkpoint]] independently refuses to fold past a
     // hole, so even a hand-published no-op above a slow predecessor can
     // never cost that predecessor's eventual commit.
-    try awaitPublished(s - 1L)
+    try awaitPublished(s - 1L, keys)
     catch {
       case e: Throwable =>
         throw new IllegalStateException(
@@ -430,9 +505,12 @@ private[metacat] final class OccLog(
     if (c <= 0L) return 0L
     val fs = fsOf(hPath(name))
     // claims first: a lingering claim whose segment is gone would strand
-    // awaitPublished; a gone claim with a lingering segment is inert
+    // awaitPublished; a gone claim with a lingering segment is inert.
+    // Key sidecars go with their claims (an orphaned sidecar is inert
+    // but would accumulate).
     listSeqNames(claimsT).filter(_ <= c).foreach { s =>
       fs.delete(new Path(path(claimsT), seqDirName(s)), false)
+      fs.delete(new Path(path(claimsT), seqDirName(s) + ".keys"), false)
     }
     listSeqNames(name).filter(_ <= c).foreach { s =>
       fs.delete(new Path(path(name), seqDirName(s)), true)
@@ -484,7 +562,10 @@ private[metacat] final class OccLog(
   }
 }
 
-private[metacat] object OccLog {
+private[graft] object OccLog {
+  /** process-wide directory-listing counter (every [[listSeqNames]]) —
+    * probes read it to report listings-per-commit on the claim path */
+  private[graft] val listings = new java.util.concurrent.atomic.AtomicLong(0L)
   /** true when any cause in the chain is a missing-file read failure —
     * the signature of a snapshot listing racing [[OccLog.vacuum]] */
   def fileVanished(e: Throwable): Boolean = {

@@ -76,9 +76,16 @@ import org.apache.spark.sql.types._
   *    concurrent declares of DISTINCT fids are safe; racing declares of
   *    the SAME fid — or a declare racing a remove of that fid — are
   *    unsynchronized (the duplicate surfaces in `Fsck.audit`).
-  *  - COW mode and the DIMENSION tables (datasets, queries, namespaces,
-  *    dataset hierarchy) rewrite whole files, so they are SINGLE-WRITER
-  *    by contract — one admin session at a time, as a maintenance window.
+  *  - MOR DIMENSION mutations (datasets, namespaces, named queries,
+  *    dataset hierarchy, parameter categories) commit to a fourth shared
+  *    OCC log (`admin_log`) — create/update/remove across catalog
+  *    instances are serializable, duplicate/existence/cycle checks run
+  *    INSIDE the commit (one winner, one loud rejection — the reference's
+  *    PK posture), and [[removeDataset]]'s dataset row + hierarchy edges
+  *    tombstone in ONE atomic commit (its membership wildcard follows on
+  *    the members log, dataset-first ordering documented there).
+  *  - COW mode rewrites whole files, so it is SINGLE-WRITER by
+  *    contract — one admin session at a time, as a maintenance window.
   *  - [[compactFilesLog]] requires an exclusive window in both modes;
   *    [[checkpointFilesLog]] + [[vacuumFilesLog]] (and the
   *    `MembersLog` twins) bound the logs' read cost WITHOUT one — the
@@ -209,7 +216,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   }
 
   override def datasets: DataFrame =
-    readOr("datasets", DatasetsSchema)
+    dimStored("datasets")
       .withColumn("metadata", parse_json(col("metadata_json")))
       .drop("metadata_json")
 
@@ -272,17 +279,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   }
 
   override def datasetsParentChild: DataFrame =
-    readOr("datasets_parent_child", DsParentChildSchema)
+    dimStored("datasets_parent_child")
 
   override def queries: DataFrame =
-    readOr("queries", QueriesSchema)
+    dimStored("queries")
       .withColumn("metadata", parse_json(col("metadata_json")))
       .drop("metadata_json")
 
   override def namedQuerySource(namespace: String, name: String): Option[String] =
-    readOr("queries", QueriesSchema)
+    retryOnVanish(dimStored("queries")
       .filter(col("namespace") === namespace && col("name") === name)
-      .select("source").collect().headOption.map(_.getString(0))
+      .select("source").collect()).headOption.map(_.getString(0))
 
   // ---- write path (catalog maintenance) ----
 
@@ -322,18 +329,36 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // declare idempotent; the batch-is-an-error posture below stays the
     // default, as in the reference.
     val defaulted = withDeclareDefaults(rows, FilesDeclareSchema)
-    val batch =
+    def mkBatch() =
       (if (ignoreExisting)
         defaulted.dropDuplicates("fid")
           .join(storedFiles().select("fid"), Seq("fid"), "left_anti")
       else defaulted).persist()
+    var batch = mkBatch()
     // when the batch's own plan reads the delta log (the ignoreExisting
     // anti-join against the merged view), force the pin NOW, retrying if
     // that read raced a vacuum — every later use then hits the cache
     // instead of first materializing inside a write job where no retry
     // can help. Plain declares carry no log read: skip the extra job.
-    if (ignoreExisting && mergeOnRead && logNonEmpty())
-      retryOnVanish(batch.count())
+    // The retry must rebuild the batch from a FRESH plan: a DataFrame's
+    // file listing is captured at plan time, so re-counting the same
+    // frame replays the stale listing and fails identically on every
+    // attempt (observed: an ingest stream dying behind an admin loop's
+    // vacuum cadence despite 5 "retries").
+    if (ignoreExisting && mergeOnRead && logNonEmpty()) {
+      var attempt = 0
+      var pinned = false
+      while (!pinned) {
+        try { batch.count(); pinned = true }
+        catch {
+          case e: Throwable if OccLog.fileVanished(e) && attempt < 5 =>
+            attempt += 1
+            batch.unpersist()
+            Thread.sleep(10L * attempt)
+            batch = mkBatch()
+        }
+      }
+    }
     try {
       // re-declaring an existing id — or declaring the same id twice in
       // one batch — is an error, as in the reference (data_handler.py
@@ -379,7 +404,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // leave declared files missing from their target dataset if the
       // second append fails mid-way
       dataset.foreach { case (ns, n) =>
-        appendMemberships(batch.select(col("fid")), ns, n)
+        appendMemberships(() => batch.select(col("fid")), ns, n)
       }
       // the ONE JSON parse in a file row's life: text → stored Variant +
       // typed shred columns, at declare time
@@ -389,19 +414,30 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         // plain base append — resurrect those through the log instead.
         // The dead set is pinned driver-side (it is mutation-sized) so
         // the base-append/log-commit split stays identical across commit
-        // retries; a WRITER racing a remove of the very fids being
-        // re-declared is unsynchronized by design (declares are
-        // append-path, not log commits) and surfaces in Fsck.audit.
-        val dead = retryOnVanish(
-          deletedFids().join(stored.select("fid"), Seq("fid"), "left_semi")
+        // retries.
+        def deadIn(of: DataFrame): Set[String] = retryOnVanish(
+          deletedFids().join(of.select("fid"), Seq("fid"), "left_semi")
             .collect().map(_.getString(0)).toSet)
-        if (dead.isEmpty) {
-          appendParquet(stored, "files", Seq("namespace"))
-        } else {
-          val deadCol = col("fid").isin(dead.toSeq: _*)
-          appendParquet(stored.filter(!deadCol), "files", Seq("namespace"))
-          commitFilesLog(() => stored.filter(deadCol), LogUpsert)
-        }
+        val dead = deadIn(stored)
+        val appended =
+          if (dead.isEmpty) stored
+          else stored.filter(!col("fid").isin(dead.toSeq: _*))
+        appendParquet(appended, "files", Seq("namespace"))
+        if (dead.nonEmpty)
+          commitFilesLog(
+            () => stored.filter(col("fid").isin(dead.toSeq: _*)), LogUpsert,
+            keys = Some(dead.toSeq))
+        // LOST-ADD closure (same as appendMemberships): a removeFiles
+        // tombstoning these very fids between the dead-check and the
+        // append would shadow the fresh base rows — re-check and
+        // resurrect through the log (the re-declare serializes after the
+        // remove); removes landing after this re-check either saw the
+        // appended rows (remove-after-declare) or didn't tombstone them
+        val late = deadIn(appended)
+        if (late.nonEmpty)
+          commitFilesLog(
+            () => stored.filter(col("fid").isin(late.toSeq: _*)), LogUpsert,
+            keys = Some(late.toSeq))
       } else {
         appendParquet(stored, "files", Seq("namespace"))
       }
@@ -437,29 +473,50 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           s"metadata parameter without a category: ${bare.head.getString(0)}")
     }
     val hit = col("namespace") === namespace && col("name") === name
-    var updated = readOr("datasets", DatasetsSchema)
-    metadataJson.foreach { mj =>
-      val merged = metadataMode match {
-        case "replace" => lit(mj)
-        case "update" =>
-          val orig = coalesce(
-            try_variant_get(parse_json(col("metadata_json")), "$", "map<string,variant>"),
-            map().cast("map<string,variant>"))
-          val patch = try_variant_get(parse_json(lit(mj)), "$", "map<string,variant>")
-          to_json(map_concat(
-            map_filter(orig, (k, _) => !map_contains_key(patch, k)), patch))
-      }
-      updated = updated.withColumn("metadata_json",
-        when(hit, merged).otherwise(col("metadata_json")))
+    def mergedMeta(mj: String) = metadataMode match {
+      case "replace" => lit(mj)
+      case "update" =>
+        val orig = coalesce(
+          try_variant_get(parse_json(col("metadata_json")), "$", "map<string,variant>"),
+          map().cast("map<string,variant>"))
+        val patch = try_variant_get(parse_json(lit(mj)), "$", "map<string,variant>")
+        to_json(map_concat(
+          map_filter(orig, (k, _) => !map_contains_key(patch, k)), patch))
     }
-    frozen.foreach(f => updated = updated.withColumn("frozen",
-      when(hit, lit(f)).otherwise(col("frozen"))))
-    monotonic.foreach(m => updated = updated.withColumn("monotonic",
-      when(hit, lit(m)).otherwise(col("monotonic"))))
-    description.foreach(d => updated = updated.withColumn("description",
-      when(hit, lit(d)).otherwise(col("description"))))
-    rewrite(updated, "datasets", DatasetsSchema, partitionCols = Nil)
-    invalidateDatasets()
+    if (mergeOnRead) {
+      // the new row version computes INSIDE the commit, folding the patch
+      // over whatever the predecessor committed — two writers merging
+      // disjoint metadata keys concurrently each see the other's keys
+      // (the serializability the reference's row-level transaction gives)
+      commitAdmin(LogUpsert) { () =>
+        val cur = dimStored("datasets").filter(hit)
+        if (cur.limit(1).collect().isEmpty)
+          throw new IllegalArgumentException(
+            s"dataset $namespace:$name does not exist")
+        var u = cur
+        metadataJson.foreach(mj =>
+          u = u.withColumn("metadata_json", mergedMeta(mj)))
+        frozen.foreach(f => u = u.withColumn("frozen", lit(f)))
+        monotonic.foreach(m => u = u.withColumn("monotonic", lit(m)))
+        description.foreach(d => u = u.withColumn("description", lit(d)))
+        asAdminRows("datasets", u)
+      }
+    } else {
+      datasetRow(namespace, name) // existence check — throws if missing
+      var updated = readOr("datasets", DatasetsSchema)
+      metadataJson.foreach { mj =>
+        updated = updated.withColumn("metadata_json",
+          when(hit, mergedMeta(mj)).otherwise(col("metadata_json")))
+      }
+      frozen.foreach(f => updated = updated.withColumn("frozen",
+        when(hit, lit(f)).otherwise(col("frozen"))))
+      monotonic.foreach(m => updated = updated.withColumn("monotonic",
+        when(hit, lit(m)).otherwise(col("monotonic"))))
+      description.foreach(d => updated = updated.withColumn("description",
+        when(hit, lit(d)).otherwise(col("description"))))
+      rewrite(updated, "datasets", DatasetsSchema, partitionCols = Nil)
+      invalidateDatasets()
+    }
   }
 
   /** Remove a dataset (`remove_dataset`, data_handler.py:548-572 +
@@ -468,27 +525,46 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * membership rows and its edges in the dataset hierarchy. The files
     * themselves are untouched (they may belong to other datasets). */
   def removeDataset(namespace: String, name: String): Unit = {
-    datasetRow(namespace, name) // throws if missing
     val hit = col("namespace") === namespace && col("name") === name
-    rewrite(readOr("datasets", DatasetsSchema).filter(!hit),
-      "datasets", DatasetsSchema, partitionCols = Nil)
-    invalidateDatasets()
+    val eHit = (col("parent_namespace") === namespace && col("parent_name") === name) ||
+      (col("child_namespace") === namespace && col("child_name") === name)
     if (mergeOnRead) {
+      // ONE admin commit carries the dataset tombstone AND its hierarchy
+      // edges' tombstones (mixed per-row ops at a single seq — readers
+      // see the cascade atomically, the posture of the reference's
+      // cascading foreign keys); the membership wildcard follows on its
+      // own log. Ordering: dataset first — a crash in between leaves
+      // memberships of a no-longer-existing dataset (invisible to every
+      // query and reclaimed by compaction), never a live dataset whose
+      // members vanished.
+      commitAdmin(LogDelete) { () =>
+        val cur = dimStored("datasets").filter(hit)
+        if (cur.limit(1).collect().isEmpty)
+          throw new IllegalArgumentException(
+            s"dataset $namespace:$name does not exist")
+        asAdminRows("datasets", cur, op = Some(LogDelete))
+          .unionByName(asAdminRows("datasets_parent_child",
+            dimStored("datasets_parent_child").filter(eHit),
+            op = Some(LogDelete)))
+      }
       // one O(1) wildcard tombstone retires the WHOLE membership set —
       // dropping a 100M-file dataset costs one log record instead of a
       // full membership-table rewrite; compaction reclaims the rows
       import spark.implicits._
       membersLog.commit(() => Seq((Option.empty[String], namespace, name))
-        .toDF("fid", "dataset_namespace", "dataset_name"), MemberRemoveAll)
+        .toDF("fid", "dataset_namespace", "dataset_name"), MemberRemoveAll,
+        keys = Some(Seq(namespace + "\u0001" + name)))
     } else {
+      datasetRow(namespace, name) // throws if missing
+      rewrite(readOr("datasets", DatasetsSchema).filter(!hit),
+        "datasets", DatasetsSchema, partitionCols = Nil)
+      invalidateDatasets()
       val mHit = col("dataset_namespace") === namespace && col("dataset_name") === name
       rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!mHit),
         "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
+      rewrite(readOr("datasets_parent_child", DsParentChildSchema).filter(!eHit),
+        "datasets_parent_child", DsParentChildSchema, partitionCols = Nil)
     }
-    val eHit = (col("parent_namespace") === namespace && col("parent_name") === name) ||
-      (col("child_namespace") === namespace && col("child_name") === name)
-    rewrite(readOr("datasets_parent_child", DsParentChildSchema).filter(!eHit),
-      "datasets_parent_child", DsParentChildSchema, partitionCols = Nil)
   }
 
   /** Hard-delete files by id (`DBFile.delete`, dbobjects2.py:493-500 —
@@ -505,7 +581,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       edgesLog.commit(() => fids
         .flatMap(f => Seq((Option(f), Option.empty[String]),
           (Option.empty[String], Option(f))))
-        .toDF("parent_fid", "child_fid"), EdgeRemove)
+        .toDF("parent_fid", "child_fid"), EdgeRemove, keys = Some(fids))
     } else {
       rewrite(readOr("parent_child", ParentChildSchema)
         .filter(!col("parent_fid").isin(fids: _*) && !col("child_fid").isin(fids: _*)),
@@ -518,7 +594,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       def mkMembers() = filesDatasets.filter(hit)
       if (retryOnVanish(mkMembers().limit(1).collect().nonEmpty))
         membersLog.commit(() => mkMembers(), MemberRemove)
-      commitFilesLog(() => storedFiles().filter(hit), LogDelete)
+      commitFilesLog(() => storedFiles().filter(hit), LogDelete,
+        keys = Some(fids))
     } else {
       rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!hit),
         "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
@@ -533,22 +610,36 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def createNamespace(name: String, owner: String = "graft",
       description: String = null, creator: String = "graft"): Unit = {
     require(name.nonEmpty, "empty namespace name")
-    val exists = readOr("namespaces", NamespacesSchema)
-      .filter(col("name") === name).limit(1).collect().nonEmpty
-    if (exists)
-      throw new IllegalArgumentException(s"namespace $name already exists")
     import spark.implicits._
     val row = Seq((name, Option(description), owner, creator))
       .toDF("name", "description", "owner_user", "creator")
       .withColumn("created_timestamp", current_timestamp())
       .withColumn("file_count", lit(0L))
-    align(row, NamespacesSchema)
-      .write.mode(SaveMode.Append).parquet(path("namespaces"))
+    def requireAbsent(): Unit = {
+      val exists = dimStored("namespaces")
+        .filter(col("name") === name).limit(1).collect().nonEmpty
+      if (exists)
+        throw new IllegalArgumentException(s"namespace $name already exists")
+    }
+    if (mergeOnRead) {
+      commitAdmin(LogUpsert) { () =>
+        requireAbsent() // serialized under the claimed seq (reference PK)
+        asAdminRows("namespaces", align(row, NamespacesSchema))
+      }
+    } else {
+      requireAbsent()
+      align(row, NamespacesSchema)
+        .write.mode(SaveMode.Append).parquet(path("namespaces"))
+    }
   }
 
   /** the namespace dimension (empty until [[createNamespace]]) */
-  override def namespaces: DataFrame = readOr("namespaces", NamespacesSchema)
+  override def namespaces: DataFrame = dimStored("namespaces")
 
+  /** Create a dataset. Duplicate names are rejected, as the reference's
+    * primary key does (`schema.sql:101`); in MOR mode the check runs
+    * INSIDE the OCC commit, so two racing creates of one name resolve to
+    * one winner and one loud rejection across writers. */
   def createDataset(namespace: String, name: String, frozen: Boolean = false,
       monotonic: Boolean = false, creator: String = "graft",
       metadataJson: String = "{}",
@@ -561,9 +652,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .withColumn("created_timestamp", current_timestamp())
       .withColumn("description", lit(s"dataset $name"))
       .withColumn("file_count", lit(null).cast("long"))
-    align(row, DatasetsSchema)
-      .write.mode(SaveMode.Append).parquet(path("datasets"))
-    invalidateDatasets()
+    def requireAbsent(): Unit = {
+      val dup = dimStored("datasets")
+        .filter(col("namespace") === namespace && col("name") === name)
+        .limit(1).collect().nonEmpty
+      if (dup)
+        throw new IllegalArgumentException(s"dataset $namespace:$name already exists")
+    }
+    if (mergeOnRead) {
+      commitAdmin(LogUpsert) { () =>
+        requireAbsent() // serialized: runs under the claimed seq
+        asAdminRows("datasets", align(row, DatasetsSchema))
+      }
+    } else {
+      requireAbsent() // single-writer contract: check-then-append suffices
+      align(row, DatasetsSchema)
+        .write.mode(SaveMode.Append).parquet(path("datasets"))
+      invalidateDatasets()
+    }
   }
 
   /** `save_as`: materialize a query result as a NEW dataset
@@ -598,13 +704,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // can duplicate (fsck-flagged — the declare posture, where the
     // reference relies on its PK). Only remove-shadowed pairs route
     // through the log.
-    val existing = filesDatasets
-      .filter(col("dataset_namespace") === namespace && col("dataset_name") === name)
-      .select("fid")
-    appendMemberships(
+    // built per call so the append's pin can rebuild a fresh plan when
+    // the existing-members read races a vacuum
+    appendMemberships(() => {
+      val existing = filesDatasets
+        .filter(col("dataset_namespace") === namespace &&
+          col("dataset_name") === name)
+        .select("fid")
       fileSet.select(col("fid")).dropDuplicates("fid")
-        .join(existing, Seq("fid"), "left_anti"), // membership is a set
-      namespace, name)
+        .join(existing, Seq("fid"), "left_anti") // membership is a set
+    }, namespace, name)
   }
 
   /** remove files from a dataset (data_handler.py remove endpoint:
@@ -623,7 +732,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           col("dataset_name") === name)
         .join(fileSet.select("fid").dropDuplicates("fid"), Seq("fid"), "left_semi")
       if (retryOnVanish(mkRows().limit(1).collect().nonEmpty))
-        membersLog.commit(() => mkRows(), MemberRemove)
+        membersLog.commit(() => mkRows(), MemberRemove,
+          keys = Some(Seq(namespace + "\u0001" + name)))
     } else {
       val all = readOr("files_datasets", FilesDatasetsSchema)
       val inDs = col("dataset_namespace") === namespace && col("dataset_name") === name
@@ -703,7 +813,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .toDF("namespace", "name", "source", "creator")
       .withColumn("created_timestamp", current_timestamp())
       .withColumn("metadata_json", lit("{}"))
-    align(row, QueriesSchema).write.mode(SaveMode.Append).parquet(path("queries"))
+    if (mergeOnRead) {
+      // upsert: re-saving a name REPLACES its source atomically across
+      // writers (latest commit wins — the reference's save overwrites
+      // the row under its PK)
+      commitAdmin(LogUpsert)(() =>
+        asAdminRows("queries", align(row, QueriesSchema)))
+    } else {
+      align(row, QueriesSchema).write.mode(SaveMode.Append).parquet(path("queries"))
+    }
   }
 
   /** Declare a parameter category (`schema.sql:162-176`,
@@ -722,8 +840,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .toDF("path", "restricted", "definitions", "creator")
       .withColumn("created_timestamp", current_timestamp())
       .withColumn("description", lit(s"category $catPath"))
-    align(row, CategoriesSchema)
-      .write.mode(SaveMode.Append).parquet(path("categories"))
+    if (mergeOnRead) {
+      commitAdmin(LogUpsert)(() =>
+        asAdminRows("categories", align(row, CategoriesSchema)))
+    } else {
+      align(row, CategoriesSchema)
+        .write.mode(SaveMode.Append).parquet(path("categories"))
+    }
     catCache = null
   }
 
@@ -732,9 +855,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * cache (data_handler.py:37-41); [[createCategory]] invalidates */
   def loadCategories(): Seq[Validation.Category] = {
     if (catCache == null)
-      catCache = readOr("categories", CategoriesSchema)
+      catCache = retryOnVanish(dimStored("categories")
         .select("path", "restricted", "definitions")
-        .collect()
+        .collect())
         .map { r =>
           Validation.Category(r.getString(0), r.getBoolean(1),
             Validation.parseRequirements(
@@ -752,15 +875,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * otherwise need). The estimate path (`exact=false`) serves these
     * without touching the files table. */
   def refreshCounts(): Unit = {
-    val dsCounts = filesDatasets
-      .groupBy(col("dataset_namespace").as("namespace"), col("dataset_name").as("name"))
-      .agg(count(lit(1)).as("__fc"))
-    val updated = readOr("datasets", DatasetsSchema)
-      .join(dsCounts, Seq("namespace", "name"), "left")
+    def dsUpdated() = dimStored("datasets")
+      .join(filesDatasets
+          .groupBy(col("dataset_namespace").as("namespace"),
+            col("dataset_name").as("name"))
+          .agg(count(lit(1)).as("__fc")),
+        Seq("namespace", "name"), "left")
       .withColumn("file_count", coalesce(col("__fc"), lit(0L)))
       .drop("__fc")
-    rewrite(updated, "datasets", DatasetsSchema, partitionCols = Nil)
-    invalidateDatasets()
+    if (mergeOnRead) {
+      // count write-back is an UPSERT of every dataset row through the
+      // admin log (dimension-sized — one broadcast frame per refresh;
+      // checkpoints fold it away), never a table rewrite that could
+      // destroy a concurrent admin commit
+      commitAdmin(LogUpsert)(() => asAdminRows("datasets", dsUpdated()))
+    } else {
+      rewrite(dsUpdated(), "datasets", DatasetsSchema, partitionCols = Nil)
+      invalidateDatasets()
+    }
     val nsCounts = storedFiles()
       .groupBy(col("namespace"))
       .agg(count(lit(1)).as("file_count"))
@@ -768,13 +900,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     rewrite(nsCounts, "namespace_counts", NamespaceCountsSchema, partitionCols = Nil)
     // and onto the namespaces dimension itself — the column the reference
     // daemon maintains (schema.sql:48)
-    val ns = readOr("namespaces", NamespacesSchema)
-    if (!ns.isEmpty) {
-      val updatedNs = ns.drop("file_count")
-        .join(readOr("namespace_counts", NamespaceCountsSchema)
-          .select(col("namespace").as("name"), col("file_count")), Seq("name"), "left")
-        .withColumn("file_count", coalesce(col("file_count"), lit(0L)))
-      rewrite(updatedNs, "namespaces", NamespacesSchema, partitionCols = Nil)
+    def nsUpdated() = dimStored("namespaces").drop("file_count")
+      .join(readOr("namespace_counts", NamespaceCountsSchema)
+        .select(col("namespace").as("name"), col("file_count")), Seq("name"), "left")
+      .withColumn("file_count", coalesce(col("file_count"), lit(0L)))
+    if (!dimStored("namespaces").isEmpty) {
+      if (mergeOnRead)
+        commitAdmin(LogUpsert)(() => asAdminRows("namespaces", nsUpdated()))
+      else
+        rewrite(nsUpdated(), "namespaces", NamespacesSchema, partitionCols = Nil)
     }
   }
 
@@ -787,37 +921,58 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   def addProvenance(edges: DataFrame): Unit = {
     val aligned = align(edges, ParentChildSchema)
-    if (!mergeOnRead || !edgesLog.nonEmpty()) {
+    if (!mergeOnRead) {
       appendParquet(aligned, "parent_child")
       return
     }
-    // edges the log would shadow (a pair record, or a wildcard on either
-    // endpoint — base appends carry implicit seq 0) resurrect through the
-    // log; the rest base-append. Same split as [[appendMemberships]]; the
-    // shadowed set is pinned driver-side, bounded by the log.
-    val recs = edgesLog.records()
-    val pairKeys = recs
-      .filter(col("parent_fid").isNotNull && col("child_fid").isNotNull)
-      .select("parent_fid", "child_fid")
-    val shadowed = retryOnVanish(aligned
-      .join(pairKeys, Seq("parent_fid", "child_fid"), "left_semi")
-      .unionByName(aligned.join(
-        recs.filter(col("child_fid").isNull).select("parent_fid"),
-        Seq("parent_fid"), "left_semi"))
-      .unionByName(aligned.join(
-        recs.filter(col("parent_fid").isNull).select("child_fid"),
-        Seq("child_fid"), "left_semi"))
-      .distinct().collect()
-      .map(r => r.getString(0) + "\u0001" + r.getString(1)).toSet)
-    if (shadowed.isEmpty) {
-      appendParquet(aligned, "parent_child")
-    } else {
-      // \u0001-separated: a bare concat could alias across the boundary
-      val key = concat_ws("\u0001", col("parent_fid"), col("child_fid"))
-      val hit = key.isin(shadowed.toSeq: _*)
-      appendParquet(aligned.filter(!hit), "parent_child")
-      edgesLog.commit(() => align(edges, ParentChildSchema).filter(hit), EdgeAdd)
+    // edges the CURRENT log shadows (a pair record, or a wildcard on
+    // either endpoint — base appends carry implicit seq 0), pinned
+    // driver-side as \u0001-joined keys (a bare concat could alias across
+    // the boundary); bounded by the mutation-sized log
+    def shadowKeys(of: DataFrame): Set[String] = {
+      if (!edgesLog.nonEmpty()) return Set.empty
+      // records() is rebuilt per retry attempt — a pre-built frame's
+      // file listing goes stale when the read races a vacuum
+      retryOnVanish {
+        val recs = edgesLog.records()
+        val pairKeys = recs
+          .filter(col("parent_fid").isNotNull && col("child_fid").isNotNull)
+          .select("parent_fid", "child_fid")
+        of.join(pairKeys, Seq("parent_fid", "child_fid"), "left_semi")
+          .unionByName(of.join(
+            recs.filter(col("child_fid").isNull).select("parent_fid"),
+            Seq("parent_fid"), "left_semi"))
+          .unionByName(of.join(
+            recs.filter(col("parent_fid").isNull).select("child_fid"),
+            Seq("child_fid"), "left_semi"))
+          .distinct().collect()
+          .map(r => r.getString(0) + "\u0001" + r.getString(1)).toSet
+      }
     }
+    val key = concat_ws("\u0001", col("parent_fid"), col("child_fid"))
+    // shadowed edges resurrect through the log; the rest base-append —
+    // same split (and same LOST-ADD race closure) as [[appendMemberships]]:
+    // the base append RE-CHECKS the log afterwards and commits repair adds
+    // for anything a concurrently committed remove/wildcard now shadows,
+    // so every interleave resolves to a valid serial order.
+    val shadowed = shadowKeys(aligned)
+    val pinned = (if (shadowed.isEmpty) aligned
+      else aligned.filter(!key.isin(shadowed.toSeq: _*))).persist()
+    try {
+      retryOnVanish(pinned.count())
+      appendParquet(pinned, "parent_child")
+      def endpoints(ks: Set[String]): Seq[String] =
+        ks.toSeq.flatMap(_.split('\u0001')).distinct
+      if (shadowed.nonEmpty)
+        edgesLog.commit(
+          () => align(edges, ParentChildSchema)
+            .filter(key.isin(shadowed.toSeq: _*)), EdgeAdd,
+          keys = Some(endpoints(shadowed)))
+      val late = shadowKeys(pinned)
+      if (late.nonEmpty)
+        edgesLog.commit(() => pinned.filter(key.isin(late.toSeq: _*)), EdgeAdd,
+          keys = Some(endpoints(late)))
+    } finally { pinned.unpersist(); () }
   }
 
   /** Attach a child dataset (`add_child_dataset`,
@@ -832,24 +987,44 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if ((pNs, pName) == ((cNs, cName)))
       throw new IllegalArgumentException(
         s"circular connection: $cNs:$cName cannot be its own subset")
-    val edges = readOr("datasets_parent_child", DsParentChildSchema).collect()
-      .map(r => ((r.getString(2), r.getString(3)), (r.getString(0), r.getString(1))))
-    if (edges.contains(((cNs, cName), (pNs, pName)))) return // already a child
-    val up: Map[(String, String), Seq[(String, String)]] =
-      edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
-    var frontier = Set((pNs, pName))
-    var seen = frontier
-    while (frontier.nonEmpty) {
-      frontier = frontier.flatMap(n => up.getOrElse(n, Nil)) -- seen
-      seen ++= frontier
+    // returns true when the edge already exists (no-op); throws on a
+    // cycle. In MOR mode this runs INSIDE the OCC commit, so two racing
+    // adds that are individually acyclic but jointly circular (a→b and
+    // b→a) serialize: the second sees the first's committed edge and is
+    // rejected — the check the reference gets from running the ancestor
+    // walk inside its transaction (data_handler.py:333-363).
+    def alreadyOrCycle(): Boolean = {
+      val edges = retryOnVanish(dimStored("datasets_parent_child").collect())
+        .map(r => ((r.getString(2), r.getString(3)), (r.getString(0), r.getString(1))))
+      if (edges.contains(((cNs, cName), (pNs, pName)))) return true
+      val up: Map[(String, String), Seq[(String, String)]] =
+        edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      var frontier = Set((pNs, pName))
+      var seen = frontier
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => up.getOrElse(n, Nil)) -- seen
+        seen ++= frontier
+      }
+      if (seen((cNs, cName)))
+        throw new IllegalArgumentException(
+          s"circular connection: $cNs:$cName is already an ancestor of $pNs:$pName")
+      false
     }
-    if (seen((cNs, cName)))
-      throw new IllegalArgumentException(
-        s"circular connection: $cNs:$cName is already an ancestor of $pNs:$pName")
-    align(Seq((pNs, pName, cNs, cName))
-      .toDF("parent_namespace", "parent_name", "child_namespace", "child_name"),
-      DsParentChildSchema)
-      .write.mode(SaveMode.Append).parquet(path("datasets_parent_child"))
+    val row = Seq((pNs, pName, cNs, cName))
+      .toDF("parent_namespace", "parent_name", "child_namespace", "child_name")
+    if (mergeOnRead) {
+      if (alreadyOrCycle()) return // cheap pre-check (no-op fast path)
+      try {
+        commitAdmin(LogUpsert) { () =>
+          if (alreadyOrCycle()) throw AdminNoOp // duplicate raced in: no-op
+          asAdminRows("datasets_parent_child", align(row, DsParentChildSchema))
+        }
+      } catch { case AdminNoOp => () }
+    } else {
+      if (alreadyOrCycle()) return
+      align(row, DsParentChildSchema)
+        .write.mode(SaveMode.Append).parquet(path("datasets_parent_child"))
+    }
   }
 
   /** Update ONE file's metadata / checksums / provenance / size
@@ -866,8 +1041,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       size: Option[Long] = None, mode: String = "add-update",
       by: String = "graft"): Unit = {
     require(mode == "add-update" || mode == "replace", s"bad mode $mode")
-    val raw = storedFiles()
-    if (retryOnVanish(raw.filter(col("fid") === fid).limit(1).collect().isEmpty))
+    // fresh storedFiles() plan per retry attempt — a pre-built frame's
+    // file listing goes stale when the retried read raced a vacuum
+    if (retryOnVanish(
+        storedFiles().filter(col("fid") === fid).limit(1).collect().isEmpty))
       throw new IllegalArgumentException(s"file $fid not found")
     metadataJson.foreach { mj =>
       requireJsonObject(mj)
@@ -882,8 +1059,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
     val refs = (parents.getOrElse(Nil) ++ children.getOrElse(Nil)).distinct
     if (refs.nonEmpty) {
-      val found = raw.filter(col("fid").isin(refs: _*))
-        .select("fid").collect().map(_.getString(0)).toSet
+      val found = retryOnVanish(
+        storedFiles().filter(col("fid").isin(refs: _*))
+          .select("fid").collect().map(_.getString(0)).toSet)
       refs.filterNot(found).headOption.foreach { missing =>
         throw new IllegalArgumentException(s"file $missing not found")
       }
@@ -927,10 +1105,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .filter(col("fid") === fid)
         .select("dataset_namespace", "dataset_name")
         .collect().map(r => (r.getString(0), r.getString(1))))
-      val newRow = mkUpdated().filter(hit)
       for ((ns, n) <- memberDs) {
         val reqs = datasetRow(ns, n).requirements
-        if (reqs.nonEmpty) failOnViolations(newRow, reqs)
+        // fresh mkUpdated() plan per retry (it reads the delta log)
+        if (reqs.nonEmpty)
+          retryOnVanish(failOnViolations(mkUpdated().filter(hit), reqs))
       }
     }
     applyFilesUpdate(() => mkUpdated(), Seq(fid))
@@ -953,12 +1132,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
             .toDF("parent_fid", "child_fid")
           edgesLog.commit(() =>
             wildcard.withColumn("__op", lit(EdgeRemove))
-              .unionByName(add.withColumn("__op", lit(EdgeAdd))), EdgeAdd)
+              .unionByName(add.withColumn("__op", lit(EdgeAdd))), EdgeAdd,
+            keys = Some(fid +: given.distinct))
         } else {
           def mkRows() =
             add.join(parentChild, Seq("parent_fid", "child_fid"), "left_anti")
           if (retryOnVanish(mkRows().limit(1).collect().nonEmpty))
-            edgesLog.commit(() => mkRows(), EdgeAdd)
+            edgesLog.commit(() => mkRows(), EdgeAdd,
+              keys = Some(fid +: given.distinct))
         }
       } else {
         val pc = readOr("parent_child", ParentChildSchema)
@@ -1018,6 +1199,68 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .unionByName(OccLog.latestPerKey(Seq("child_fid"))(
           df.filter(col("parent_fid").isNull)))
     })
+
+  /** the ADMIN delta log (MOR mode): ONE shared OCC log for every
+    * dimension-table mutation — datasets, namespaces, named queries, the
+    * dataset hierarchy, parameter categories. Records carry the union
+    * row shape plus (table, key); the fold keeps the latest record per
+    * (table, key). A single seq space serializes all admin mutations
+    * across writers (they are rare, broadcast-sized actions — the same
+    * serialization the reference's Postgres transactions give the same
+    * tables), and duplicate/existence checks run INSIDE the commit
+    * closure against the published predecessors, so racing creates of
+    * one name resolve to one winner and one loud rejection (the PK
+    * posture of `schema.sql`). */
+  private val adminLog = new OccLog(spark, root, "admin_log", AdminLogSchema,
+    OccLog.latestPerKey(Seq("table", "key")))
+
+  private def dimKeyCol(table: String) =
+    concat_ws("\u0001", DimKeys(table).map(col): _*)
+
+  /** merged dimension view: base ⊕ admin-log overlay. Latest record per
+    * key wins (upsert replaces, delete kills); everything here is
+    * broadcast-sized, so the overlay is one tiny window + anti-join. */
+  private def dimStored(table: String): DataFrame = {
+    val schema = dimSchema(table)
+    val base = readOr(table, schema)
+    if (!mergeOnRead || !adminLog.nonEmpty()) return base
+    val latest = OccLog.latestPerKey(Seq("key"))(
+      adminLog.records().filter(col("table") === table))
+    val baseLive = base.withColumn("__k", dimKeyCol(table))
+      .join(broadcast(latest.select(col("key").as("__k"))), Seq("__k"), "left_anti")
+      .drop("__k")
+    val live = latest.filter(col("__op") === LogUpsert)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    baseLive.unionByName(live)
+  }
+
+  /** widen a dimension-table-shaped frame to the admin log's union row
+    * shape, tagging table + key (+ op when given; a frame carrying its
+    * own per-row `__op` makes a mixed multi-table mutation commit
+    * atomically at one seq — e.g. removeDataset's dataset row + its
+    * hierarchy edges) */
+  private def asAdminRows(table: String, df: DataFrame,
+      op: Option[String] = None): DataFrame = {
+    var out = df
+      .withColumn("table", lit(table))
+      .withColumn("key", dimKeyCol(table))
+    op.foreach(o => out = out.withColumn("__op", lit(o)))
+    for (f <- AdminLogSchema.fields
+         if f.name != "__seq" && f.name != "__op" && !out.columns.contains(f.name))
+      out = out.withColumn(f.name, lit(null).cast(f.dataType))
+    out // OccLog.commit aligns to the at-rest schema and stamps __op/__seq
+  }
+
+  /** commit one dimension mutation under OCC. `mkRows` runs inside the
+    * claimed seq: its reads see every predecessor's published state, so
+    * existence/duplicate/cycle checks within it are SERIALIZED against
+    * concurrent admin writers (a check that throws publishes the seq as
+    * an empty no-op and propagates). */
+  private def commitAdmin(op: String)(mkRows: () => DataFrame): Unit = {
+    adminLog.commit(mkRows, op)
+    invalidateDatasets()
+    catCache = null
+  }
 
   /** Retry a driver-side read action that raced a concurrent vacuum: the
     * plan's file listing saw raw log segments a vacuum then deleted — the
@@ -1082,30 +1325,114 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * wildcard — would shadow (base rows carry implicit seq 0) resurrect
     * through the log instead, the same split [[declareFiles]] applies to
     * tombstoned file rows. The shadowed set is pinned driver-side; it is
-    * bounded by the log's remove records for this dataset. */
-  private def appendMemberships(fids: DataFrame, ns: String, n: String): Unit = {
+    * bounded by the log's remove records for this dataset.
+    *
+    * The check-then-append split alone has a LOST-ADD race: a
+    * removeFrom/removeDataset committing between the shadow check and the
+    * base append kills the freshly appended seq-0 rows even though the
+    * add happened after the remove in wall-clock time — and unlike the
+    * duplicate-add race, a lost add is invisible to Fsck. So the base
+    * append RE-VALIDATES afterwards: any appended fid a remove/wildcard
+    * now shadows is resurrected through the log. This closes the race in
+    * both directions — a remove that publishes before the re-check is
+    * caught and repaired (add serializes after it); a remove that
+    * publishes after it either computed against the already-visible
+    * appended rows (killing them = remove-after-add) or produced no
+    * record for them (add survives = add-after-remove) — every
+    * interleave resolves to a valid serial order. */
+  /** Test seam: fires between the membership shadow check and the base
+    * append — the exact window where a concurrently committed
+    * removeFrom/removeDataset used to kill the fresh seq-0 rows silently
+    * (the lost-add race `MembersLogSpec` pins with it). */
+  private[metacat] var onBeforeMembersAppend: () => Unit = () => ()
+
+  private def appendMemberships(mkFids: () => DataFrame, ns: String,
+      n: String): Unit = {
     def pairs(of: DataFrame) = of.select(col("fid"))
       .withColumn("dataset_namespace", lit(ns))
       .withColumn("dataset_name", lit(n))
-    def baseAppend(of: DataFrame): Unit =
+    def baseAppend(of: DataFrame): Unit = {
+      onBeforeMembersAppend()
       appendParquet(align(pairs(of), FilesDatasetsSchema), "files_datasets")
-    if (!mergeOnRead || !membersLog.nonEmpty()) { baseAppend(fids); return }
-    val recs = membersLog.records()
-    val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n
-    val wildcarded = retryOnVanish(
-      recs.filter(col("__op") === MemberRemoveAll && dsHit)
-        .limit(1).collect().nonEmpty)
-    if (wildcarded) { membersLog.commit(() => pairs(fids), MemberAdd); return }
-    val shadowed = retryOnVanish(
-      recs.filter(col("__op") === MemberRemove && dsHit)
-        .select("fid").join(fids.select("fid"), Seq("fid"), "left_semi")
-        .collect().map(_.getString(0)).toSet)
-    if (shadowed.isEmpty) baseAppend(fids)
-    else {
-      val hit = col("fid").isin(shadowed.toSeq: _*)
-      baseAppend(fids.filter(!hit))
-      membersLog.commit(() => pairs(fids.filter(hit)), MemberAdd)
     }
+    if (!mergeOnRead) { baseAppend(mkFids()); return }
+
+    // pin the add set ONCE, rebuilding from a fresh plan on a vacuum
+    // race (mkFids() may read catalog state — the members log via
+    // addTo's existing-members anti-join — and a pre-built frame's file
+    // listing goes stale); every later use, including the log-commit
+    // closures below, then reads the cache instead of the store
+    var fids = mkFids().select("fid").persist()
+    var pinAttempt = 0
+    var pinOk = false
+    while (!pinOk) {
+      try { fids.count(); pinOk = true }
+      catch {
+        case e: Throwable if OccLog.fileVanished(e) && pinAttempt < 5 =>
+          pinAttempt += 1
+          fids.unpersist()
+          Thread.sleep(10L * pinAttempt)
+          fids = mkFids().select("fid").persist()
+      }
+    }
+    try appendMembershipsPinned(fids, ns, n, pairs, baseAppend)
+    finally { fids.unpersist(); () }
+  }
+
+  private def appendMembershipsPinned(fids: DataFrame, ns: String, n: String,
+      pairs: DataFrame => DataFrame, baseAppend: DataFrame => Unit): Unit = {
+
+    val dsKeys = Some(Seq(ns + "\u0001" + n))
+    // membership-log probes, each building a FRESH records() plan per
+    // retry attempt (a pre-built frame's file listing goes stale when
+    // the read races a vacuum and would fail identically on every retry)
+    val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n
+    def dsWildcarded(): Boolean = retryOnVanish(
+      membersLog.records().filter(col("__op") === MemberRemoveAll && dsHit)
+        .limit(1).collect().nonEmpty)
+    def removeShadowed(of: DataFrame): Set[String] = retryOnVanish(
+      membersLog.records().filter(col("__op") === MemberRemove && dsHit)
+        .select("fid").join(of.select("fid"), Seq("fid"), "left_semi")
+        .collect().map(_.getString(0)).toSet)
+
+    // re-check the appended set against the CURRENT log; commit repair
+    // add records (serialized after the racing remove) for any row the
+    // log now shadows. `appended` must be a STABLE frame — callers pin it.
+    def revalidate(appended: DataFrame): Unit = {
+      if (!membersLog.nonEmpty()) return
+      if (dsWildcarded()) {
+        // a removeDataset raced the append: EVERY appended row is dead
+        // below the wildcard — resurrect the whole set (rare; accepts the
+        // one-time log amplification a corpus-sized repair implies)
+        membersLog.commit(() => pairs(appended), MemberAdd, keys = dsKeys)
+      } else {
+        val hit = removeShadowed(appended)
+        if (hit.nonEmpty)
+          membersLog.commit(
+            () => pairs(appended.filter(col("fid").isin(hit.toSeq: _*))),
+            MemberAdd, keys = dsKeys)
+      }
+    }
+
+    if (!membersLog.nonEmpty()) {
+      baseAppend(fids)
+      revalidate(fids) // the log may have gained its first records
+      return
+    }
+    if (dsWildcarded()) {
+      membersLog.commit(() => pairs(fids), MemberAdd, keys = dsKeys)
+      return
+    }
+    val shadowed = removeShadowed(fids)
+    val appended =
+      if (shadowed.isEmpty) fids
+      else fids.filter(!col("fid").isin(shadowed.toSeq: _*))
+    baseAppend(appended)
+    if (shadowed.nonEmpty)
+      membersLog.commit(
+        () => pairs(fids.filter(col("fid").isin(shadowed.toSeq: _*))),
+        MemberAdd, keys = dsKeys)
+    revalidate(appended)
   }
 
   private def logNonEmpty(): Boolean = filesLog.nonEmpty()
@@ -1161,8 +1488,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * MUST build a fresh plan when invoked (it is evaluated inside the
     * commit, under the claimed seq, so it reads every predecessor
     * commit's published state). */
-  private def commitFilesLog(mkRows: () => DataFrame, op: String): Unit =
-    filesLog.commit(() => align(withShredCols(mkRows()), storedSchema), op)
+  private def commitFilesLog(mkRows: () => DataFrame, op: String,
+      keys: Option[Seq[String]] = None): Unit =
+    filesLog.commit(() => align(withShredCols(mkRows()), storedSchema), op,
+      keys)
 
   /** mutation dispatch for the files table: MOR commits the touched rows'
     * new versions to the log (`mkUpdated` evaluated under the claimed
@@ -1172,7 +1501,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def applyFilesUpdate(mkUpdated: () => DataFrame, fids: Seq[String],
       extraTouched: Seq[String] = Nil): Unit = {
     if (mergeOnRead)
-      commitFilesLog(() => mkUpdated().filter(col("fid").isin(fids: _*)), LogUpsert)
+      // keyed by the touched fids: the files fold is latest-per-fid, so
+      // disjoint-fid mutations commute and their writes overlap
+      commitFilesLog(() => mkUpdated().filter(col("fid").isin(fids: _*)),
+        LogUpsert, keys = Some(fids))
     else rewriteFilesScoped(mkUpdated(), (namespacesOf(fids) ++ extraTouched).distinct)
   }
 
@@ -1320,6 +1652,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         partitionCols = Nil)
       edgesLog.truncate()
     }
+    // the admin log folds each dimension table's merged view into its
+    // base (all broadcast-sized); same exclusive-window contract
+    if (adminLog.nonEmpty()) {
+      for (t <- DimKeys.keys.toSeq.sorted)
+        rewrite(dimStored(t), t, dimSchema(t), partitionCols = Nil)
+      adminLog.truncate()
+      invalidateDatasets()
+      catCache = null
+    }
   }
 
   // ---- checkpoint + vacuum: bounded log reads WITHOUT compaction's
@@ -1397,6 +1738,100 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     edgesLog.vacuum()
   }
 
+  /** checkpoint the ADMIN (dimension) log — latest record per
+    * (table, key); same concurrency contract as [[checkpointFilesLog]] */
+  def checkpointAdminLog(): Long = {
+    require(mergeOnRead, "checkpointAdminLog requires a merge-on-read catalog")
+    adminLog.checkpoint()
+  }
+
+  /** vacuum the admin log's checkpointed prefix; same contract as
+    * [[vacuumMembersLog]] */
+  def vacuumAdminLog(): Long = {
+    require(mergeOnRead, "vacuumAdminLog requires a merge-on-read catalog")
+    adminLog.vacuum()
+  }
+
+  /** current admin-log version (for tests and the catalog snapshot) */
+  def currentAdminSeq(): Long = adminLog.currentSeq()
+
+  // ---- one catalog version across all four logs ----
+
+  /** Capture ONE reproducibility handle spanning files ⊕ memberships ⊕
+    * provenance edges ⊕ dimensions — the version a training run records
+    * so "the exact catalog this run read" is a single value, not four
+    * non-atomically read sequences. The four frontiers are re-read until
+    * two consecutive passes agree: a stable double-pass proves no commit
+    * published on ANY log during the second pass, so the snapshot is a
+    * consistent cut for every single-log mutation. The residual delta vs
+    * the reference's Postgres snapshot is documented honestly: a
+    * MULTI-log mutation still mid-flight at capture time (removeFiles
+    * commits edges → members → files; removeDataset commits admin →
+    * members) can be split across the cut — its earlier commits inside
+    * the snapshot, its later ones outside — exactly as if the snapshot
+    * were taken between two statements of that mutation. Fails loudly
+    * when commits churn continuously past `maxAttempts` passes instead
+    * of returning a cut it could not validate. */
+  def snapshot(maxAttempts: Int = 64): CatalogVersion = {
+    require(mergeOnRead, "snapshot requires a merge-on-read catalog")
+    var prev: CatalogVersion = null
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      // the DENSE published frontier per log, not the raw max: with
+      // keyed (conflict-detection) commits publishing out of order, a
+      // version naming a seq above a hole would retroactively GAIN the
+      // hole's commit when its slow writer publishes — a snapshot must
+      // never change after capture
+      val v = CatalogVersion(filesLog.densePublishedSeq(),
+        membersLog.densePublishedSeq(), edgesLog.densePublishedSeq(),
+        adminLog.densePublishedSeq())
+      if (v == prev) return v
+      prev = v
+      attempt += 1
+      Thread.sleep(math.min(50L, 2L * attempt))
+    }
+    throw new IllegalStateException(
+      s"catalog snapshot did not stabilize in $maxAttempts passes " +
+      "(continuous concurrent commits); retry, or quiesce writers")
+  }
+
+  /** the files view at a captured [[snapshot]] (see [[filesAsOf]]) */
+  def filesAsOf(v: CatalogVersion): DataFrame = filesAsOf(v.files)
+
+  /** the membership view at a captured [[snapshot]] */
+  def filesDatasetsAsOf(v: CatalogVersion): DataFrame =
+    filesDatasetsAsOf(v.members)
+
+  /** the provenance-edge view at a captured [[snapshot]] */
+  def parentChildAsOf(v: CatalogVersion): DataFrame = parentChildAsOf(v.edges)
+
+  /** the dataset dimension at a captured [[snapshot]] — admin-log time
+    * travel, same vacuum-horizon bound as the other logs */
+  def datasetsAsOf(v: CatalogVersion): DataFrame = {
+    require(mergeOnRead, "datasetsAsOf requires a merge-on-read catalog")
+    val seq = v.admin
+    val base = readOr("datasets", DatasetsSchema)
+    val horizon = adminLog.vacuumHorizon()
+    if (seq > 0L && seq < horizon)
+      throw new IllegalStateException(
+        s"as-of admin seq $seq predates the vacuum horizon $horizon")
+    val merged =
+      if (!adminLog.nonEmpty() || seq <= 0L) base
+      else {
+        val source =
+          if (horizon > 0L) adminLog.records() else adminLog.readRaw()
+        val latest = OccLog.latestPerKey(Seq("key"))(
+          source.filter(col("table") === "datasets" && col("__seq") <= seq))
+        base.withColumn("__k", dimKeyCol("datasets"))
+          .join(broadcast(latest.select(col("key").as("__k"))), Seq("__k"), "left_anti")
+          .drop("__k")
+          .unionByName(latest.filter(col("__op") === LogUpsert)
+            .select(DatasetsSchema.fieldNames.map(col).toIndexedSeq: _*))
+      }
+    merged.withColumn("metadata", parse_json(col("metadata_json")))
+      .drop("metadata_json")
+  }
+
   /** Delta-log integrity rows for [[Fsck.audit]] (merge-on-read only):
     *
     *  - `mor_tombstone_unknown_fid` — delete records whose fid is neither
@@ -1431,6 +1866,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
     val (mGaps, mOrphans, mUnclaimed) = membersLog.protocolAudit()
     val (eGaps, eOrphans, eUnclaimed) = edgesLog.protocolAudit()
+    val (aGaps, aOrphans, aUnclaimed) = adminLog.protocolAudit()
     Seq(
       tombstones,
       cntLit("mor_seq_gap", gaps),
@@ -1441,7 +1877,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       cntLit("mor_members_unclaimed_publish", mUnclaimed),
       cntLit("mor_edges_seq_gap", eGaps),
       cntLit("mor_edges_orphaned_claim", eOrphans),
-      cntLit("mor_edges_unclaimed_publish", eUnclaimed))
+      cntLit("mor_edges_unclaimed_publish", eUnclaimed),
+      cntLit("mor_admin_seq_gap", aGaps),
+      cntLit("mor_admin_orphaned_claim", aOrphans),
+      cntLit("mor_admin_unclaimed_publish", aUnclaimed))
   }
 
   /** JSON-text declare rows → stored shape: parse once, shred hot keys */
@@ -1573,9 +2012,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   private def datasetRow(namespace: String, name: String): DsRow = {
     if (dsCache == null)
-      dsCache = readOr("datasets", DatasetsSchema)
+      dsCache = retryOnVanish(dimStored("datasets")
         .select("namespace", "name", "frozen", "monotonic", "file_metadata_requirements")
-        .collect()
+        .collect())
         .map(r => (r.getString(0), r.getString(1)) -> DsRow(
           r.getBoolean(2), r.getBoolean(3),
           Option(r.getString(4)).map(Validation.parseRequirements(_)).getOrElse(Nil)))
@@ -1644,6 +2083,18 @@ object ParquetCatalog {
   val LogUpsert = "upsert"
   val LogDelete = "delete"
 
+  /** control-flow marker: an in-commit admin check found the mutation to
+    * be a no-op (e.g. a duplicate hierarchy edge raced in) — the commit
+    * publishes its claimed seq as an empty record set and the caller
+    * swallows this */
+  private[metacat] object AdminNoOp extends RuntimeException("admin no-op")
+
+  /** one catalog version across all four delta logs — the value
+    * [[ParquetCatalog.snapshot]] captures and every `*AsOf(v)` view
+    * resolves against */
+  final case class CatalogVersion(files: Long, members: Long, edges: Long,
+      admin: Long)
+
   /** membership-log ops: per-pair add/remove, plus the dataset-wide
     * wildcard tombstone [[removeDataset]] writes (one O(1) record instead
     * of rewriting a possibly-huge membership table) */
@@ -1676,6 +2127,63 @@ object ParquetCatalog {
     StructField("child_fid", StringType, nullable = true),
     StructField("__op", StringType, nullable = false),
     StructField("__seq", LongType, nullable = false)))
+
+  /** ADMIN (dimension-table) delta-log at-rest shape: the UNION of every
+    * dimension table's columns (null where a table has no such column) +
+    * the table tag, the \u0001-joined primary key, op and sequence. ONE
+    * shared log serializes ALL dimension mutations across writers —
+    * datasets, namespaces, named queries, the dataset hierarchy and
+    * parameter categories are rare, broadcast-sized admin actions, and a
+    * single seq space is exactly the serialization the reference gets
+    * from Postgres transactions on the same tables
+    * (data_handler.py:287-363 runs them on transactional connections).
+    * Shared column names (namespace/name/creator/created_timestamp/
+    * description/metadata_json/file_count) carry each table's value for
+    * that field; table-specific fields ride as nulls elsewhere. */
+  val AdminLogSchema: StructType = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("namespace", StringType),
+    StructField("name", StringType),
+    StructField("frozen", BooleanType),
+    StructField("monotonic", BooleanType),
+    StructField("creator", StringType),
+    StructField("created_timestamp", TimestampType),
+    StructField("description", StringType),
+    StructField("metadata_json", StringType),
+    StructField("file_metadata_requirements", StringType),
+    StructField("file_count", LongType),
+    StructField("owner_user", StringType),
+    StructField("source", StringType),
+    StructField("parent_namespace", StringType),
+    StructField("parent_name", StringType),
+    StructField("child_namespace", StringType),
+    StructField("child_name", StringType),
+    StructField("path", StringType),
+    StructField("restricted", BooleanType),
+    StructField("definitions", StringType),
+    StructField("__op", StringType, nullable = false),
+    StructField("__seq", LongType, nullable = false)))
+
+  /** primary-key columns per dimension table (the admin log's `key` is
+    * their \u0001-join) */
+  val DimKeys: Map[String, Seq[String]] = Map(
+    "datasets" -> Seq("namespace", "name"),
+    "namespaces" -> Seq("name"),
+    "queries" -> Seq("namespace", "name"),
+    "datasets_parent_child" ->
+      Seq("parent_namespace", "parent_name", "child_namespace", "child_name"),
+    "categories" -> Seq("path"))
+
+  /** the at-rest schema of each dimension table the admin log governs */
+  def dimSchema(table: String): StructType = table match {
+    case "datasets" => DatasetsSchema
+    case "namespaces" => NamespacesSchema
+    case "queries" => QueriesSchema
+    case "datasets_parent_child" => DsParentChildSchema
+    case "categories" => CategoriesSchema
+    case other => throw new IllegalArgumentException(s"not a dimension table: $other")
+  }
 
   /** delta-log at-rest shape: the stored row plus op + sequence */
   def filesLogSchema(

@@ -311,6 +311,30 @@ object WritePathQueries {
           expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"))
     }),
 
+    // STREAMING ingest with WATERMARKED ADMISSION: the bounded-state
+    // dedup (dropDuplicatesWithinWatermark on fid, state evicted past
+    // the admission window) composed in front of the idempotent declare.
+    // Three staged batches — subset, full redelivery, subset again (a
+    // near-window duplicate) — must converge to the same catalog state
+    // as ONE clean declare; duplicates inside the window never reach the
+    // write path, those beyond it die on ignoreExisting's anti-join.
+    "stream_catalog_ingest_dedup" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_scid_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      cat.createDataset("wds", "base")
+      val rows = seedRows(s, dir).drop("k")
+      graft.streaming.CatalogIngestStream.runDedupedDeclareToCatalog(
+        s, rows, substring(col("fid"), -2, 2).cast("int") < 50,
+        cat, ("wds", "base"))
+      Mql.query(s, cat, "files from wds:base")
+        .select(col("fid"), col("namespace"), col("name"), col("size"),
+          col("creator"),
+          unix_timestamp(col("created_timestamp")).as("created_ts"),
+          col("retired"),
+          expr("try_variant_get(metadata, \"$['core.run']\", 'long')").as("run"))
+    }),
+
     // merge-on-read TIME TRAVEL: three snapshots of one mutation history
     // read back through `filesAsOf` — the declared base (seq 0), a
     // mid-history sequence captured between mutations (retire + first
@@ -342,6 +366,135 @@ object WritePathQueries {
       shape(cat.filesAsOf(0L), "declared")
         .unionByName(shape(cat.filesAsOf(mid), "mid"))
         .unionByName(shape(cat.files, "final"))
+    }),
+
+    // ONE CATALOG VERSION across all four delta logs: snapshot() captures
+    // files ⊕ memberships ⊕ edges at a single validated cut (double-pass
+    // frontier read), and every *AsOf(v) view replays the capture-time
+    // state after later mutations land on EVERY log. Append-path rows
+    // (declares, provenance base appends) are part of every snapshot, as
+    // documented. All mutations are k-arithmetic, so DuckDB recomputes
+    // both the captured and the live cut directly from `orders`.
+    "mql_write_path_snapshot" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wps_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      val rows = seedRows(s, dir)
+      cat.createDataset("wds", "base")
+      cat.declareFiles(rows, dataset = Some(("wds", "base")))
+      def k(c: String) = expr(s"CAST(substring($c, 2) AS INT)")
+      val f = cat.files.select(col("fid"))
+      cat.addProvenance(f.as("a").join(f.as("b"),
+          k("a.fid") * 2 === k("b.fid") && k("a.fid") > 0, "inner")
+        .select(col("a.fid").as("parent_fid"), col("b.fid").as("child_fid")))
+      cat.retireFiles((0 until 200 by 40).map(fidOf)) // files seq 1
+      cat.removeFrom(rows.filter(col("k").between(100, 104)).select("fid"),
+        "wds", "base") // members seq 1
+      cat.updateFileMeta((0 until 10).map(fidOf),
+        """{"opt.mark":"X","core.run":777}""", mode = "update") // files seq 2
+
+      val v = cat.snapshot()
+
+      // post-capture mutations on every log
+      cat.updateFileMeta((0 until 10).map(fidOf),
+        """{"core.run":888}""", mode = "update") // files seq 3
+      cat.removeFrom(rows.filter(col("k") >= 190).select("fid"),
+        "wds", "base") // members seq 2
+      cat.removeFiles((45 to 49).map(fidOf)) // edges + members + files
+      cat.updateFile(fidOf(3), parents = Some(Seq(fidOf(9)))) // edge base append
+
+      def shapeF(df: DataFrame, snap: String) = df.select(
+        lit(snap).as("snap"), lit("f").as("kind"), col("fid").as("k1"),
+        col("namespace").as("k2"),
+        concat(
+          expr("try_variant_get(metadata, \"$['core.run']\", 'long')").cast("string"),
+          lit(":"), col("retired").cast("string"), lit(":"),
+          coalesce(expr("try_variant_get(metadata, \"$['opt.mark']\", 'string')"),
+            lit("-"))).as("v1"))
+      def shapeM(df: DataFrame, snap: String) = df.select(
+        lit(snap).as("snap"), lit("m").as("kind"), col("fid").as("k1"),
+        col("dataset_name").as("k2"), lit("").as("v1"))
+      def shapeE(df: DataFrame, snap: String) = df.select(
+        lit(snap).as("snap"), lit("e").as("kind"), col("parent_fid").as("k1"),
+        col("child_fid").as("k2"), lit("").as("v1"))
+      shapeF(cat.filesAsOf(v), "v")
+        .unionByName(shapeM(cat.filesDatasetsAsOf(v), "v"))
+        .unionByName(shapeE(cat.parentChildAsOf(v), "v"))
+        .unionByName(shapeF(cat.files, "live"))
+        .unionByName(shapeM(cat.filesDatasets, "live"))
+        .unionByName(shapeE(cat.parentChild, "live"))
+    }),
+
+    // DIMENSION-table mutations under multi-writer OCC (merge-on-read):
+    // the same admin surface as mql_dataset_admin but committed through
+    // the shared admin delta log — duplicate creates and hierarchy cycles
+    // rejected by checks INSIDE the commit (the reference's PK /
+    // in-transaction posture), named-query re-save REPLACES, removeDataset
+    // tombstones the dataset row + its hierarchy edges in ONE atomic
+    // commit, and a mid-history admin-log checkpoint + vacuum proves
+    // later commits flow against the vacuumed log. Constants throughout,
+    // so the oracle is a VALUES literal; a SECOND instance reads the
+    // converged state back (no caches).
+    "mql_write_path_dims" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpd_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      cat.createNamespace("adm", owner = "alice", description = "admin ns")
+      cat.createNamespace("adm2", owner = "bob")
+      val dupNs =
+        try { cat.createNamespace("adm"); "not-rejected" }
+        catch { case _: IllegalArgumentException => "dup-rejected" }
+      cat.createDataset("adm", "a", metadataJson = """{"ds.kind":"raw"}""")
+      cat.createDataset("adm", "b")
+      cat.createDataset("adm", "c", frozen = true)
+      val dupDs =
+        try { cat.createDataset("adm", "a"); "not-rejected" }
+        catch { case _: IllegalArgumentException => "dup-rejected" }
+      cat.updateDataset("adm", "a",
+        metadataJson = Some("""{"ds.kind":"clean","ds.v":2}"""),
+        description = Some("updated a"))
+      cat.updateDataset("adm", "b", frozen = Some(true), monotonic = Some(false))
+      cat.addDatasetEdge("adm", "a", "adm", "b")
+      cat.addDatasetEdge("adm", "a", "adm", "c")
+      val cyc =
+        try { cat.addDatasetEdge("adm", "c", "adm", "a"); "not-rejected" }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("circular") => "cycle-rejected" }
+      cat.saveNamedQuery("adm", "q1", "files from adm:a")
+      cat.saveNamedQuery("adm", "q1", "files from adm:c") // upsert: replaces
+      cat.checkpointAdminLog(); cat.vacuumAdminLog()
+      // post-maintenance commits against the vacuumed log
+      cat.updateDataset("adm", "c", frozen = Some(false))
+      cat.updateDataset("adm", "c",
+        metadataJson = Some("""{"ds.only":"x"}"""), metadataMode = "replace")
+      cat.removeDataset("adm", "b") // one commit: dataset + edge a->b
+      val c2 = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      val ds = c2.datasets.select(
+        lit("dataset").as("entity"), col("namespace"), col("name"),
+        concat(col("frozen").cast("string"), lit(":"),
+          col("monotonic").cast("string"), lit(":"), col("description"),
+          lit(":"), to_json(col("metadata"))).as("detail"))
+      val ns = c2.namespaces.select(
+        lit("namespace").as("entity"), lit("").as("namespace"), col("name"),
+        concat(col("owner_user"), lit(":"),
+          coalesce(col("description"), lit("-"))).as("detail"))
+      val q = c2.queries.select(
+        lit("query").as("entity"), col("namespace"), col("name"),
+        col("source").as("detail"))
+      val e = c2.datasetsParentChild.select(
+        lit("edge").as("entity"), col("parent_namespace").as("namespace"),
+        col("parent_name").as("name"),
+        concat(col("child_namespace"), lit(":"), col("child_name")).as("detail"))
+      val chk = s.range(1).select(
+          lit("check").as("entity"), lit("adm").as("namespace"),
+          lit("ns-duplicate").as("name"), lit(dupNs).as("detail"))
+        .unionByName(s.range(1).select(lit("check").as("entity"),
+          lit("adm").as("namespace"), lit("ds-duplicate").as("name"),
+          lit(dupDs).as("detail")))
+        .unionByName(s.range(1).select(lit("check").as("entity"),
+          lit("adm").as("namespace"), lit("cycle").as("name"),
+          lit(cyc).as("detail")))
+      ds.unionByName(ns).unionByName(q).unionByName(e).unionByName(chk)
     }),
 
     // dataset/namespace administration (update_dataset
@@ -541,6 +694,17 @@ object WritePathQueries {
         " CASE WHEN k < 10 THEN 'A2' ELSE NULL END AS shared " +
         "FROM w WHERE NOT (k BETWEEN 45 AND 49)"),
 
+    // the watermark-deduped ingest converges to the SAME clean-declare
+    // state — batch overlap and near-window duplicates both invisible
+    "stream_catalog_ingest_dedup" ->
+      ("SELECT 'W' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS fid, " +
+        "'wraw' AS namespace, 'w_' || CAST(o_orderkey AS VARCHAR) || '.dat' AS name, " +
+        "CAST(o_orderkey * 10 AS BIGINT) AS size, " +
+        "'u' || CAST(o_orderkey % 3 AS VARCHAR) AS creator, " +
+        "CAST(epoch(o_orderdate) AS BIGINT) AS created_ts, false AS retired, " +
+        "CAST(o_orderkey % 100 AS BIGINT) AS run " +
+        "FROM orders WHERE o_orderkey < 200"),
+
     // final state after idempotent streaming ingest = one clean declare
     // of every k < 200 row, batch overlap invisible
     "stream_catalog_ingest" ->
@@ -551,6 +715,63 @@ object WritePathQueries {
         "CAST(epoch(o_orderdate) AS BIGINT) AS created_ts, false AS retired, " +
         "CAST(o_orderkey % 100 AS BIGINT) AS run " +
         "FROM orders WHERE o_orderkey < 200"),
+    // the captured cut (v) and the live cut, recomputed arithmetically:
+    // v = retire + first patch + the 100..104 membership removes, plus
+    // EVERY append-path row (declares, k->2k edges, the post-capture
+    // 9->3 edge base append — appends are part of every snapshot, as
+    // filesAsOf documents); live = second patch folded over the first,
+    // hard-deleted 45..49 gone everywhere, k>=190 out of the dataset
+    "mql_write_path_snapshot" ->
+      ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200), " +
+        "fidof AS (SELECT k, 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS fid FROM w), " +
+        "vf AS (SELECT 'v' AS snap, 'f' AS kind, fid AS k1, 'wraw' AS k2, " +
+        " CAST(CASE WHEN k < 10 THEN 777 ELSE k % 100 END AS VARCHAR) || ':' || " +
+        " CAST(k % 40 = 0 AS VARCHAR) || ':' || " +
+        " CASE WHEN k < 10 THEN 'X' ELSE '-' END AS v1 FROM fidof), " +
+        "lf AS (SELECT 'live', 'f', fid, 'wraw', " +
+        " CAST(CASE WHEN k < 10 THEN 888 ELSE k % 100 END AS VARCHAR) || ':' || " +
+        " CAST(k % 40 = 0 AS VARCHAR) || ':' || " +
+        " CASE WHEN k < 10 THEN 'X' ELSE '-' END FROM fidof " +
+        " WHERE NOT (k BETWEEN 45 AND 49)), " +
+        "vm AS (SELECT 'v', 'm', fid, 'base', '' FROM fidof " +
+        " WHERE NOT (k BETWEEN 100 AND 104)), " +
+        "lm AS (SELECT 'live', 'm', fid, 'base', '' FROM fidof " +
+        " WHERE NOT (k BETWEEN 100 AND 104) AND k < 190 AND NOT (k BETWEEN 45 AND 49)), " +
+        // the 9->3 edge is an update-mode add COMMITTED TO THE EDGES LOG
+        // post-capture (seq > v.edges) — live only; the k->2k base
+        // appends are in every snapshot
+        "edges AS (SELECT a.k AS p, b.k AS c FROM w a JOIN w b " +
+        " ON b.k = a.k * 2 AND a.k > 0), " +
+        "ve AS (SELECT 'v', 'e', 'W' || lpad(CAST(p AS VARCHAR), 8, '0'), " +
+        " 'W' || lpad(CAST(c AS VARCHAR), 8, '0'), '' FROM edges), " +
+        "le AS (SELECT 'live', 'e', 'W' || lpad(CAST(p AS VARCHAR), 8, '0'), " +
+        " 'W' || lpad(CAST(c AS VARCHAR), 8, '0'), '' FROM " +
+        " (SELECT p, c FROM edges " +
+        "  WHERE p NOT BETWEEN 45 AND 49 AND c NOT BETWEEN 45 AND 49 " +
+        "  UNION ALL SELECT 9, 3) x) " +
+        "SELECT snap, kind, k1, k2, v1 FROM vf " +
+        "UNION ALL SELECT * FROM lf UNION ALL SELECT * FROM vm " +
+        "UNION ALL SELECT * FROM lm UNION ALL SELECT * FROM ve " +
+        "UNION ALL SELECT * FROM le"),
+
+    // expected final dimension state under the admin OCC log — constants
+    // throughout, so the oracle is the literal snapshot: dataset b (and
+    // its edge) tombstoned, c's metadata replaced post-vacuum, q1's
+    // second save replacing the first, both duplicate creates and the
+    // hierarchy cycle rejected
+    "mql_write_path_dims" ->
+      ("SELECT * FROM (VALUES " +
+        "('dataset', 'adm', 'a', 'false:false:updated a:{\"ds.kind\":\"clean\",\"ds.v\":2}'), " +
+        "('dataset', 'adm', 'c', 'false:false:dataset c:{\"ds.only\":\"x\"}'), " +
+        "('namespace', '', 'adm', 'alice:admin ns'), " +
+        "('namespace', '', 'adm2', 'bob:-'), " +
+        "('query', 'adm', 'q1', 'files from adm:c'), " +
+        "('edge', 'adm', 'a', 'adm:c'), " +
+        "('check', 'adm', 'ns-duplicate', 'dup-rejected'), " +
+        "('check', 'adm', 'ds-duplicate', 'dup-rejected'), " +
+        "('check', 'adm', 'cycle', 'cycle-rejected')" +
+        ") AS t(entity, namespace, name, detail)"),
+
     // expected final admin state — every mutation is a constant, so the
     // oracle is the literal expected snapshot
     "mql_dataset_admin" ->

@@ -43,6 +43,60 @@ object CatalogIngestStream {
     w.start()
   }
 
+  /** Watermarked-admission ingest — the always-on composition of the
+    * bounded-state streaming dedup
+    * ([[DedupStream.dedupByFingerprintWatermarked]]'s
+    * `dropDuplicatesWithinWatermark` machinery) IN FRONT of the
+    * idempotent declare. Duplicate declarations of one fid within the
+    * admission window are suppressed in the STREAM (state evicted past
+    * the watermark — bounded by arrival rate × `delay`, not catalog
+    * lifetime, so redelivered batches never even reach the write path);
+    * duplicates beyond the window are still dropped by
+    * `ignoreExisting`'s anti-join at declare time. Rows carry the
+    * declare contract plus an `ingest_ts` event-time column. */
+  def declareStreamDeduped(rows: DataFrame, cat: ParquetCatalog,
+      dataset: Option[(String, String)] = None,
+      delay: String = "10 minutes",
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val admitted = rows
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("fid")
+      .drop("ingest_ts")
+    val w = admitted.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cat.declareFiles(batch, dataset = dataset, ignoreExisting = true)
+      }
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+
+  /** Gate helper for [[declareStreamDeduped]]: three staged micro-batches
+    * — a subset, a FULL redelivery, and the subset AGAIN (a near-window
+    * duplicate arriving within the admission delay) — must converge to
+    * the same catalog state as one clean declare of every row. */
+  def runDedupedDeclareToCatalog(spark: SparkSession, rows: DataFrame,
+      subsetFilter: org.apache.spark.sql.Column, cat: ParquetCatalog,
+      dataset: (String, String)): Unit = {
+    import org.apache.spark.sql.functions._
+    // arithmetic event times: every batch inside one admission window
+    def stamped(df: DataFrame, t: String) =
+      df.withColumn("ingest_ts", to_timestamp(lit(t)))
+    val staged = DedupStream.stageOrderedBatches(spark, Seq(
+      "b1" -> stamped(rows.filter(subsetFilter), "2026-03-01 00:00:00"),
+      "b2" -> stamped(rows, "2026-03-01 00:02:00"),
+      "b3" -> stamped(rows.filter(subsetFilter), "2026-03-01 00:04:00")))
+    val first = rows.withColumn("ingest_ts",
+      to_timestamp(lit("2026-03-01 00:00:00")))
+    val src = spark.readStream
+      .schema(first.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val q = declareStreamDeduped(src, cat, dataset = Some(dataset))
+    q.awaitTermination()
+  }
+
   /** Gate helper: stage `rows` as overlapping micro-batch files (batch 1 =
     * a strict subset, batch 2 = ALL rows — the overlap simulates an
     * at-least-once redelivery), stream-declare them, and return when the

@@ -205,4 +205,71 @@ class MembersLogSpec extends SparkTestBase {
     cat.addTo(fidSet(cat, Seq(5)), "wds", "a")
     assert(members(cat).contains("M0005|wds|a"))
   }
+
+  test("lost-add race: a removeDataset landing inside the append window is repaired") {
+    // The check-then-append race: addTo's shadow check sees no wildcard,
+    // a concurrent removeDataset commits its wildcard, THEN the base
+    // append lands — the fresh seq-0 rows are dead under the wildcard and,
+    // unlike a duplicate add, the loss is invisible to Fsck. The append
+    // now RE-VALIDATES: shadowed rows are resurrected through the log
+    // (the add serializes after the remove — a legal order, the two calls
+    // overlap in real time). Injected deterministically via the seam.
+    for (logAlreadyNonEmpty <- Seq(false, true)) {
+      val root = newRoot()
+      val a = new ParquetCatalog(spark, root, mergeOnRead = true)
+      val b = new ParquetCatalog(spark, root, mergeOnRead = true)
+      a.createDataset("wds", "d")
+      declare(a, 0 until 6)
+      if (logAlreadyNonEmpty) { // prod the log so addTo takes the non-empty path
+        a.createDataset("wds", "other")
+        a.addTo(fidSet(a, Seq(5)), "wds", "other")
+        a.removeFrom(fidSet(a, Seq(5)), "wds", "other")
+      }
+      // instance b wipes + recreates the dataset exactly between a's
+      // shadow check and a's base append
+      a.onBeforeMembersAppend = () => {
+        a.onBeforeMembersAppend = () => () // fire once (repair re-appends nothing)
+        b.removeDataset("wds", "d")
+        b.createDataset("wds", "d")
+      }
+      try a.addTo(fidSet(a, Seq(0, 1, 2)), "wds", "d")
+      finally a.onBeforeMembersAppend = () => ()
+      val got = members(new ParquetCatalog(spark, root, mergeOnRead = true))
+        .filter(_.endsWith("|wds|d"))
+      assert(got == Seq("M0000|wds|d", "M0001|wds|d", "M0002|wds|d"),
+        s"adds lost to the racing wildcard (logAlreadyNonEmpty=$logAlreadyNonEmpty): $got")
+    }
+  }
+
+  test("lost-add race: a pair-level removeFrom landing inside the append window is repaired") {
+    // Same window, pair-level: W1 is a member, removeFrom(W1) commits
+    // between a re-add's shadow check and its base append. The shadow
+    // check ran when the remove record did not exist yet, so the fresh
+    // base row would silently lose to it; the re-validation repairs it.
+    val root = newRoot()
+    val a = new ParquetCatalog(spark, root, mergeOnRead = true)
+    val b = new ParquetCatalog(spark, root, mergeOnRead = true)
+    a.createDataset("wds", "d")
+    declare(a, 0 until 4)
+    a.addTo(fidSet(a, Seq(1)), "wds", "d")
+    a.removeFrom(fidSet(a, Seq(1)), "wds", "d") // seq 1: W1 out again
+    // re-add W1: the first check routes it through the log (shadowed by
+    // seq 1); meanwhile W0 base-appends — and b removes W1 AGAIN right
+    // inside the window, plus W0 the same way
+    a.onBeforeMembersAppend = () => {
+      a.onBeforeMembersAppend = () => ()
+      // b's removeFrom sees current members (none of W0/W1 yet) — so to
+      // make a record that kills the incoming base row, b removes a pair
+      // it CAN see: first b adds W0 itself, then removes it; a's append
+      // of W0 then lands under b's remove record
+      b.addTo(fidSet(b, Seq(0)), "wds", "d")
+      b.removeFrom(fidSet(b, Seq(0)), "wds", "d")
+    }
+    try a.addTo(fidSet(a, Seq(0)), "wds", "d")
+    finally a.onBeforeMembersAppend = () => ()
+    val got = members(new ParquetCatalog(spark, root, mergeOnRead = true))
+      .filter(_.endsWith("|wds|d"))
+    assert(got.contains("M0000|wds|d"),
+      s"re-add lost to the racing pair remove: $got")
+  }
 }

@@ -1,0 +1,138 @@
+package graft.metacat
+
+import graft.mql.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** `ParquetCatalog.snapshot()`: ONE reproducibility handle across all
+  * four delta logs (files ⊕ memberships ⊕ edges ⊕ dimensions), captured
+  * by re-reading the frontiers until two consecutive passes agree.
+  *
+  * Proven here:
+  *  - as-of views at a captured version replay the exact state that was
+  *    live at capture time, even after later mutations land on every log
+  *  - a snapshot taken DURING a concurrent commit burst returns a
+  *    consistent cut (bounded by the pre/post frontiers, monotonic), and
+  *    its as-of views are readable
+  *  - continuous churn past the pass budget fails loudly instead of
+  *    returning an unvalidated cut */
+class SnapshotSpec extends SparkTestBase {
+
+  private def newRoot(): String =
+    Files.createTempDirectory("graft-snap-").toString
+
+  private def declare(cat: ParquetCatalog, n: Int,
+      ds: Option[(String, String)] = None): Unit = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      (s"S$i", "alpha", s"s_$i.dat", s"""{"core.run":$i}""", "tester", 100L + i)
+    }.toDF("fid", "namespace", "name", "metadata_json", "creator", "size")
+      .withColumn("created_timestamp", to_timestamp(lit("2026-02-01 00:00:00")))
+    cat.declareFiles(rows, dataset = ds)
+  }
+
+  private def state(cat: ParquetCatalog, v: ParquetCatalog.CatalogVersion): Seq[String] = {
+    val f = cat.filesAsOf(v).select(concat_ws("|", lit("f"), col("fid"),
+        col("namespace"), col("retired"), to_json(col("metadata"))))
+      .collect().map(_.getString(0)).toSeq
+    val m = cat.filesDatasetsAsOf(v).select(concat_ws("|", lit("m"), col("fid"),
+        col("dataset_namespace"), col("dataset_name")))
+      .collect().map(_.getString(0)).toSeq
+    val e = cat.parentChildAsOf(v).select(concat_ws("|", lit("e"),
+        col("parent_fid"), col("child_fid")))
+      .collect().map(_.getString(0)).toSeq
+    val d = cat.datasetsAsOf(v).select(concat_ws("|", lit("d"),
+        col("namespace"), col("name"), to_json(col("metadata"))))
+      .collect().map(_.getString(0)).toSeq
+    (f ++ m ++ e ++ d).sorted
+  }
+
+  private def live(cat: ParquetCatalog): Seq[String] = {
+    val f = cat.files.select(concat_ws("|", lit("f"), col("fid"),
+        col("namespace"), col("retired"), to_json(col("metadata"))))
+      .collect().map(_.getString(0)).toSeq
+    val m = cat.filesDatasets.select(concat_ws("|", lit("m"), col("fid"),
+        col("dataset_namespace"), col("dataset_name")))
+      .collect().map(_.getString(0)).toSeq
+    val e = cat.parentChild.select(concat_ws("|", lit("e"),
+        col("parent_fid"), col("child_fid")))
+      .collect().map(_.getString(0)).toSeq
+    val d = cat.datasets.select(concat_ws("|", lit("d"),
+        col("namespace"), col("name"), to_json(col("metadata"))))
+      .collect().map(_.getString(0)).toSeq
+    (f ++ m ++ e ++ d).sorted
+  }
+
+  test("as-of views at a captured version replay the capture-time state exactly") {
+    import spark.implicits._
+    val root = newRoot()
+    val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
+    cat.createDataset("sds", "d")
+    declare(cat, 6, ds = Some(("sds", "d")))
+    cat.addProvenance(Seq(("S0", "S1"), ("S1", "S2")).toDF("parent_fid", "child_fid"))
+    cat.retireFiles(Seq("S4"))
+    cat.removeFrom(Seq("S5").toDF("fid"), "sds", "d")
+    cat.updateDataset("sds", "d", metadataJson = Some("""{"ds.v":1}"""))
+
+    val v = cat.snapshot()
+    val expected = live(cat) // the state the version must keep naming
+
+    // mutate every log after the capture
+    cat.updateFileMeta(Seq("S0"), """{"opt.later":1}""")
+    cat.removeFrom(Seq("S1").toDF("fid"), "sds", "d")
+    cat.removeFiles(Seq("S2")) // files + members + edges
+    cat.updateDataset("sds", "d", metadataJson = Some("""{"ds.v":2}"""))
+    cat.createDataset("sds", "d2")
+
+    assert(state(cat, v) == expected,
+      "snapshot views diverged from the capture-time state")
+    // a later snapshot names the new state; versions are monotonic
+    val v2 = cat.snapshot()
+    assert(v2.files >= v.files && v2.members >= v.members &&
+      v2.edges >= v.edges && v2.admin >= v.admin)
+    assert(state(cat, v2) == live(cat))
+  }
+
+  test("snapshot during a concurrent commit burst returns a validated consistent cut") {
+    val root = newRoot()
+    val a = new ParquetCatalog(spark, root, mergeOnRead = true)
+    val b = new ParquetCatalog(spark, root, mergeOnRead = true)
+    declare(a, 4)
+    val stop = new AtomicBoolean(false)
+    val writer = Future {
+      var k = 0
+      while (!stop.get()) {
+        b.updateFileMeta(Seq(s"S${k % 4}"), s"""{"opt.w$k":$k}""")
+        k += 1
+        Thread.sleep(30L) // bursty, with gaps a double-pass can land in
+      }
+      k
+    }
+    try {
+      val before = a.currentLogSeq()
+      val v = a.snapshot(maxAttempts = 256)
+      assert(v.files >= before, s"snapshot fell behind: $v vs $before")
+      assert(v.files <= a.currentLogSeq())
+      // the captured version stays readable while commits keep landing
+      assert(a.filesAsOf(v).count() == 4L)
+    } finally stop.set(true)
+    val total = Await.result(writer, 5.minutes)
+    assert(total > 0, "writer burst never ran")
+  }
+
+  test("an unvalidated cut is never returned: the pass budget fails loudly") {
+    val root = newRoot()
+    val a = new ParquetCatalog(spark, root, mergeOnRead = true)
+    declare(a, 2)
+    // one pass can never validate (validation IS two agreeing passes) —
+    // the budget path must throw rather than hand back an unchecked cut
+    val ex = intercept[IllegalStateException](a.snapshot(maxAttempts = 1))
+    assert(ex.getMessage.contains("did not stabilize"))
+    assert(a.snapshot(maxAttempts = 2) ==
+      ParquetCatalog.CatalogVersion(0L, 0L, 0L, 0L))
+  }
+}

@@ -56,6 +56,24 @@ class CatalogIngestStreamSpec extends SparkTestBase {
       expr("try_variant_get(metadata, \"$['core.run']\", 'long')") === 33L).count() == 1)
   }
 
+  test("watermarked admission in front of declare: redeliveries suppressed in-stream") {
+    // the always-on composition: dropDuplicatesWithinWatermark(fid)
+    // upstream of the idempotent declare — three batches (subset, full
+    // redelivery, subset again within the admission window) converge to
+    // one clean declare of every distinct row
+    val root = Files.createTempDirectory("graft-ing-dedup-").toString
+    val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
+    cat.createDataset("ing", "ds")
+    val rows = declareRows(30, "D")
+    CatalogIngestStream.runDedupedDeclareToCatalog(
+      spark, rows, col("size") < 115L, cat, ("ing", "ds"))
+    assert(cat.files.count() == 30)
+    assert(cat.files.groupBy("fid").count().filter(col("count") > 1).count() == 0)
+    assert(cat.filesDatasets.count() == 30)
+    assert(cat.filesDatasets.groupBy("fid").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("stream ingest concurrent with admin mutations and log maintenance") {
     // The always-on deployment shape: a crawler declares micro-batches
     // into the catalog WHILE an admin instance retires files, edits

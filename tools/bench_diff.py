@@ -31,13 +31,15 @@ def load(path):
 
 
 def history_medians(path, sf):
-    """per-query median (and count) across all history entries at this sf.
+    """per-query median (and count) across all history entries at this sf,
+    plus the calibration-query median (contention baseline).
 
     History lines without an "sf" field are dropped when the new artifact
     has one — including them unconditionally would mix scale factors into
     the median and skew the regression bar."""
     per = {}
     totals = []
+    calibs = []
     if not sf:
         print("WARN: new artifact has no 'sf' — history medians mix all "
               "scale factors", file=sys.stderr)
@@ -50,12 +52,36 @@ def history_medians(path, sf):
             if sf and d.get("sf") != sf:
                 continue
             totals.append(d.get("value"))
+            c = d.get("calib_sec")
+            if isinstance(c, (int, float)) and c > 0:
+                calibs.append(c)
             for k, v in d.get("queries", {}).items():
                 if v >= 0:
                     per.setdefault(k, []).append(v)
     med = {k: statistics.median(v) for k, v in per.items()}
     n = {k: len(v) for k, v in per.items()}
-    return med, n, totals
+    return med, n, totals, calibs
+
+
+def contention_check(new, calibs):
+    """True when the NEW run's calibration query (fixed, SF-independent
+    work) deviates >2x from the history median — the signature of a
+    loaded machine (r10: the driver artifact read 2.4x the same-code
+    clean run with nothing flagging it). A contaminated run must not be
+    regress-flagged; its numbers say nothing about the code."""
+    c = new.get("calib_sec")
+    if not isinstance(c, (int, float)) or c <= 0 or not calibs:
+        return False
+    base = statistics.median(calibs)
+    if base <= 0:
+        return False
+    if c > 2.0 * base or c < base / 2.0:
+        print(f"CONTENTION: calibration {c:.2f} s vs history median "
+              f"{base:.2f} s (load_before={new.get('load_before')}, "
+              f"load_after={new.get('load_after')}) — refusing to "
+              "regress-flag this run; rerun on an idle machine")
+        return True
+    return False
 
 
 def diff(oq, nq, new, n_runs=None):
@@ -94,12 +120,14 @@ def main_pair(old_path, new_path):
 def main_history(hist_path, new_path):
     new = load(new_path)
     nq = new.get("queries", {})
-    med, n_runs, totals = history_medians(hist_path, new.get("sf"))
+    med, n_runs, totals, calibs = history_medians(hist_path, new.get("sf"))
     ok_totals = [t for t in totals if t is not None]
     base = statistics.median(ok_totals) if ok_totals else None
     print(f"historical median total: {base} s over {len(ok_totals)} runs "
           f"at sf={new.get('sf')} -> new {new.get('value')} s "
           f"({len(nq)} queries)")
+    if contention_check(new, calibs):
+        return
     diff(med, nq, new, n_runs)
 
 
