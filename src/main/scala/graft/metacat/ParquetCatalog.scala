@@ -415,9 +415,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         // The dead set is pinned driver-side (it is mutation-sized) so
         // the base-append/log-commit split stays identical across commit
         // retries.
-        def deadIn(of: DataFrame): Set[String] = retryOnVanish(
-          deletedFids().join(of.select("fid"), Seq("fid"), "left_semi")
-            .collect().map(_.getString(0)).toSet)
+        def deadIn(of: DataFrame): Set[String] =
+          if (!logNonEmpty()) Set.empty // listing-only fast path
+          else retryOnVanish(
+            deletedFids().join(of.select("fid"), Seq("fid"), "left_semi")
+              .collect().map(_.getString(0)).toSet)
         val dead = deadIn(stored)
         val appended =
           if (dead.isEmpty) stored
@@ -1363,16 +1365,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // listing goes stale); every later use, including the log-commit
     // closures below, then reads the cache instead of the store
     var fids = mkFids().select("fid").persist()
-    var pinAttempt = 0
-    var pinOk = false
-    while (!pinOk) {
-      try { fids.count(); pinOk = true }
-      catch {
-        case e: Throwable if OccLog.fileVanished(e) && pinAttempt < 5 =>
-          pinAttempt += 1
-          fids.unpersist()
-          Thread.sleep(10L * pinAttempt)
-          fids = mkFids().select("fid").persist()
+    // eager materialization (with per-attempt fresh plans) only when the
+    // frame can actually read the members log — an empty log means no
+    // vacuum race, and the base append itself fills the cache
+    if (membersLog.nonEmpty()) {
+      var pinAttempt = 0
+      var pinOk = false
+      while (!pinOk) {
+        try { fids.count(); pinOk = true }
+        catch {
+          case e: Throwable if OccLog.fileVanished(e) && pinAttempt < 5 =>
+            pinAttempt += 1
+            fids.unpersist()
+            Thread.sleep(10L * pinAttempt)
+            fids = mkFids().select("fid").persist()
+        }
       }
     }
     try appendMembershipsPinned(fids, ns, n, pairs, baseAppend)
