@@ -399,16 +399,65 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // constraints — but nothing is written
       if (dryRun) return
 
+      // ---- same-fid declare guard (MOR, small batches) ----
+      // Racing declares of ONE fid are the check-then-append race the
+      // reference's PK rejects at write time (schema.sql:53). For
+      // batches up to DeclareGuardMaxFids the fids are CLAIMED as
+      // ephemeral markers (create-if-absent under `declare_claims/`,
+      // held across the appends, released after): the loser of a racing
+      // same-fid declare fails loudly — or, under ignoreExisting, drops
+      // the contended fids idempotently — and a post-claim re-check
+      // closes the completed-before-we-claimed window. BULK batches
+      // skip the guard (per-fid marker creates don't scale to millions
+      // of files — the lakehouse posture: engines don't enforce PKs on
+      // bulk ingest; overlapping bulk fid ranges are a pipeline
+      // misconfiguration, still surfaced by Fsck's duplicate_fid). A
+      // crashed writer's stale markers block re-declares of those fids
+      // loudly, naming the marker path; fsck reports pending markers.
+      var claimedFids: Seq[String] = Nil
+      var guarded = batch
+      if (mergeOnRead) {
+        val probe = retryOnVanish(batch.select("fid")
+          .limit(DeclareGuardMaxFids + 1).collect().map(_.getString(0)).toSeq)
+        if (probe.size <= DeclareGuardMaxFids) {
+          val (taken, contended) = claimDeclareFids(probe.sorted)
+          claimedFids = taken
+          if (contended.nonEmpty && !ignoreExisting) {
+            releaseDeclareFids(taken)
+            claimedFids = Nil
+            throw new IllegalArgumentException(
+              s"file ${contended.head} is being declared concurrently " +
+              s"(or a crashed declare left its marker — see " +
+              s"${path("declare_claims")})")
+          }
+          // completed-before-we-claimed: a racer may have finished (and
+          // released) between the duplicate check and our claims
+          val nowExisting = retryOnVanish(
+            storedFiles().filter(col("fid").isin(taken: _*))
+              .select("fid").collect().map(_.getString(0)).toSet)
+          if (nowExisting.nonEmpty && !ignoreExisting) {
+            releaseDeclareFids(taken)
+            claimedFids = Nil
+            throw new IllegalArgumentException(
+              s"file ${nowExisting.head} already declared")
+          }
+          val drop = contended.toSet ++ nowExisting
+          if (drop.nonEmpty)
+            guarded = batch.filter(!col("fid").isin(drop.toSeq: _*))
+        }
+      }
+      try {
+
       // membership rows first: an orphan membership (no file row) is
       // invisible to every read path, whereas the reverse order could
       // leave declared files missing from their target dataset if the
       // second append fails mid-way
       dataset.foreach { case (ns, n) =>
-        appendMemberships(() => batch.select(col("fid")), ns, n)
+        appendMemberships(() => guarded.select(col("fid")), ns, n)
       }
       // the ONE JSON parse in a file row's life: text → stored Variant +
       // typed shred columns, at declare time
-      val stored = toStored(batch)
+      val stored = toStored(guarded)
       if (mergeOnRead) {
         // a fid whose latest log record is a tombstone would shadow a
         // plain base append — resurrect those through the log instead.
@@ -443,7 +492,45 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       } else {
         appendParquet(stored, "files", Seq("namespace"))
       }
+      } finally releaseDeclareFids(claimedFids)
     } finally { batch.unpersist(); () }
+  }
+
+  /** claim-if-absent markers for a small declare batch's fids; returns
+    * (taken, contended). Markers are URL-encoded under
+    * `declare_claims/` so any fid string is a safe file name. */
+  private def claimDeclareFids(fids: Seq[String]): (Seq[String], Seq[String]) = {
+    val dir = hPath("declare_claims")
+    val fs = fsOf(dir)
+    fs.mkdirs(dir)
+    val taken = Seq.newBuilder[String]
+    val contended = Seq.newBuilder[String]
+    for (fid <- fids) {
+      val enc = java.net.URLEncoder.encode(fid, "UTF-8")
+      val marker = new org.apache.hadoop.fs.Path(dir, enc)
+      val won =
+        if (fs.getScheme == "file") {
+          try {
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(marker.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else {
+          try { fs.create(marker, false).close(); true }
+          catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+        }
+      if (won) taken += fid else contended += fid
+    }
+    (taken.result(), contended.result())
+  }
+
+  private def releaseDeclareFids(fids: Seq[String]): Unit = {
+    if (fids.isEmpty) return
+    val dir = hPath("declare_claims")
+    val fs = fsOf(dir)
+    for (fid <- fids)
+      fs.delete(new org.apache.hadoop.fs.Path(dir,
+        java.net.URLEncoder.encode(fid, "UTF-8")), false)
   }
 
   /** Update a dataset's metadata / flags / description (`update_dataset`,
@@ -1390,34 +1477,38 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       pairs: DataFrame => DataFrame, baseAppend: DataFrame => Unit): Unit = {
 
     val dsKeys = Some(Seq(ns + "\u0001" + n))
-    // membership-log probes, each building a FRESH records() plan per
-    // retry attempt (a pre-built frame's file listing goes stale when
-    // the read races a vacuum and would fail identically on every retry)
+    // ONE membership-log probe returns BOTH shadow signals — the
+    // dataset wildcard flag and the remove-shadowed fid subset — so each
+    // append pays one job here, not two. Fresh records() plan per retry
+    // attempt (a pre-built frame's file listing goes stale when the read
+    // races a vacuum and would fail identically on every retry).
     val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n
-    def dsWildcarded(): Boolean = retryOnVanish(
-      membersLog.records().filter(col("__op") === MemberRemoveAll && dsHit)
-        .limit(1).collect().nonEmpty)
-    def removeShadowed(of: DataFrame): Set[String] = retryOnVanish(
-      membersLog.records().filter(col("__op") === MemberRemove && dsHit)
-        .select("fid").join(of.select("fid"), Seq("fid"), "left_semi")
-        .collect().map(_.getString(0)).toSet)
+    def shadowState(of: DataFrame): (Boolean, Set[String]) = retryOnVanish {
+      val recs = membersLog.records().filter(dsHit)
+      val rows = recs.filter(col("__op") === MemberRemoveAll)
+        .select(lit(null).cast("string").as("fid"))
+        .unionByName(recs.filter(col("__op") === MemberRemove)
+          .select("fid").join(of.select("fid"), Seq("fid"), "left_semi"))
+        .collect()
+      (rows.exists(_.isNullAt(0)),
+        rows.filter(!_.isNullAt(0)).map(_.getString(0)).toSet)
+    }
 
     // re-check the appended set against the CURRENT log; commit repair
     // add records (serialized after the racing remove) for any row the
     // log now shadows. `appended` must be a STABLE frame — callers pin it.
     def revalidate(appended: DataFrame): Unit = {
       if (!membersLog.nonEmpty()) return
-      if (dsWildcarded()) {
+      val (wildcarded, hit) = shadowState(appended)
+      if (wildcarded) {
         // a removeDataset raced the append: EVERY appended row is dead
         // below the wildcard — resurrect the whole set (rare; accepts the
         // one-time log amplification a corpus-sized repair implies)
         membersLog.commit(() => pairs(appended), MemberAdd, keys = dsKeys)
-      } else {
-        val hit = removeShadowed(appended)
-        if (hit.nonEmpty)
-          membersLog.commit(
-            () => pairs(appended.filter(col("fid").isin(hit.toSeq: _*))),
-            MemberAdd, keys = dsKeys)
+      } else if (hit.nonEmpty) {
+        membersLog.commit(
+          () => pairs(appended.filter(col("fid").isin(hit.toSeq: _*))),
+          MemberAdd, keys = dsKeys)
       }
     }
 
@@ -1426,11 +1517,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       revalidate(fids) // the log may have gained its first records
       return
     }
-    if (dsWildcarded()) {
+    val (wildcarded, shadowed) = shadowState(fids)
+    if (wildcarded) {
       membersLog.commit(() => pairs(fids), MemberAdd, keys = dsKeys)
       return
     }
-    val shadowed = removeShadowed(fids)
     val appended =
       if (shadowed.isEmpty) fids
       else fids.filter(!col("fid").isin(shadowed.toSeq: _*))
@@ -1887,7 +1978,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       cntLit("mor_edges_unclaimed_publish", eUnclaimed),
       cntLit("mor_admin_seq_gap", aGaps),
       cntLit("mor_admin_orphaned_claim", aOrphans),
-      cntLit("mor_admin_unclaimed_publish", aUnclaimed))
+      cntLit("mor_admin_unclaimed_publish", aUnclaimed),
+      // pending per-fid declare claims: transiently nonzero while a
+      // declare is in flight; persistently nonzero = a crashed declare
+      // whose markers block re-declares of those fids (clear manually)
+      cntLit("mor_declare_claims_pending", {
+        val d = hPath("declare_claims")
+        val fs = fsOf(d)
+        if (!fs.exists(d)) 0L else fs.listStatus(d).length.toLong
+      }))
   }
 
   /** JSON-text declare rows → stored shape: parse once, shred hot keys */
@@ -2101,6 +2200,13 @@ object ParquetCatalog {
     * resolves against */
   final case class CatalogVersion(files: Long, members: Long, edges: Long,
       admin: Long)
+
+  /** batches up to this size take per-fid declare claims (the same-fid
+    * race guard); larger batches are bulk ingest and keep the
+    * audit-backstopped append path — per-fid marker creates do not
+    * scale to millions of files, and no lakehouse engine enforces PKs
+    * on bulk ingest either */
+  val DeclareGuardMaxFids = 1024
 
   /** membership-log ops: per-pair add/remove, plus the dataset-wide
     * wildcard tombstone [[removeDataset]] writes (one O(1) record instead

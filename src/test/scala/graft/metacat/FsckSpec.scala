@@ -108,8 +108,8 @@ class FsckSpec extends SparkTestBase {
     declareInto(cat) // seq 1 = retire, seq 2 = remove (tombstone)
     cat.updateFileMeta(Seq("Z00000003"), """{"opt.x":1}""") // seq 3
     val green = Fsck.audit(cat).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(green.size == 22,
-      s"expected 9 + 4 files-log + 3 members-log + 3 edges-log + 3 admin-log MOR checks, got $green")
+    assert(green.size == 23,
+      s"expected 9 + 4 files-log + 3x3 members/edges/admin-log + declare-claims MOR checks, got $green")
     assert(green.values.forall(_ == 0L), s"consistent MOR catalog flagged: $green")
 
     def seqName(s: Int) = "s" + ("0" * 18) + f"$s%02d"

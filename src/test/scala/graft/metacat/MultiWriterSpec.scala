@@ -156,6 +156,65 @@ class MultiWriterSpec extends SparkTestBase {
       .head().getLong(0) == 2L)
   }
 
+  test("racing declares of the SAME fid: one winner, one loud rejection, one row") {
+    // the reference's PK rejects the duplicate at write time
+    // (schema.sql:53); small batches now claim their fids as ephemeral
+    // markers, so the check-then-append race has a serialization point
+    import spark.implicits._
+    val root = newRoot()
+    val a = new ParquetCatalog(spark, root, mergeOnRead = true)
+    val b = new ParquetCatalog(spark, root, mergeOnRead = true)
+    def batch(extra: String) =
+      Seq(("SAME0", "alpha", "same.dat", """{"core.run":1}""", "t", 1L),
+        (extra, "alpha", s"$extra.dat", """{"core.run":2}""", "t", 2L))
+        .toDF("fid", "namespace", "name", "metadata_json", "creator", "size")
+        .withColumn("created_timestamp", to_timestamp(lit("2026-02-01 00:00:00")))
+    val results = Await.result(Future.sequence(Seq(
+      Future { try { a.declareFiles(batch("A1")); "won" }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("SAME0") => "rejected" } },
+      Future { try { b.declareFiles(batch("B1")); "won" }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("SAME0") => "rejected" } })), 10.minutes)
+    // both may lose (each claimed SAME0's marker check behind the other's
+    // completed declare) is impossible — markers serialize: exactly one
+    // winner unless one also saw the other's finished row first
+    assert(results.count(_ == "won") == 1 && results.count(_ == "rejected") == 1,
+      s"same-fid declare race not serialized: $results")
+    val rows = new ParquetCatalog(spark, root, mergeOnRead = true)
+      .files.filter(col("fid") === "SAME0").count()
+    assert(rows == 1L, s"expected exactly one SAME0 row, got $rows")
+    // markers released: nothing pending
+    val claims = new java.io.File(s"$root/declare_claims").listFiles()
+    assert(claims == null || claims.isEmpty)
+
+    // ignoreExisting posture: the same race resolves IDEMPOTENTLY — both
+    // writers may proceed, contended fids dropped, exactly one row lands
+    val results2 = Await.result(Future.sequence(Seq(
+      Future { a.declareFiles(batch("A2").withColumn("fid",
+        regexp_replace(col("fid"), "SAME0", "SAME1")), ignoreExisting = true) },
+      Future { b.declareFiles(batch("B2").withColumn("fid",
+        regexp_replace(col("fid"), "SAME0", "SAME1")), ignoreExisting = true) })),
+      10.minutes)
+    assert(results2.size == 2) // both returned without error
+    assert(new ParquetCatalog(spark, root, mergeOnRead = true)
+      .files.filter(col("fid") === "SAME1").count() == 1L)
+
+    // a crashed declare's stale marker blocks loudly and names the dir
+    val stale = new java.io.File(s"$root/declare_claims",
+      java.net.URLEncoder.encode("STUCK0", "UTF-8"))
+    stale.getParentFile.mkdirs()
+    assert(stale.createNewFile())
+    val ex = intercept[IllegalArgumentException](
+      a.declareFiles(batch("C1").withColumn("fid",
+        regexp_replace(col("fid"), "SAME0", "STUCK0"))))
+    assert(ex.getMessage.contains("declare_claims"))
+    assert(stale.delete())
+    a.declareFiles(batch("C2").withColumn("fid",
+      regexp_replace(col("fid"), "SAME0", "STUCK0")))
+    assert(a.files.filter(col("fid") === "STUCK0").count() == 1L)
+  }
+
   test("concurrent declares of distinct fids: every file row survives") {
     // Spark's own append mode stages under a shared _temporary/ inside
     // the destination, so two concurrent appending jobs could delete each
