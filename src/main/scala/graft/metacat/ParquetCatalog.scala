@@ -1613,7 +1613,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * [[filesAsOf]] — the lakehouse "version" of this catalog's delta log.
     * Reads the store (published seq directories — one cheap listing, no
     * parquet scan) rather than any in-memory counter so a reopened — or
-    * concurrently written — catalog instance reports the true state. */
+    * concurrently written — catalog instance reports the true state.
+    *
+    * Under KEYED commits publishes can land out of order, so the RAW
+    * maximum here may sit above a not-yet-published hole — a version
+    * captured from it can retroactively GAIN that commit when the slow
+    * writer publishes. Reproducibility consumers should capture
+    * versions with [[snapshot]] instead: it reads the DENSE published
+    * frontier, which never changes after capture. */
   def currentLogSeq(): Long = filesLog.currentSeq()
 
   /** Merge-on-read TIME TRAVEL: the live files view as of log sequence

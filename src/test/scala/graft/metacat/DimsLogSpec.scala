@@ -196,4 +196,36 @@ class DimsLogSpec extends SparkTestBase {
     assert(Seq("mor_admin_seq_gap", "mor_admin_orphaned_claim",
       "mor_admin_unclaimed_publish").forall(audit(_) == 0L), s"got $audit")
   }
+
+  test("admin commits keep flowing during admin-log checkpoint+vacuum maintenance") {
+    // the always-on shape for the dimension log too: writer commits race
+    // a maintenance loop running checkpoint+vacuum — nothing lost, reads
+    // correct throughout, protocol rows green after
+    val root = newRoot()
+    val w = new ParquetCatalog(spark, root, mergeOnRead = true)
+    val m = new ParquetCatalog(spark, root, mergeOnRead = true)
+    w.createDataset("dims", "race")
+    val writer = Future {
+      for (k <- 0 until 12)
+        w.updateDataset("dims", "race", metadataJson = Some(s"""{"opt.k$k":$k}"""))
+    }
+    val maint = Future {
+      for (_ <- 0 until 6) {
+        m.checkpointAdminLog(); m.vacuumAdminLog()
+        Thread.sleep(50L)
+      }
+    }
+    Await.result(Future.sequence(Seq(writer, maint)), 10.minutes)
+    m.checkpointAdminLog(); m.vacuumAdminLog()
+    val meta = new ParquetCatalog(spark, root, mergeOnRead = true)
+      .datasets.filter(col("name") === "race")
+      .select(to_json(col("metadata"))).head().getString(0)
+    for (k <- 0 until 12)
+      assert(meta.contains(s""""opt.k$k":$k"""),
+        s"admin commit k$k lost to the maintenance race: $meta")
+    val audit = Fsck.audit(m).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("mor_admin_seq_gap") == 0L &&
+      audit("mor_admin_orphaned_claim") == 0L, s"got $audit")
+  }
 }
