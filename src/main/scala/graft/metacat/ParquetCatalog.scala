@@ -431,16 +431,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
               s"${path("declare_claims")})")
           }
           // completed-before-we-claimed: a racer may have finished (and
-          // released) between the duplicate check and our claims
-          val nowExisting = retryOnVanish(
-            storedFiles().filter(col("fid").isin(taken: _*))
-              .select("fid").collect().map(_.getString(0)).toSet)
-          if (nowExisting.nonEmpty && !ignoreExisting) {
-            releaseDeclareFids(taken)
-            claimedFids = Nil
-            throw new IllegalArgumentException(
-              s"file ${nowExisting.head} already declared")
-          }
+          // released) between the duplicate check and our claims. Strict
+          // mode only needs ONE witness (it throws); ignoreExisting
+          // needs the full set to drop idempotently.
+          val nowExisting: Set[String] =
+            if (!ignoreExisting) {
+              val hit = retryOnVanish(
+                storedFiles().filter(col("fid").isin(taken: _*))
+                  .select("fid").limit(1).collect())
+              if (hit.nonEmpty) {
+                releaseDeclareFids(taken)
+                claimedFids = Nil
+                throw new IllegalArgumentException(
+                  s"file ${hit.head.getString(0)} already declared")
+              }
+              Set.empty
+            } else retryOnVanish(
+              storedFiles().filter(col("fid").isin(taken: _*))
+                .select("fid").collect().map(_.getString(0)).toSet)
           val drop = contended.toSet ++ nowExisting
           if (drop.nonEmpty)
             guarded = batch.filter(!col("fid").isin(drop.toSeq: _*))
