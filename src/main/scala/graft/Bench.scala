@@ -60,6 +60,28 @@ object Bench {
       runs(1) // median of 3
     }
     val calibSec = try calibrate() catch { case _: Throwable => -1.0 }
+    // I/O calibration: fixed parquet write+read round trip. Two
+    // same-code full runs measured 215 vs 242 s with IDENTICAL CPU
+    // calibration — the drift lived in disk-heavy (write-path) queries,
+    // which a CPU-bound probe cannot see. A run is contaminated when
+    // EITHER probe deviates from its history median.
+    def calibrateIo(): Double = {
+      import org.apache.spark.sql.functions._
+      val runs = (1 to 3).map { _ =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_calib_io_")
+        val t0 = System.nanoTime()
+        spark.range(2L * 1000 * 1000)
+          .select(col("id"), md5(col("id").cast("string")).as("h"))
+          .write.mode("overwrite").parquet(s"$dir/t")
+        spark.read.parquet(s"$dir/t").count()
+        val s = secs(t0)
+        try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+        catch { case _: Throwable => () }
+        s
+      }.sorted
+      runs(1)
+    }
+    val calibIoSec = try calibrateIo() catch { case _: Throwable => -1.0 }
 
     // catalog_init = open the stored catalog + first scan. When the
     // shredded store is cold this includes the one-time ingest (JSON →
@@ -111,7 +133,7 @@ object Bench {
     // short so a log-tail capture can't clip it
     val loadAfter = loadAvg()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSec,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSec,"calib_io_sec":$calibIoSec,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }
     // append-only, git-retained history: bench_last.json is overwritten by
@@ -123,7 +145,7 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSec,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSec,"calib_io_sec":$calibIoSec,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,7 +39,7 @@ def history_medians(path, sf):
     the median and skew the regression bar."""
     per = {}
     totals = []
-    calibs = []
+    calibs = {"calib_sec": [], "calib_io_sec": []}
     if not sf:
         print("WARN: new artifact has no 'sf' — history medians mix all "
               "scale factors", file=sys.stderr)
@@ -52,9 +52,10 @@ def history_medians(path, sf):
             if sf and d.get("sf") != sf:
                 continue
             totals.append(d.get("value"))
-            c = d.get("calib_sec")
-            if isinstance(c, (int, float)) and c > 0:
-                calibs.append(c)
+            for key in calibs:
+                c = d.get(key)
+                if isinstance(c, (int, float)) and c > 0:
+                    calibs[key].append(c)
             for k, v in d.get("queries", {}).items():
                 if v >= 0:
                     per.setdefault(k, []).append(v)
@@ -64,24 +65,30 @@ def history_medians(path, sf):
 
 
 def contention_check(new, calibs):
-    """True when the NEW run's calibration query (fixed, SF-independent
-    work) deviates >2x from the history median — the signature of a
-    loaded machine (r10: the driver artifact read 2.4x the same-code
-    clean run with nothing flagging it). A contaminated run must not be
-    regress-flagged; its numbers say nothing about the code."""
-    c = new.get("calib_sec")
-    if not isinstance(c, (int, float)) or c <= 0 or not calibs:
-        return False
-    base = statistics.median(calibs)
-    if base <= 0:
-        return False
-    if c > 2.0 * base or c < base / 2.0:
-        print(f"CONTENTION: calibration {c:.2f} s vs history median "
-              f"{base:.2f} s (load_before={new.get('load_before')}, "
-              f"load_after={new.get('load_after')}) — refusing to "
-              "regress-flag this run; rerun on an idle machine")
-        return True
-    return False
+    """True when EITHER of the NEW run's calibration probes (fixed,
+    SF-independent work) deviates >2x from its history median — the
+    signature of a contaminated machine (r10: the driver artifact read
+    2.4x the same-code clean run with nothing flagging it; r11: two
+    same-code runs read 215 vs 242 s with IDENTICAL CPU calibration —
+    the drift lived in disk-heavy queries, hence the separate I/O
+    probe). A contaminated run must not be regress-flagged; its numbers
+    say nothing about the code."""
+    flagged = False
+    for key, label in (("calib_sec", "cpu"), ("calib_io_sec", "io")):
+        c = new.get(key)
+        hist = calibs.get(key, [])
+        if not isinstance(c, (int, float)) or c <= 0 or not hist:
+            continue
+        base = statistics.median(hist)
+        if base <= 0:
+            continue
+        if c > 2.0 * base or c < base / 2.0:
+            print(f"CONTENTION ({label}): calibration {c:.2f} s vs history "
+                  f"median {base:.2f} s (load_before={new.get('load_before')}, "
+                  f"load_after={new.get('load_after')}) — refusing to "
+                  "regress-flag this run; rerun on an idle machine")
+            flagged = True
+    return flagged
 
 
 def diff(oq, nq, new, n_runs=None):
