@@ -917,7 +917,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       commitAdmin(LogUpsert)(() =>
         asAdminRows("queries", align(row, QueriesSchema)))
     } else {
-      align(row, QueriesSchema).write.mode(SaveMode.Append).parquet(path("queries"))
+      // same REPLACE semantics in COW: a re-save rewrites the row (the
+      // blind append left two rows and namedQuerySource picking the
+      // FIRST — the storage mode must not change save semantics)
+      val hit = col("namespace") === namespace && col("name") === name
+      val existing = readOr("queries", QueriesSchema)
+      if (existing.filter(hit).limit(1).collect().nonEmpty)
+        rewrite(existing.filter(!hit).unionByName(align(row, QueriesSchema)),
+          "queries", QueriesSchema, partitionCols = Nil)
+      else
+        align(row, QueriesSchema).write.mode(SaveMode.Append).parquet(path("queries"))
     }
   }
 

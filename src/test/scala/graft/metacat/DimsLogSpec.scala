@@ -197,6 +197,69 @@ class DimsLogSpec extends SparkTestBase {
       "mor_admin_unclaimed_publish").forall(audit(_) == 0L), s"got $audit")
   }
 
+  test("seeded random dimension-mutation storm: MOR == COW at every checkpoint") {
+    // the differential oracle over RANDOM admin histories — create/
+    // update/remove/recreate cycles, edge add/remove interplay across
+    // removals, named-query re-saves, duplicate and cycle rejections —
+    // every op must produce the SAME outcome (state or exception) on
+    // both storage modes, with MOR maintenance folded in mid-history
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(1107L))
+    val cow = new ParquetCatalog(spark, newRoot())
+    val morRoot = newRoot()
+    val mor = new ParquetCatalog(spark, morRoot, mergeOnRead = true)
+    val names = Seq("da", "db", "dc", "dd")
+
+    def attempt(f: ParquetCatalog => Unit): Unit = {
+      val r1 = try { f(cow); None } catch {
+        case e: IllegalArgumentException => Some(e.getMessage.take(30)) }
+      val r2 = try { f(mor); None } catch {
+        case e: IllegalArgumentException => Some(e.getMessage.take(30)) }
+      assert(r1 == r2, s"outcome diverged: cow=$r1 mor=$r2")
+    }
+
+    for (step <- 0 until 24) {
+      // draw every random choice BEFORE attempt(): the closure runs once
+      // per catalog, and an inner draw would give the two different ops
+      rnd.nextInt(6) match {
+        case 0 =>
+          val n = names(rnd.nextInt(names.size))
+          attempt(_.createDataset("fz", n,
+            metadataJson = s"""{"fz.s":$step}"""))
+        case 1 =>
+          val n = names(rnd.nextInt(names.size))
+          val mode = if (rnd.nextBoolean()) "update" else "replace"
+          val fr = if (rnd.nextBoolean()) Some(rnd.nextBoolean()) else None
+          attempt(_.updateDataset("fz", n,
+            metadataJson = Some(s"""{"fz.k$step":$step}"""),
+            metadataMode = mode, frozen = fr))
+        case 2 =>
+          val n = names(rnd.nextInt(names.size))
+          attempt(_.removeDataset("fz", n))
+        case 3 =>
+          val p = names(rnd.nextInt(names.size))
+          val c = names(rnd.nextInt(names.size))
+          attempt(_.addDatasetEdge("fz", p, "fz", c))
+        case 4 =>
+          val q = s"q${rnd.nextInt(3)}"
+          attempt(_.saveNamedQuery("fz", q, s"files from fz:x$step"))
+        case 5 =>
+          val ns = s"ns${rnd.nextInt(3)}"
+          attempt(_.createNamespace(ns))
+      }
+      if (step % 6 == 5) {
+        if (rnd.nextBoolean()) { mor.checkpointAdminLog(); mor.vacuumAdminLog() }
+        assert(dimState(mor) == dimState(cow),
+          s"step $step dims diverged:\n${dimState(mor)}\nvs\n${dimState(cow)}")
+      }
+    }
+    mor.compactFilesLog() // folds the admin log into the base tables
+    assert(dimState(mor) == dimState(cow))
+    // a FRESH instance (no caches) reads the compacted state identically
+    assert(dimState(new ParquetCatalog(spark, morRoot, mergeOnRead = true)) ==
+      dimState(cow))
+  }
+
   test("admin commits keep flowing during admin-log checkpoint+vacuum maintenance") {
     // the always-on shape for the dimension log too: writer commits race
     // a maintenance loop running checkpoint+vacuum — nothing lost, reads
