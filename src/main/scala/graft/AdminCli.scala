@@ -20,7 +20,7 @@ import graft.mql.Mql
   *   graft.Cli -c <root> file declare|retire|update-meta|update|move|
   *                            show|datasets …
   *   graft.Cli -c <root> named-query create|show|list|search …
-  *   graft.Cli -c <root> catalog fsck|compact|checkpoint|vacuum|history
+  *   graft.Cli -c <root> catalog fsck|compact|checkpoint|vacuum|history|pin|unpin|pins
   * }}}
   */
 object AdminCli {
@@ -220,6 +220,29 @@ object AdminCli {
           s""""admin_vacuum_horizon":${cat.vacuumAdminLog()}}""")
       case "catalog" :: "history" :: Nil =>
         emit(cat.logHistory())
+
+      // ---- snapshot pins: capture the current version under a name;
+      // vacuum/compaction refuse to destroy a pinned version's history
+      // (append --force to the maintenance commands to override) ----
+      case "catalog" :: "pin" :: name :: Nil =>
+        val v = cat.snapshot()
+        cat.pin(name, v)
+        println(s"""{"pin":"$name","files":${v.files},"members":${v.members},""" +
+          s""""edges":${v.edges},"admin":${v.admin}}""")
+      case "catalog" :: "unpin" :: name :: Nil =>
+        println(s"""{"unpinned":${cat.unpin(name)}}""")
+      case "catalog" :: "pins" :: Nil =>
+        cat.pins().sortBy(_._1).foreach { case (n, v) =>
+          println(s"""{"pin":"$n","files":${v.files},"members":${v.members},""" +
+            s""""edges":${v.edges},"admin":${v.admin}}""")
+        }
+      case "catalog" :: "compact" :: "--force" :: Nil =>
+        cat.compactFilesLog(force = true)
+      case "catalog" :: "vacuum" :: "--force" :: Nil =>
+        println(s"""{"vacuum_horizon":${cat.vacuumFilesLog(force = true)},""" +
+          s""""members_vacuum_horizon":${cat.vacuumMembersLog(force = true)},""" +
+          s""""edges_vacuum_horizon":${cat.vacuumEdgesLog(force = true)},""" +
+          s""""admin_vacuum_horizon":${cat.vacuumAdminLog(force = true)}}""")
 
       case other =>
         throw new IllegalArgumentException(

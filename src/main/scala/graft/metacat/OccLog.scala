@@ -69,6 +69,14 @@ private[metacat] final class OccLog(
   private val claimsT = s"${name}_claims"
   private val ckptT = s"${name}_ckpt"
 
+  /** Cross-log transaction recovery hook (wired by the owning catalog):
+    * called at a publish deadline with (logName, stuckSeq); returning
+    * true means the stuck claim's owning transaction was rolled forward
+    * or back — its seq is now published (as the staged leg or a no-op)
+    * and the wait may re-check. Default: no recovery, time out loudly. */
+  private[metacat] var stuckClaimRecovery: (String, Long) => Boolean =
+    (_, _) => false
+
   private def align(df: DataFrame): DataFrame =
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
 
@@ -265,8 +273,15 @@ private[metacat] final class OccLog(
     // queueing. Predecessors with unknown keys conservatively conflict.
     myKeys.foreach { mine =>
       val mineSet = mine.toSet
+      val pubFs = fsOf(hPath(name))
       pending = pending.filter { s =>
-        readKeys(s) match {
+        // a PUBLISHED predecessor never needs conflict evaluation —
+        // claims persist until vacuum, and a claim without a .keys
+        // sidecar (pre-keys deployment, or a writer that crashed between
+        // claim and writeKeys) would otherwise burn readKeys' full ~1 s
+        // grace poll on EVERY keyed commit until a vacuum clears it
+        if (pubFs.exists(new Path(path(name), seqDirName(s)))) false
+        else readKeys(s) match {
           case Some(theirs) => theirs.exists(mineSet.contains)
           case None => true // unkeyed or unknown: total-order behavior
         }
@@ -290,6 +305,7 @@ private[metacat] final class OccLog(
       val deadline = System.nanoTime() + timeoutMs * 1000 * 1000
       var sleepMs = 5L
       var waiting = true
+      var recoveryTried = false
       while (waiting && !fs.exists(dir)) {
         val now = System.nanoTime()
         if (now > nextCkptProbe) {
@@ -300,6 +316,13 @@ private[metacat] final class OccLog(
         // after we listed it — the checkpoint carries that commit, stop
         // waiting
         if (!fs.exists(marker) || s <= cachedCkpt) waiting = false
+        else if (now > deadline && !recoveryTried &&
+            stuckClaimRecovery(name, s)) {
+          // a cross-log transaction recovery hook rolled the stuck
+          // claim's owning transaction forward (published its staged
+          // leg) or back (published a no-op) — re-check once
+          recoveryTried = true
+        }
         else if (now > deadline)
           throw new IllegalStateException(
             s"log seq $s is claimed but never published (crashed writer?); " +
@@ -350,20 +373,7 @@ private[metacat] final class OccLog(
   def commit(mkRows: () => DataFrame, op: String,
       keys: Option[Seq[String]]): Unit = {
     val fs = fsOf(hPath(name))
-    var attempt = 0
-    var s = 0L
-    while (s == 0L) {
-      val next = maxClaimed() + 1L
-      if (claim(next)) s = next
-      else {
-        attempt += 1
-        if (attempt >= 10000)
-          throw new IllegalStateException(
-            s"gave up claiming a seq in $root/$name after $attempt collisions")
-        Thread.sleep(math.min(20L, 1L + attempt / 10L))
-      }
-    }
-    writeKeys(s, keys) // the conflict-detection handshake for successors
+    val s = claimNext(keys)
     val dst = new Path(path(name), seqDirName(s))
     // Predecessors may still be computing/publishing: the snapshot for
     // THIS mutation is exactly the published seqs < s. A failure HERE —
@@ -388,39 +398,109 @@ private[metacat] final class OccLog(
     }
     try {
       val tmp = new Path(path("_tmp"), s"commit-${java.util.UUID.randomUUID()}")
-      var wrote = false
-      var writeAttempt = 0
-      while (!wrote) {
-        try {
-          val rows = mkRows()
-          align((if (rows.columns.contains("__op")) rows
-              else rows.withColumn("__op", lit(op)))
-              .withColumn("__seq", lit(s)))
-            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          wrote = true
-        } catch {
-          // a concurrent vacuum deleted raw segments between this plan's
-          // file listing and its execution — the checkpoint now carries
-          // them, so a FRESH snapshot read is correct: retry the write
-          // (the same remedy Delta prescribes for reads racing VACUUM)
-          case e: Throwable if OccLog.fileVanished(e) && writeAttempt < 5 =>
-            writeAttempt += 1
-            fs.delete(tmp, true)
-            Thread.sleep(10L * writeAttempt)
-        }
-      }
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(tmp, dst))
-        throw new IllegalStateException(
-          s"publish of claimed log seq $s failed: $tmp -> $dst")
+      stageRows(s, mkRows, op, tmp)
+      publishStaged(s, tmp, strict = true)
     } catch {
       case e: Throwable =>
         // keep the protocol dense and successors unblocked: the claimed
         // seq publishes as an empty no-op commit before the failure
         // propagates (readers fold zero rows from it)
-        if (!fs.exists(dst)) fs.mkdirs(dst)
+        publishNoop(s)
         throw e
     }
+  }
+
+  // ---- cross-log transaction primitives (see [[TxnLog]]) ----
+  // The single-log [[commit]] is claimNext → awaitPublished → stageRows →
+  // publishStaged; a multi-log transaction drives the same primitives
+  // across several logs with an intent marker deciding atomicity.
+
+  /** this log's name (the leg tag in transaction markers) */
+  private[metacat] def logName: String = name
+
+  private[metacat] def isPublished(s: Long): Boolean =
+    fsOf(hPath(name)).exists(new Path(path(name), seqDirName(s)))
+
+  /** Claim the next dense seq and stamp its key sidecar; returns the seq.
+    * The sidecar is an OPTIMIZATION, never a correctness input: a
+    * transient FS failure there must not strand the claimed seq with
+    * neither a publish nor a no-op (successors would block the full
+    * publish timeout for a failure that preceded any work), so it is
+    * swallowed — successors finding a sidecar-less claim degrade to the
+    * conservative total-order wait, and the awaitPublished published-dir
+    * short-circuit bounds that degradation to this commit's own
+    * in-flight window. */
+  private[metacat] def claimNext(keys: Option[Seq[String]]): Long = {
+    var attempt = 0
+    var s = 0L
+    while (s == 0L) {
+      val next = maxClaimed() + 1L
+      if (claim(next)) s = next
+      else {
+        attempt += 1
+        if (attempt >= 10000)
+          throw new IllegalStateException(
+            s"gave up claiming a seq in $root/$name after $attempt collisions")
+        Thread.sleep(math.min(20L, 1L + attempt / 10L))
+      }
+    }
+    try writeKeys(s, keys)
+    catch { case _: Throwable => () }
+    s
+  }
+
+  /** Compute and write claimed seq `s`'s records to `tmp` (not yet
+    * published). Retries the write when its file listing raced a
+    * concurrent vacuum — the checkpoint now carries the deleted
+    * segments, so a FRESH plan from `mkRows` is correct (the same remedy
+    * Delta prescribes for reads racing VACUUM). */
+  private[metacat] def stageRows(s: Long, mkRows: () => DataFrame,
+      op: String, tmp: Path): Unit = {
+    val fs = fsOf(tmp)
+    var wrote = false
+    var writeAttempt = 0
+    while (!wrote) {
+      try {
+        val rows = mkRows()
+        align((if (rows.columns.contains("__op")) rows
+            else rows.withColumn("__op", lit(op)))
+            .withColumn("__seq", lit(s)))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        wrote = true
+      } catch {
+        case e: Throwable if OccLog.fileVanished(e) && writeAttempt < 5 =>
+          writeAttempt += 1
+          fs.delete(tmp, true)
+          Thread.sleep(10L * writeAttempt)
+      }
+    }
+  }
+
+  /** Publish claimed seq `s` by renaming `tmp` into the log. `strict`
+    * (single-log commits) throws when the rename fails; lenient callers
+    * (transaction roll-forward, where a racing recoverer may have
+    * published the same staged leg first) accept an already-published
+    * destination. */
+  private[metacat] def publishStaged(s: Long, tmp: Path,
+      strict: Boolean): Unit = {
+    val fs = fsOf(hPath(name))
+    val dst = new Path(path(name), seqDirName(s))
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(tmp, dst)) {
+      if (strict || !fs.exists(dst))
+        throw new IllegalStateException(
+          s"publish of claimed log seq $s failed: $tmp -> $dst")
+      fs.delete(tmp, true) // a recoverer won the race — ours is surplus
+    }
+  }
+
+  /** publish claimed seq `s` as an EMPTY no-op commit (readers fold zero
+    * rows from it) — the rollback/compute-failure path that keeps the
+    * sequence space dense and successors unblocked */
+  private[metacat] def publishNoop(s: Long): Unit = {
+    val fs = fsOf(hPath(name))
+    val dst = new Path(path(name), seqDirName(s))
+    if (!fs.exists(dst)) { fs.mkdirs(dst); () }
   }
 
   /** the vacuum horizon: 0 while the raw segments still cover the
@@ -556,8 +636,24 @@ private[metacat] final class OccLog(
     val horizon = vacuumHorizon()
     val present = (1L to legacy).toSet ++ (1L to horizon) ++ published
     val maxSeq = ((0L +: published.toList) :+ legacy :+ ckptSeq()).max
-    ((1L to maxSeq).count(!present(_)).toLong,
-      claims.count(s => s > legacy && !present(s)).toLong,
+    // Under KEYED commits a disjoint successor publishing above a
+    // still-computing predecessor is a NORMAL transient state, not a
+    // crashed writer: an unpublished seq whose claim marker is younger
+    // than the publish timeout is IN FLIGHT — counted as neither a seq
+    // gap nor an orphaned claim (it either publishes, or ages past the
+    // timeout and then surfaces as both).
+    val timeoutMs =
+      sys.props.getOrElse("graft.occ.publishTimeoutMs", "120000").toLong
+    val now = System.currentTimeMillis()
+    val cfs = fsOf(hPath(claimsT))
+    def inFlight(s: Long): Boolean = {
+      val m = new Path(path(claimsT), seqDirName(s))
+      try cfs.exists(m) &&
+        now - cfs.getFileStatus(m).getModificationTime < timeoutMs
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    ((1L to maxSeq).count(s => !present(s) && !inFlight(s)).toLong,
+      claims.count(s => s > legacy && !present(s) && !inFlight(s)).toLong,
       published.count(s => s > legacy && !claims.contains(s)).toLong)
   }
 }

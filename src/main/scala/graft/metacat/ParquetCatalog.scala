@@ -162,21 +162,28 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def foldMembers(base: DataFrame, recs: DataFrame): DataFrame = {
     val pairLatest = OccLog.latestPerKey(
       Seq("fid", "dataset_namespace", "dataset_name"))(
-      recs.filter(col("__op") =!= MemberRemoveAll))
+      recs.filter(col("__op") =!= MemberRemoveAll &&
+        col("__op") =!= MemberRemoveFid))
     val wild = recs.filter(col("__op") === MemberRemoveAll)
       .groupBy("dataset_namespace", "dataset_name")
       .agg(max(col("__seq")).as("__wseq"))
+    val fidWild = recs.filter(col("__op") === MemberRemoveFid)
+      .groupBy("fid").agg(max(col("__seq")).as("__fwseq"))
     // base rows lose to ANY pair record (the log re-supplies live pairs
-    // below) and to any wildcard (base rows carry implicit seq 0)
+    // below) and to any wildcard of either kind (base rows carry
+    // implicit seq 0)
     val baseLive = base
       .join(broadcast(pairLatest
           .select("fid", "dataset_namespace", "dataset_name")),
         Seq("fid", "dataset_namespace", "dataset_name"), "left_anti")
       .join(broadcast(wild.select("dataset_namespace", "dataset_name")),
         Seq("dataset_namespace", "dataset_name"), "left_anti")
+      .join(broadcast(fidWild.select("fid")), Seq("fid"), "left_anti")
     val logLive = pairLatest.filter(col("__op") === MemberAdd)
       .join(wild, Seq("dataset_namespace", "dataset_name"), "left")
-      .filter(col("__wseq").isNull || col("__seq") > col("__wseq"))
+      .join(fidWild, Seq("fid"), "left")
+      .filter((col("__wseq").isNull || col("__seq") > col("__wseq")) &&
+        (col("__fwseq").isNull || col("__seq") > col("__fwseq")))
       .select("fid", "dataset_namespace", "dataset_name")
     baseLive.unionByName(logLive)
   }
@@ -626,31 +633,53 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val eHit = (col("parent_namespace") === namespace && col("parent_name") === name) ||
       (col("child_namespace") === namespace && col("child_name") === name)
     if (mergeOnRead) {
-      // ONE admin commit carries the dataset tombstone AND its hierarchy
-      // edges' tombstones (mixed per-row ops at a single seq — readers
-      // see the cascade atomically, the posture of the reference's
-      // cascading foreign keys); the membership wildcard follows on its
-      // own log. Ordering: dataset first — a crash in between leaves
-      // memberships of a no-longer-existing dataset (invisible to every
-      // query and reclaimed by compaction), never a live dataset whose
-      // members vanished.
-      commitAdmin(LogDelete) { () =>
-        val cur = dimStored("datasets").filter(hit)
-        if (cur.limit(1).collect().isEmpty)
-          throw new IllegalArgumentException(
-            s"dataset $namespace:$name does not exist")
-        asAdminRows("datasets", cur, op = Some(LogDelete))
-          .unionByName(asAdminRows("datasets_parent_child",
-            dimStored("datasets_parent_child").filter(eHit),
-            op = Some(LogDelete)))
-      }
-      // one O(1) wildcard tombstone retires the WHOLE membership set —
-      // dropping a 100M-file dataset costs one log record instead of a
-      // full membership-table rewrite; compaction reclaims the rows
+      // ONE cross-log transaction carries the admin leg (dataset
+      // tombstone + its hierarchy edges' tombstones, mixed per-row ops
+      // at a single seq — the cascade the reference gets from cascading
+      // foreign keys) AND the membership wildcard, so a snapshot or a
+      // crash never sees a dropped dataset whose members survived or
+      // vice versa. Legs are LITERAL (the TxnLog staging contract): the
+      // existence check and the hierarchy-edge probe run driver-side
+      // against dimension-sized state BEFORE the claims, and a
+      // post-transaction revalidation tombstones any hierarchy edge a
+      // racing addDatasetEdge slipped past the probe (the same lost-add
+      // closure the membership append path uses).
       import spark.implicits._
-      membersLog.commit(() => Seq((Option.empty[String], namespace, name))
-        .toDF("fid", "dataset_namespace", "dataset_name"), MemberRemoveAll,
-        keys = Some(Seq(namespace + "\u0001" + name)))
+      datasetRow(namespace, name) // throws if missing, as the reference 404s
+      def edgeTombstones() = retryOnVanish(
+        dimStored("datasets_parent_child").filter(eHit)
+          .select("parent_namespace", "parent_name",
+            "child_namespace", "child_name").collect().toSeq)
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      val probed = edgeTombstones()
+      def adminLeg() = {
+        val ds = asAdminRows("datasets",
+          Seq((namespace, name)).toDF("namespace", "name"),
+          op = Some(LogDelete))
+        if (probed.isEmpty) ds
+        else ds.unionByName(asAdminRows("datasets_parent_child",
+          probed.toDF("parent_namespace", "parent_name",
+            "child_namespace", "child_name"), op = Some(LogDelete)))
+      }
+      // the membership wildcard is one O(1) tombstone retiring the WHOLE
+      // membership set — dropping a 100M-file dataset costs one log
+      // record instead of a membership-table rewrite
+      txns.run(Seq(
+        TxnLog.Leg("admin_log", LogDelete, None, () => adminLeg()),
+        TxnLog.Leg("members_log", MemberRemoveAll,
+          Some(Seq(namespace + "\u0001" + name)),
+          () => Seq((Option.empty[String], namespace, name))
+            .toDF("fid", "dataset_namespace", "dataset_name"))))
+      invalidateDatasets()
+      catCache = null
+      // lost-add closure: a hierarchy edge added between the probe and
+      // the transaction's admin seq would dangle on a dead dataset —
+      // re-check and tombstone stragglers through a normal admin commit
+      val late = edgeTombstones().filterNot(probed.toSet)
+      if (late.nonEmpty)
+        commitAdmin(LogDelete)(() => asAdminRows("datasets_parent_child",
+          late.toDF("parent_namespace", "parent_name",
+            "child_namespace", "child_name"), op = Some(LogDelete)))
     } else {
       datasetRow(namespace, name) // throws if missing
       rewrite(readOr("datasets", DatasetsSchema).filter(!hit),
@@ -672,28 +701,45 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def removeFiles(fids: Seq[String]): Unit = {
     val hit = col("fid").isin(fids: _*)
     if (mergeOnRead) {
-      // two wildcard tombstones per fid retire every provenance edge
-      // touching it — O(fids) records, never an edge-table rewrite
       import spark.implicits._
-      edgesLog.commit(() => fids
-        .flatMap(f => Seq((Option(f), Option.empty[String]),
-          (Option.empty[String], Option(f))))
-        .toDF("parent_fid", "child_fid"), EdgeRemove, keys = Some(fids))
+      // ONE cross-log transaction carries all three legs — edge
+      // wildcards, the fid-wide membership wildcards, the file
+      // tombstones — so readers, snapshots and crashes see the removal
+      // all-or-nothing (the reference gets this from one Postgres
+      // transaction, data_handler.py:631-714). Every leg is LITERAL
+      // (O(fids) driver-built wildcard/tombstone rows, store-insensitive
+      // — the TxnLog staging contract): two wildcards per fid retire
+      // every provenance edge touching it, one fid-wide wildcard retires
+      // its membership in EVERY dataset, and the tombstones name the
+      // fids a pre-probe proved live — never an edge/membership table
+      // rewrite, never a corpus-sized job.
+      val existing = retryOnVanish(storedFiles().filter(hit)
+        .select("fid").collect().map(_.getString(0)).toSeq)
+      def tombstones() = {
+        var df = existing.toDF("fid")
+        for (f <- logSchema.fields
+             if f.name != "fid" && f.name != "__op" && f.name != "__seq")
+          df = df.withColumn(f.name, lit(null).cast(f.dataType))
+        df
+      }
+      val legs = Seq(
+        TxnLog.Leg("edges_log", EdgeRemove, Some(fids), () => fids
+          .flatMap(f => Seq((Option(f), Option.empty[String]),
+            (Option.empty[String], Option(f))))
+          .toDF("parent_fid", "child_fid")),
+        // unkeyed: membership successors (dataset-identity keys, a
+        // different key alphabet) must conservatively serialize after it
+        TxnLog.Leg("members_log", MemberRemoveFid, None, () => fids
+          .map(f => (f, Option.empty[String], Option.empty[String]))
+          .toDF("fid", "dataset_namespace", "dataset_name"))) ++
+        (if (existing.isEmpty) Nil
+         else Seq(TxnLog.Leg("files_log", LogDelete, Some(existing),
+           () => tombstones())))
+      txns.run(legs)
     } else {
       rewrite(readOr("parent_child", ParentChildSchema)
         .filter(!col("parent_fid").isin(fids: _*) && !col("child_fid").isin(fids: _*)),
         "parent_child", ParentChildSchema, partitionCols = Nil)
-    }
-    if (mergeOnRead) {
-      // membership cleanup as remove records (mutation-sized; computed
-      // under the claimed seq), then the file tombstones — same
-      // dangling-edge-free order as the COW rewrites
-      def mkMembers() = filesDatasets.filter(hit)
-      if (retryOnVanish(mkMembers().limit(1).collect().nonEmpty))
-        membersLog.commit(() => mkMembers(), MemberRemove)
-      commitFilesLog(() => storedFiles().filter(hit), LogDelete,
-        keys = Some(fids))
-    } else {
       rewrite(readOr("files_datasets", FilesDatasetsSchema).filter(!hit),
         "files_datasets", FilesDatasetsSchema, partitionCols = Nil)
       rewriteFilesScoped(storedFiles().filter(!hit), namespacesOf(fids))
@@ -1025,21 +1071,31 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (df.isEmpty) None else Some(df)
   }
 
-  def addProvenance(edges: DataFrame): Unit = {
-    val aligned = align(edges, ParentChildSchema)
+  def addProvenance(edges: DataFrame): Unit = addProvenance(() => edges)
+
+  /** [[addProvenance]] taking a THUNK: when the caller's edges plan reads
+    * catalog state (e.g. derived from [[files]]) its file listing is
+    * captured at plan time, so a pin racing a concurrent vacuum must
+    * rebuild the WHOLE plan per retry — re-counting (or re-filtering) the
+    * same frame replays the stale listing and fails identically on every
+    * attempt, the same trap [[declareFiles]] and [[appendMemberships]]
+    * already close. */
+  def addProvenance(mkEdges: () => DataFrame): Unit = {
+    def aligned() = align(mkEdges(), ParentChildSchema)
     if (!mergeOnRead) {
-      appendParquet(aligned, "parent_child")
+      appendParquet(aligned(), "parent_child")
       return
     }
     // edges the CURRENT log shadows (a pair record, or a wildcard on
     // either endpoint — base appends carry implicit seq 0), pinned
     // driver-side as \u0001-joined keys (a bare concat could alias across
     // the boundary); bounded by the mutation-sized log
-    def shadowKeys(of: DataFrame): Set[String] = {
+    def shadowKeys(mkOf: () => DataFrame): Set[String] = {
       if (!edgesLog.nonEmpty()) return Set.empty
-      // records() is rebuilt per retry attempt — a pre-built frame's
+      // BOTH sides rebuilt per retry attempt — a pre-built frame's
       // file listing goes stale when the read races a vacuum
       retryOnVanish {
+        val of = mkOf()
         val recs = edgesLog.records()
         val pairKeys = recs
           .filter(col("parent_fid").isNotNull && col("child_fid").isNotNull)
@@ -1061,20 +1117,34 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // the base append RE-CHECKS the log afterwards and commits repair adds
     // for anything a concurrently committed remove/wildcard now shadows,
     // so every interleave resolves to a valid serial order.
-    val shadowed = shadowKeys(aligned)
-    val pinned = (if (shadowed.isEmpty) aligned
-      else aligned.filter(!key.isin(shadowed.toSeq: _*))).persist()
+    val shadowed = shadowKeys(() => aligned())
+    def mkPinned() = (if (shadowed.isEmpty) aligned()
+      else aligned().filter(!key.isin(shadowed.toSeq: _*))).persist()
+    // pin the base-append set, rebuilding from a FRESH plan on a vacuum
+    // race -- the mkEdges thunk re-resolves whatever catalog state the
+    // caller's plan reads (mirrors the pin loop in [[appendMemberships]])
+    var pinned = mkPinned()
+    var pinAttempt = 0
+    var pinOk = false
+    while (!pinOk) {
+      try { pinned.count(); pinOk = true }
+      catch {
+        case e: Throwable if OccLog.fileVanished(e) && pinAttempt < 5 =>
+          pinAttempt += 1
+          pinned.unpersist()
+          Thread.sleep(10L * pinAttempt)
+          pinned = mkPinned()
+      }
+    }
     try {
-      retryOnVanish(pinned.count())
       appendParquet(pinned, "parent_child")
       def endpoints(ks: Set[String]): Seq[String] =
         ks.toSeq.flatMap(_.split('\u0001')).distinct
       if (shadowed.nonEmpty)
         edgesLog.commit(
-          () => align(edges, ParentChildSchema)
-            .filter(key.isin(shadowed.toSeq: _*)), EdgeAdd,
+          () => aligned().filter(key.isin(shadowed.toSeq: _*)), EdgeAdd,
           keys = Some(endpoints(shadowed)))
-      val late = shadowKeys(pinned)
+      val late = shadowKeys(() => pinned)
       if (late.nonEmpty)
         edgesLog.commit(() => pinned.filter(key.isin(late.toSeq: _*)), EdgeAdd,
           keys = Some(endpoints(late)))
@@ -1285,9 +1355,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private val membersLog = new OccLog(spark, root, "members_log",
     MembersLogSchema, df =>
       OccLog.latestPerKey(Seq("fid", "dataset_namespace", "dataset_name"))(
-          df.filter(col("__op") =!= MemberRemoveAll))
+          df.filter(col("__op") =!= MemberRemoveAll &&
+            col("__op") =!= MemberRemoveFid))
         .unionByName(OccLog.latestPerKey(Seq("dataset_namespace", "dataset_name"))(
-          df.filter(col("__op") === MemberRemoveAll))))
+          df.filter(col("__op") === MemberRemoveAll)))
+        .unionByName(OccLog.latestPerKey(Seq("fid"))(
+          df.filter(col("__op") === MemberRemoveFid))))
 
   /** the PROVENANCE-EDGE delta log (MOR mode): add/remove records per
     * (parent, child) pair, plus one-side-null wildcard removes (a hard
@@ -1319,6 +1392,32 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * posture of `schema.sql`). */
   private val adminLog = new OccLog(spark, root, "admin_log", AdminLogSchema,
     OccLog.latestPerKey(Seq("table", "key")))
+
+  /** cross-log atomic transactions over the four delta logs (the
+    * reference's per-handler Postgres transaction, re-expressed as
+    * presumed-abort 2PC over rename-atomic intent markers — see
+    * [[TxnLog]]); each log's publish-timeout path heals a transaction
+    * whose writer died instead of failing loudly on its claims */
+  private val txns = new TxnLog(spark, root, Map(
+    "files_log" -> filesLog, "members_log" -> membersLog,
+    "edges_log" -> edgesLog, "admin_log" -> adminLog))
+  Seq(filesLog, membersLog, edgesLog, adminLog)
+    .foreach(_.stuckClaimRecovery = txns.recoverSeq)
+
+  /** Recover every pending cross-log transaction: committed ones roll
+    * forward, expired (or, with `force`, all) preparing ones roll back —
+    * the admin entry point after a writer crash ([[Fsck.audit]] reports
+    * the pending count as `mor_txn_pending`). */
+  def recoverTxns(force: Boolean = false): Int = {
+    require(mergeOnRead, "recoverTxns requires a merge-on-read catalog")
+    txns.recoverAll(force)
+  }
+
+  /** failpoint injection for the transaction protocol (crash-recovery
+    * tests and the write-path txn gate): the named protocol seam throws
+    * once — see [[TxnLog]] for the seam names */
+  def txnFailpoint(at: Option[String]): Unit =
+    txns.failpoint = at
 
   private def dimKeyCol(table: String) =
     concat_ws("\u0001", DimKeys(table).map(col): _*)
@@ -1501,10 +1600,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // races a vacuum and would fail identically on every retry).
     val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n
     def shadowState(of: DataFrame): (Boolean, Set[String]) = retryOnVanish {
-      val recs = membersLog.records().filter(dsHit)
+      val all = membersLog.records()
+      val recs = all.filter(dsHit)
+      // fid-wide wildcards (removeFiles) shadow base appends of those
+      // fids in EVERY dataset — they carry null dataset columns, so they
+      // must be probed outside the dataset filter
       val rows = recs.filter(col("__op") === MemberRemoveAll)
         .select(lit(null).cast("string").as("fid"))
         .unionByName(recs.filter(col("__op") === MemberRemove)
+          .select("fid").join(of.select("fid"), Seq("fid"), "left_semi"))
+        .unionByName(all.filter(col("__op") === MemberRemoveFid)
           .select("fid").join(of.select("fid"), Seq("fid"), "left_semi"))
         .collect()
       (rows.exists(_.isNullAt(0)),
@@ -1734,8 +1839,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * boundary — asserted by `WritePathFuzzSpec`'s mid-compaction arm. */
   private[metacat] var onCompactMidpoint: () => Unit = () => ()
 
-  def compactFilesLog(): Unit = {
+  def compactFilesLog(force: Boolean = false): Unit = {
     if (!mergeOnRead) return
+    // compaction truncates every log and restarts sequences at 1 — it
+    // destroys EVERY pinned version's as-of reachability, so any live
+    // pin refuses it (the vacuum-vs-pin rule's absolute case)
+    if (!force) {
+      val live = pins()
+      if (live.nonEmpty)
+        throw new IllegalStateException(
+          s"compaction would destroy pinned version(s) " +
+          s"${live.map(_._1).sorted.mkString(", ")}; unpin first, or " +
+          "pass force=true")
+    }
     if (logNonEmpty()) {
       val log = logRecords()
       val base = readOr("files", storedSchema)
@@ -1783,6 +1899,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       invalidateDatasets()
       catCache = null
     }
+    // a FORCED compaction invalidated every pin (sequences restart at 1):
+    // remove them rather than leaving handles that would silently point
+    // at unrelated future sequences
+    if (force) { fsOf(pinsDir).delete(pinsDir, true); () }
   }
 
   // ---- checkpoint + vacuum: bounded log reads WITHOUT compaction's
@@ -1826,8 +1946,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * vacuum horizon (0 = no checkpoint, nothing vacuumed). Concurrent
     * with writers; historical reads racing this degrade to the horizon
     * (the Delta `VERSION AS OF` vs VACUUM race, documented above). */
-  def vacuumFilesLog(): Long = {
+  def vacuumFilesLog(force: Boolean = false): Long = {
     require(mergeOnRead, "vacuumFilesLog requires a merge-on-read catalog")
+    requirePinsAllowVacuum("files", filesLog, _.files, force)
     filesLog.vacuum()
   }
 
@@ -1841,8 +1962,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** vacuum the membership log's checkpointed prefix; same contract as
     * [[vacuumFilesLog]] (the membership log has no time-travel surface,
     * so the only loss is per-mutation journal granularity) */
-  def vacuumMembersLog(): Long = {
+  def vacuumMembersLog(force: Boolean = false): Long = {
     require(mergeOnRead, "vacuumMembersLog requires a merge-on-read catalog")
+    requirePinsAllowVacuum("members", membersLog, _.members, force)
     membersLog.vacuum()
   }
 
@@ -1855,8 +1977,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** vacuum the edge log's checkpointed prefix; same contract as
     * [[vacuumMembersLog]] */
-  def vacuumEdgesLog(): Long = {
+  def vacuumEdgesLog(force: Boolean = false): Long = {
     require(mergeOnRead, "vacuumEdgesLog requires a merge-on-read catalog")
+    requirePinsAllowVacuum("edges", edgesLog, _.edges, force)
     edgesLog.vacuum()
   }
 
@@ -1869,13 +1992,109 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** vacuum the admin log's checkpointed prefix; same contract as
     * [[vacuumMembersLog]] */
-  def vacuumAdminLog(): Long = {
+  def vacuumAdminLog(force: Boolean = false): Long = {
     require(mergeOnRead, "vacuumAdminLog requires a merge-on-read catalog")
+    requirePinsAllowVacuum("admin", adminLog, _.admin, force)
     adminLog.vacuum()
   }
 
   /** current admin-log version (for tests and the catalog snapshot) */
   def currentAdminSeq(): Long = adminLog.currentSeq()
+
+  // ---- snapshot pins: reproducibility handles maintenance honors ----
+  //
+  // A captured [[snapshot]] is only a real reproducibility story if an
+  // admin vacuum an hour later cannot silently destroy the history its
+  // as-of reads need. A PIN registers a version under `pins/<name>`;
+  // vacuum refuses to advance a log's horizon past any pinned leg and
+  // compaction refuses while any pin exists (both overridable with
+  // `force`), the Delta/Iceberg retention-ref posture. Checkpoints are
+  // unaffected (pure functions of published commits). Fsck reports pins
+  // whose history a forced maintenance already destroyed as
+  // `mor_stale_pins`.
+
+  private def pinsDir = hPath("pins")
+
+  /** Register `name` as a pin on version `v` (from [[snapshot]]); the
+    * version must still be readable (no leg below its vacuum horizon). */
+  def pin(name: String, v: CatalogVersion): Unit = {
+    require(mergeOnRead, "pin requires a merge-on-read catalog")
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"invalid pin name: $name")
+    pinLegs.foreach { case (leg, log, get) =>
+      val h = log.vacuumHorizon()
+      // leg 0 = the pure base view, readable at any horizon
+      if (get(v) > 0L && get(v) < h)
+        throw new IllegalStateException(
+          s"cannot pin $name: $leg seq ${get(v)} already predates the " +
+          s"vacuum horizon $h — that history is gone")
+    }
+    val fs = fsOf(pinsDir)
+    fs.mkdirs(pinsDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(pinsDir, name), true)
+    try out.write(s"${v.files} ${v.members} ${v.edges} ${v.admin}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** drop a pin; returns false when it did not exist */
+  def unpin(name: String): Boolean = {
+    require(mergeOnRead, "unpin requires a merge-on-read catalog")
+    fsOf(pinsDir).delete(new org.apache.hadoop.fs.Path(pinsDir, name), false)
+  }
+
+  /** every registered pin */
+  def pins(): Seq[(String, CatalogVersion)] = {
+    val fs = fsOf(pinsDir)
+    if (!fs.exists(pinsDir)) return Nil
+    fs.listStatus(pinsDir).toSeq.filter(_.isFile).flatMap { st =>
+      val in = fs.open(st.getPath)
+      val content =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      content.split(" ") match {
+        case Array(f, m, e, a) =>
+          Some(st.getPath.getName ->
+            CatalogVersion(f.toLong, m.toLong, e.toLong, a.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  private def pinLegs: Seq[(String, OccLog, CatalogVersion => Long)] = Seq(
+    ("files", filesLog, (v: CatalogVersion) => v.files),
+    ("members", membersLog, (v: CatalogVersion) => v.members),
+    ("edges", edgesLog, (v: CatalogVersion) => v.edges),
+    ("admin", adminLog, (v: CatalogVersion) => v.admin))
+
+  /** refuse a vacuum whose horizon (the newest checkpoint) would pass a
+    * pinned leg — the as-of reads that pin needs would start failing */
+  private def requirePinsAllowVacuum(leg: String, log: OccLog,
+      get: CatalogVersion => Long, force: Boolean): Unit = {
+    if (force) return
+    val c = log.ckptSeq()
+    if (c <= 0L) return // nothing checkpointed, vacuum is a no-op
+    val violated = pins().filter { case (_, v) =>
+      get(v) > 0L && get(v) < c } // leg 0 = base view, never destroyed
+    if (violated.nonEmpty)
+      throw new IllegalStateException(
+        s"vacuum of the $leg log would advance the horizon to $c, past " +
+        s"pinned version(s) ${violated.map(_._1).sorted.mkString(", ")} " +
+        s"(oldest pinned $leg seq ${violated.map(p => get(p._2)).min}); " +
+        "unpin first, or pass force=true to destroy that history")
+  }
+
+  /** count of pins whose history a forced maintenance already destroyed
+    * (any leg below its log's current vacuum horizon) — fsck surface */
+  private[metacat] def stalePinCount(): Long =
+    if (!mergeOnRead) 0L
+    else {
+      val horizons = pinLegs.map { case (_, log, get) =>
+        (log.vacuumHorizon(), get) }
+      pins().count { case (_, v) =>
+        horizons.exists { case (h, get) => get(v) > 0L && get(v) < h } }.toLong
+    }
 
   // ---- one catalog version across all four logs ----
 
@@ -1885,15 +2104,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * non-atomically read sequences. The four frontiers are re-read until
     * two consecutive passes agree: a stable double-pass proves no commit
     * published on ANY log during the second pass, so the snapshot is a
-    * consistent cut for every single-log mutation. The residual delta vs
-    * the reference's Postgres snapshot is documented honestly: a
-    * MULTI-log mutation still mid-flight at capture time (removeFiles
-    * commits edges → members → files; removeDataset commits admin →
-    * members) can be split across the cut — its earlier commits inside
-    * the snapshot, its later ones outside — exactly as if the snapshot
-    * were taken between two statements of that mutation. Fails loudly
-    * when commits churn continuously past `maxAttempts` passes instead
-    * of returning a cut it could not validate. */
+    * consistent cut for every single-log mutation. MULTI-log mutations
+    * (removeFiles spans edges ⊕ members ⊕ files; removeDataset spans
+    * admin ⊕ members) run as [[TxnLog]] transactions whose intent
+    * markers outlive the publish until every leg is inside its log's
+    * dense frontier — a pass that would cut THROUGH such a transaction
+    * (some legs inside the candidate cut, some outside) rolls it
+    * forward and re-captures, so a snapshot never straddles a
+    * transaction. Fails loudly when commits churn continuously past
+    * `maxAttempts` passes instead of returning a cut it could not
+    * validate. */
   def snapshot(maxAttempts: Int = 64): CatalogVersion = {
     require(mergeOnRead, "snapshot requires a merge-on-read catalog")
     var prev: CatalogVersion = null
@@ -1907,8 +2127,28 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val v = CatalogVersion(filesLog.densePublishedSeq(),
         membersLog.densePublishedSeq(), edgesLog.densePublishedSeq(),
         adminLog.densePublishedSeq())
-      if (v == prev) return v
-      prev = v
+      def frontier(log: String): Long = log match {
+        case "files_log" => v.files
+        case "members_log" => v.members
+        case "edges_log" => v.edges
+        case "admin_log" => v.admin
+        case other => throw new IllegalStateException(s"unknown log $other")
+      }
+      val committed = txns.committedLegs()
+      val straddling = committed.exists { legs =>
+        val in = legs.map { case (l, s) => frontier(l) >= s }
+        in.contains(true) && in.contains(false)
+      }
+      if (straddling) {
+        // complete the transaction (its staged legs are durable — roll
+        // forward is always safe) and re-capture from scratch
+        txns.recoverAll()
+        prev = null
+      } else {
+        if (committed.nonEmpty) txns.recoverAll() // GC fully-inside markers
+        if (v == prev) return v
+        prev = v
+      }
       attempt += 1
       Thread.sleep(math.min(50L, 2L * attempt))
     }
@@ -1960,10 +2200,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     *    in the base table nor upserted anywhere in the log (a tombstone
     *    for a file that never existed)
     *  - `mor_seq_gap` — missing sequences in 1..max (a claim that
-    *    published nothing and was manually cleared, or a deleted commit)
-    *  - `mor_orphaned_claim` — claim markers with no published data dir
-    *    (a writer crashed between claim and publish; blocks commits until
-    *    cleared — see the OCC protocol notes)
+    *    published nothing and was manually cleared, or a deleted commit).
+    *    A hole whose claim marker is YOUNGER than the publish timeout is
+    *    excluded: under keyed commits a disjoint successor legitimately
+    *    publishes above a still-computing predecessor, so a live audit
+    *    never flags in-flight writers as crashed.
+    *  - `mor_orphaned_claim` — claim markers older than the publish
+    *    timeout with no published data dir (a writer crashed between
+    *    claim and publish; blocks conflicting commits until cleared —
+    *    see the OCC protocol notes). Younger claims are in flight.
     *  - `mor_unclaimed_publish` — data dirs with no claim marker (foreign
     *    or hand-rolled writes bypassing the commit protocol)
     *
@@ -2010,7 +2255,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         val d = hPath("declare_claims")
         val fs = fsOf(d)
         if (!fs.exists(d)) 0L else fs.listStatus(d).length.toLong
-      }))
+      }),
+      // pending cross-log transaction markers: transiently nonzero while
+      // a multi-log mutation is in flight (or until its committed marker
+      // is GC'd past every dense frontier); persistently nonzero = a
+      // crashed writer — [[recoverTxns]] rolls committed ones forward
+      // and expired preparing ones back
+      cntLit("mor_txn_pending", txns.pendingCount()),
+      // pins whose pinned history a FORCED vacuum/compaction already
+      // destroyed: their as-of reads now fail — unpin or re-snapshot
+      cntLit("mor_stale_pins", stalePinCount()))
   }
 
   /** JSON-text declare rows → stored shape: parse once, shred hot keys */
@@ -2239,12 +2493,21 @@ object ParquetCatalog {
   val MemberRemove = "remove"
   val MemberRemoveAll = "remove_all"
 
+  /** fid-wide wildcard: retires the fid's membership in EVERY dataset
+    * with one O(1) record (dataset columns null) — what [[removeFiles]]
+    * writes, so a hard delete of a file in a thousand datasets costs one
+    * log record, stays store-insensitive (safe to stage inside a
+    * cross-log transaction without predecessor awaits), and closes the
+    * probe-then-remove race a pair-enumerating remove leaves open */
+  val MemberRemoveFid = "remove_fid"
+
   /** membership delta-log at-rest shape: the membership row (fid is null
-    * on dataset-wide wildcards) plus op + sequence */
+    * on dataset-wide wildcards; the dataset columns are null on fid-wide
+    * wildcards) plus op + sequence */
   val MembersLogSchema: StructType = StructType(Seq(
     StructField("fid", StringType, nullable = true),
-    StructField("dataset_namespace", StringType, nullable = false),
-    StructField("dataset_name", StringType, nullable = false),
+    StructField("dataset_namespace", StringType, nullable = true),
+    StructField("dataset_name", StringType, nullable = true),
     StructField("__op", StringType, nullable = false),
     StructField("__seq", LongType, nullable = false)))
 

@@ -239,8 +239,8 @@ object WritePathQueries {
             k("a.fid") * mult === k("b.fid") && k("a.fid") > 0, "inner")
           .select(col("a.fid").as("parent_fid"), col("b.fid").as("child_fid"))
       }
-      cat.addProvenance(edges(2)) // k → 2k where both present
-      cat.addProvenance(edges(3)) // k → 3k
+      cat.addProvenance(() => edges(2)) // k → 2k where both present
+      cat.addProvenance(() => edges(3)) // k → 3k
       // atomic replace: parents of k=4 become {1, 2} (2→4 existed — its
       // re-add shares the wildcard's seq and must survive it)
       cat.updateFile(fidOf(4), parents = Some(Seq(fidOf(1), fidOf(2))),
@@ -383,8 +383,8 @@ object WritePathQueries {
       cat.createDataset("wds", "base")
       cat.declareFiles(rows, dataset = Some(("wds", "base")))
       def k(c: String) = expr(s"CAST(substring($c, 2) AS INT)")
-      val f = cat.files.select(col("fid"))
-      cat.addProvenance(f.as("a").join(f.as("b"),
+      def f() = cat.files.select(col("fid"))
+      cat.addProvenance(() => f().as("a").join(f().as("b"),
           k("a.fid") * 2 === k("b.fid") && k("a.fid") > 0, "inner")
         .select(col("a.fid").as("parent_fid"), col("b.fid").as("child_fid")))
       cat.retireFiles((0 until 200 by 40).map(fidOf)) // files seq 1
@@ -423,6 +423,65 @@ object WritePathQueries {
         .unionByName(shapeF(cat.files, "live"))
         .unionByName(shapeM(cat.filesDatasets, "live"))
         .unionByName(shapeE(cat.parentChild, "live"))
+    }),
+
+    // CROSS-LOG ATOMIC TRANSACTIONS (TxnLog): multi-log mutations —
+    // removeFiles spans edges ⊕ members ⊕ files, removeDataset spans
+    // admin ⊕ members — replay under KILL-POINT INJECTION at every
+    // recoverable protocol seam: before the commit point the crash rolls
+    // BACK (the mutation is invisible and is retried cleanly), at/after
+    // it recovery rolls FORWARD (the staged legs are durable). The final
+    // state must equal the arithmetic replay of exactly the mutations
+    // that reached their commit point — the property the reference gets
+    // from one Postgres transaction per handler
+    // (webserver/data_handler.py:631-1263).
+    "mql_write_path_txn" -> ((s, dir) => {
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpt_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      val rows = seedRows(s, dir)
+      cat.createDataset("wds", "base")
+      cat.declareFiles(rows, dataset = Some(("wds", "base")))
+      def k(c: String) = expr(s"CAST(substring($c, 2) AS INT)")
+      def f() = cat.files.select(col("fid"))
+      cat.addProvenance(() => f().as("a").join(f().as("b"),
+          k("a.fid") * 2 === k("b.fid") && k("a.fid") > 0, "inner")
+        .select(col("a.fid").as("parent_fid"), col("b.fid").as("child_fid")))
+      cat.createDataset("wds", "tmp")
+      cat.addTo(cat.files.filter(k("fid") % 3 === 0), "wds", "tmp")
+
+      def killed(at: String)(op: => Unit): Unit = {
+        cat.txnFailpoint(Some(at))
+        val thrown = try { op; false } catch { case _: Throwable => true }
+        require(thrown, s"txn failpoint $at did not fire")
+      }
+      // clean multi-log removal
+      cat.removeFiles((10 to 19).map(fidOf))
+      // killed BEFORE the commit point: rolled back, then retried clean
+      killed("after-stage:members_log") { cat.removeFiles((20 to 29).map(fidOf)) }
+      cat.recoverTxns(force = true)
+      cat.removeFiles((20 to 29).map(fidOf))
+      // killed AT the commit point: recovery rolls it forward
+      killed("after-commit-flip") { cat.removeFiles((30 to 39).map(fidOf)) }
+      cat.recoverTxns()
+      // killed MID-PUBLISH (one leg landed, two staged): rolled forward
+      killed("after-publish:edges_log") { cat.removeFiles((50 to 59).map(fidOf)) }
+      cat.recoverTxns()
+      // removeDataset: rolled back before the commit point (tmp and its
+      // members survive the crash), then rolled forward mid-publish (the
+      // dataset row and its membership wildcard land together)
+      killed("after-stage:admin_log") { cat.removeDataset("wds", "tmp") }
+      cat.recoverTxns(force = true)
+      killed("after-publish:admin_log") { cat.removeDataset("wds", "tmp") }
+      cat.recoverTxns()
+
+      cat.files.select(lit("f").as("kind"), col("fid").as("a"),
+          col("namespace").as("b"))
+        .unionByName(cat.filesDatasets.select(lit("m").as("kind"),
+          col("fid").as("a"),
+          concat_ws(":", col("dataset_namespace"), col("dataset_name")).as("b")))
+        .unionByName(cat.parentChild.select(lit("e").as("kind"),
+          col("parent_fid").as("a"), col("child_fid").as("b")))
     }),
 
     // DIMENSION-table mutations under multi-writer OCC (merge-on-read):
@@ -628,6 +687,23 @@ object WritePathQueries {
       "CAST(k * 10 AS BIGINT) AS size, ret AS retired, run, mark FROM snap")
 
   val oracles: Map[String, String] = Map(
+    // exactly the COMMITTED mutations apply: removals of 10..39 and
+    // 50..59 (the rolled-back kills of 20..29 / the dataset were retried
+    // or re-run; the rolled-forward kills landed via recovery), dataset
+    // tmp dropped with its memberships, every edge touching a removed
+    // fid gone
+    "mql_write_path_txn" ->
+      ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200), " +
+        "live AS (SELECT k FROM w WHERE NOT (k BETWEEN 10 AND 39) " +
+        "AND NOT (k BETWEEN 50 AND 59)) " +
+        "SELECT 'f' AS kind, 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS a, " +
+        "'wraw' AS b FROM live " +
+        "UNION ALL SELECT 'm', 'W' || lpad(CAST(k AS VARCHAR), 8, '0'), " +
+        "'wds:base' FROM live " +
+        "UNION ALL SELECT 'e', 'W' || lpad(CAST(p.k AS VARCHAR), 8, '0'), " +
+        "'W' || lpad(CAST(c.k AS VARCHAR), 8, '0') " +
+        "FROM live p JOIN live c ON c.k = p.k * 2 AND p.k > 0"),
+
     "mql_write_path" -> WritePathOracle,
     "mql_write_path_mor" -> WritePathOracle,
     "mql_write_path_ckpt" -> WritePathOracle,

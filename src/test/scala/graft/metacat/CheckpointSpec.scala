@@ -203,10 +203,15 @@ class CheckpointSpec extends SparkTestBase {
     assert(clean("mor_seq_gap") == 0L, s"vacuumed prefix misread as a gap: $clean")
     assert(clean("mor_orphaned_claim") == 0L && clean("mor_unclaimed_publish") == 0L)
 
-    // a deleted commit ABOVE the horizon is a real gap and must flag
+    // a deleted commit ABOVE the horizon is a real gap and must flag —
+    // once its claim marker is older than the publish timeout (a YOUNG
+    // claim without a publish is a normal in-flight keyed commit and is
+    // deliberately not flagged)
     val s5 = new java.io.File(s"$root/files_log/" + f"s${5L}%020d")
     assert(s5.isDirectory)
     s5.listFiles().foreach(_.delete()); s5.delete()
+    assert(new java.io.File(s"$root/files_log_claims/" + f"s${5L}%020d")
+      .setLastModified(System.currentTimeMillis() - 200000L))
     val gapped = issues(new ParquetCatalog(spark, root, mergeOnRead = true))
     assert(gapped("mor_seq_gap") == 1L)
 
@@ -222,6 +227,8 @@ class CheckpointSpec extends SparkTestBase {
     cat2.checkpointFilesLog()
     val s2 = new java.io.File(s"$root2/files_log/" + f"s${2L}%020d")
     s2.listFiles().foreach(_.delete()); s2.delete()
+    assert(new java.io.File(s"$root2/files_log_claims/" + f"s${2L}%020d")
+      .setLastModified(System.currentTimeMillis() - 200000L))
     val partial = issues(new ParquetCatalog(spark, root2, mergeOnRead = true))
     assert(partial("mor_seq_gap") == 1L, s"partial vacuum not flagged: $partial")
   }

@@ -108,8 +108,8 @@ class FsckSpec extends SparkTestBase {
     declareInto(cat) // seq 1 = retire, seq 2 = remove (tombstone)
     cat.updateFileMeta(Seq("Z00000003"), """{"opt.x":1}""") // seq 3
     val green = Fsck.audit(cat).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(green.size == 23,
-      s"expected 9 + 4 files-log + 3x3 members/edges/admin-log + declare-claims MOR checks, got $green")
+    assert(green.size == 25,
+      s"expected 9 + 4 files-log + 3x3 members/edges/admin-log + declare-claims + txn + pins MOR checks, got $green")
     assert(green.values.forall(_ == 0L), s"consistent MOR catalog flagged: $green")
 
     def seqName(s: Int) = "s" + ("0" * 18) + f"$s%02d"
@@ -129,11 +129,23 @@ class FsckSpec extends SparkTestBase {
       new java.io.File(s"$root/files_log/${seqName(3)}"),
       new java.io.File(s"$root/files_log/${seqName(7)}"))
 
+    // While seq 1's claim marker is YOUNG (age < publish timeout) the
+    // audit treats the hole as an IN-FLIGHT keyed commit — a disjoint
+    // successor publishing above a still-computing predecessor is a
+    // normal transient state, not a crashed writer — so it contributes
+    // neither an orphaned claim nor a seq gap yet.
+    val young = Fsck.audit(cat).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(young("mor_orphaned_claim") == 0L, s"got $young")
+    assert(young("mor_seq_gap") == 3L, s"got $young") // 4..6 only (unclaimed)
+    // age the claim past the timeout: now it IS a crashed writer
+    assert(new java.io.File(s"$root/files_log_claims/${seqName(1)}")
+      .setLastModified(System.currentTimeMillis() - 200000L))
+
     val got = Fsck.audit(cat).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("mor_tombstone_unknown_fid") == 1L, s"got $got")
     assert(got("mor_orphaned_claim") == 1L, s"got $got")
     assert(got("mor_unclaimed_publish") == 1L, s"got $got")
-    // gaps: seq 1 deleted; 4..6 missing below the planted 7
+    // gaps: seq 1 deleted (aged claim); 4..6 missing below the planted 7
     assert(got("mor_seq_gap") == 4L, s"got $got")
   }
 }

@@ -124,6 +124,60 @@ class SnapshotSpec extends SparkTestBase {
     assert(total > 0, "writer burst never ran")
   }
 
+  test("a pinned version survives maintenance: vacuum refuses, unpin releases") {
+    import spark.implicits._
+    val root = newRoot()
+    val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
+    cat.createDataset("sds", "d")
+    declare(cat, 6, ds = Some(("sds", "d")))
+    cat.retireFiles(Seq("S4"))          // files seq 1
+    val v = cat.snapshot()
+    cat.pin("run-2026-03", v)
+    val expected = state(cat, v)
+
+    // later mutations + a checkpoint that covers history PAST the pin
+    cat.updateFileMeta(Seq("S0"), """{"opt.later":1}""") // files seq 2
+    cat.checkpointFilesLog()
+    // vacuum must refuse: its horizon (ckpt seq 2) would pass the pinned
+    // files seq 1 and destroy the pin's as-of read
+    val ex = intercept[IllegalStateException] { cat.vacuumFilesLog() }
+    assert(ex.getMessage.contains("run-2026-03"))
+    assert(Fsck.audit(cat).collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap.getOrElse("mor_stale_pins", -1L) == 0L)
+    // the pinned read still works, bit-for-bit
+    assert(state(cat, v) == expected)
+    // compaction refuses too (it would restart every sequence)
+    assert(intercept[IllegalStateException] { cat.compactFilesLog() }
+      .getMessage.contains("run-2026-03"))
+
+    // a second pin at the CURRENT frontier does not block the vacuum by
+    // itself — only the oldest pin does
+    cat.pin("head", cat.snapshot())
+    intercept[IllegalStateException] { cat.vacuumFilesLog() }
+
+    // unpin releases maintenance
+    assert(cat.unpin("run-2026-03"))
+    assert(cat.vacuumFilesLog() > 0L)
+    // the destroyed version now fails loudly; the surviving pin reads
+    intercept[IllegalStateException] { cat.filesAsOf(v) }
+    assert(cat.filesAsOf(cat.pins().toMap.apply("head")).count() == 6L)
+
+    // a FORCED vacuum past a live pin leaves a stale pin fsck reports
+    val cat2 = new ParquetCatalog(spark, newRoot(), mergeOnRead = true)
+    declare(cat2, 3)
+    cat2.retireFiles(Seq("S0"))
+    cat2.pin("doomed", cat2.snapshot())
+    cat2.updateFileMeta(Seq("S1"), """{"opt.x":1}""")
+    cat2.checkpointFilesLog()
+    cat2.vacuumFilesLog(force = true)
+    assert(Fsck.audit(cat2).collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap.apply("mor_stale_pins") == 1L)
+    // pinning an already-destroyed version is refused up front
+    intercept[IllegalStateException] {
+      cat2.pin("too-late", ParquetCatalog.CatalogVersion(1L, 0L, 0L, 0L))
+    }
+  }
+
   test("an unvalidated cut is never returned: the pass budget fails loudly") {
     val root = newRoot()
     val a = new ParquetCatalog(spark, root, mergeOnRead = true)
