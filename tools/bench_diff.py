@@ -20,6 +20,22 @@ fast min is scheduling noise, not a plan regression."""
 import json, statistics, sys
 
 NOISE = 0.30  # seconds AND 25% — both must be exceeded to count
+# 1-min load average above this at bench start/end means something else was
+# running on the box — every contaminated artifact so far (r10 452.6 s,
+# r11 351.0 s) carried load_before 3.9-6.1 while clean runs read 0.19-0.27
+# on this 32-cpu machine. Generous bar: one stray compile is ~1.0.
+LOAD_MAX = 1.0
+# A calibration probe with fewer clean history samples than this cannot
+# anchor a 2x rule — r11's calib_io_sec first-ever sample (1.131, itself
+# contaminated) sailed through because it WAS the history.
+MIN_CALIB_SAMPLES = 3
+
+
+def loaded_run(d):
+    """True when a history entry records a busy machine — excluded from
+    medians so a contaminated run can never become the comparison bar."""
+    lb = d.get("load_before")
+    return isinstance(lb, (int, float)) and lb > LOAD_MAX
 
 
 def load(path):
@@ -27,6 +43,17 @@ def load(path):
         d = json.load(f)
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
+    elif "queries" not in d and isinstance(d.get("tail"), str):
+        # driver wrapper whose "parsed" is null (the metric line scrolled
+        # past the driver's parser): recover it from the captured tail
+        for line in d["tail"].splitlines():
+            i = line.find('{"metric"')
+            if i >= 0:
+                try:
+                    d = json.loads(line[i:])
+                    break
+                except ValueError:
+                    pass
     return d
 
 
@@ -51,6 +78,8 @@ def history_medians(path, sf):
             d = json.loads(line)
             if sf and d.get("sf") != sf:
                 continue
+            if loaded_run(d):
+                continue
             totals.append(d.get("value"))
             for key in calibs:
                 c = d.get(key)
@@ -74,10 +103,31 @@ def contention_check(new, calibs):
     probe). A contaminated run must not be regress-flagged; its numbers
     say nothing about the code."""
     flagged = False
+    # load-average gate first: it needs NO history, so it catches the
+    # first-ever sample of a new probe that the 2x rule is blind to
+    # (exactly how BENCH_r11 shipped contaminated: calib_io_sec had no
+    # prior samples, but load_before read 3.94)
+    for key in ("load_before", "load_after"):
+        lv = new.get(key)
+        if isinstance(lv, (int, float)) and lv > LOAD_MAX:
+            print(f"CONTENTION (load): {key}={lv:.2f} > {LOAD_MAX} — the "
+                  "machine was busy during this run; refusing to "
+                  "regress-flag it; rerun on an idle machine")
+            flagged = True
     for key, label in (("calib_sec", "cpu"), ("calib_io_sec", "io")):
         c = new.get(key)
         hist = calibs.get(key, [])
-        if not isinstance(c, (int, float)) or c <= 0 or not hist:
+        if not isinstance(c, (int, float)) or c <= 0:
+            continue
+        if len(hist) < MIN_CALIB_SAMPLES:
+            # an under-sampled probe ABSTAINS: its 2x rule cannot fire on
+            # its own first samples (how BENCH_r11 shipped contaminated),
+            # so it must not be read as clean evidence either — the
+            # history-free load gate above is what guards these runs
+            print(f"NO-BASELINE ({label}): calibration probe {key} has "
+                  f"only {len(hist)} clean history sample(s) (<"
+                  f"{MIN_CALIB_SAMPLES}) — this probe cannot anchor a "
+                  "comparison; trusting the load gate alone for this run")
             continue
         base = statistics.median(hist)
         if base <= 0:
@@ -138,8 +188,72 @@ def main_history(hist_path, new_path):
     diff(med, nq, new, n_runs)
 
 
+def selftest():
+    """Unit cases for the contention gate (run: bench_diff.py --selftest)."""
+    import io, os
+    from contextlib import redirect_stdout
+
+    def check(name, cond):
+        print(("ok   " if cond else "FAIL ") + name)
+        return cond
+
+    ok = True
+    quiet = io.StringIO()
+    # 1. load gate needs no history
+    with redirect_stdout(quiet):
+        f = contention_check({"load_before": 3.94}, {})
+    ok &= check("load_before>1.0 flags with empty history", f)
+    with redirect_stdout(quiet):
+        f = contention_check({"load_before": 0.2, "load_after": 0.3}, {})
+    ok &= check("idle load passes", not f)
+    # 2. <3 clean samples: the probe abstains (cannot pass OR flag);
+    #    a busy-load run with an under-sampled probe still flags via load
+    with redirect_stdout(quiet):
+        f = contention_check({"load_before": 0.2, "calib_io_sec": 9.0},
+                             {"calib_io_sec": [1.0]})
+    ok &= check("under-sampled probe abstains", not f)
+    with redirect_stdout(quiet):
+        f = contention_check({"load_before": 3.9, "calib_io_sec": 1.1},
+                             {"calib_io_sec": [1.0]})
+    ok &= check("load gate covers under-sampled probe", f)
+    with redirect_stdout(quiet):
+        f = contention_check({"load_before": 0.2, "calib_io_sec": 1.0},
+                             {"calib_io_sec": [0.9, 1.0, 1.1]})
+    ok &= check("3 in-range samples pass", not f)
+    # 3. 2x deviation still fires with enough samples
+    with redirect_stdout(quiet):
+        f = contention_check({"load_before": 0.2, "calib_sec": 0.5},
+                             {"calib_sec": [0.19, 0.19, 0.22]})
+    ok &= check("2x cpu calibration drift flags", f)
+    # 4. loaded history entries never enter the median
+    ok &= check("loaded_run excludes busy entries",
+                loaded_run({"load_before": 3.94})
+                and not loaded_run({"load_before": 0.19})
+                and not loaded_run({}))
+    # 5. the real r11 contaminated artifact is flagged; the clean
+    #    same-code run is not (the exact misfire this gate exists for)
+    here = os.path.dirname(os.path.abspath(__file__))
+    r11 = os.path.join(here, "..", "BENCH_r11.json")
+    hist = os.path.join(here, "..", "bench_history.jsonl")
+    if os.path.exists(r11) and os.path.exists(hist):
+        new = load(r11)
+        _, _, _, calibs = history_medians(hist, new.get("sf"))
+        with redirect_stdout(quiet):
+            f = contention_check(new, calibs)
+        ok &= check("BENCH_r11.json flagged contaminated", f)
+        clean = {"load_before": 0.19, "load_after": 0.27, "calib_sec": 0.19,
+                 "sf": "/root/testdata/sf0.1"}
+        with redirect_stdout(quiet):
+            f = contention_check(clean, calibs)
+        ok &= check("r11 clean-run profile accepted", not f)
+    print("selftest " + ("PASSED" if ok else "FAILED"))
+    sys.exit(0 if ok else 1)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) == 4 and sys.argv[1] == "--history":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+    elif len(sys.argv) == 4 and sys.argv[1] == "--history":
         main_history(sys.argv[2], sys.argv[3])
     elif len(sys.argv) == 3:
         main_pair(sys.argv[1], sys.argv[2])
