@@ -21,16 +21,28 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * `MultiWriterSpec` same-fid storm pins. Pass `--overlap` to force all
   * writers onto ONE shared fid and measure the serialized path.
   *
-  *   sbt "runMain graft.ConcurrencyProbe [nFiles perWriter w1 w2 ...] [--overlap]"
+  * Pass `--mixed` for the realistic third arm: every 4th commit touches
+  * ONE shared fid (serializes) while the rest stay disjoint (overlap) —
+  * the partial-contention profile a live catalog actually runs.
+  *
+  * Per arm the probe also reports claim-path LISTINGS per commit (from
+  * [[graft.metacat.OccLog.listings]]; super-linear growth here is the
+  * O(writers) scan the keyed protocol must not have) and the MAX single
+  * commit latency (a starved collision-backoff loop shows up as one
+  * commit paying seconds while the mean stays flat).
+  *
+  *   sbt "runMain graft.ConcurrencyProbe [nFiles perWriter w1 w2 ...] [--overlap|--mixed]"
   */
 object ConcurrencyProbe {
   def main(args: Array[String]): Unit = {
     val overlap = args.contains("--overlap")
-    val rest = args.filterNot(_ == "--overlap")
+    val mixed = args.contains("--mixed")
+    val rest = args.filterNot(a => a == "--overlap" || a == "--mixed")
     val nFiles = if (rest.nonEmpty) rest(0).toInt else 50000
     val perWriter = if (rest.length > 1) rest(1).toInt else 12
     val writerCounts =
-      if (rest.length > 2) rest.drop(2).map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+      if (rest.length > 2) rest.drop(2).map(_.toInt).toSeq
+      else Seq(1, 2, 4, 8, 16, 32)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -52,25 +64,39 @@ object ConcurrencyProbe {
         (col("id") * 10).as("size")))
       val writers = (0 until w).map(_ =>
         new ParquetCatalog(spark, root, mergeOnRead = true))
+      val maxCommitNs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listings0 = graft.metacat.OccLog.listings.get()
       val t0 = System.nanoTime()
       val bursts = writers.zipWithIndex.map { case (cat, i) =>
         Future {
           for (k <- 0 until perWriter) {
-            val fid = if (overlap) 0 else (i * perWriter + k) % nFiles
+            // mixed: every 4th commit serializes on the shared fid 0
+            val fid =
+              if (overlap || (mixed && k % 4 == 3)) 0
+              else (i * perWriter + k) % nFiles
+            val c0 = System.nanoTime()
             cat.updateFileMeta(Seq(f"P$fid%09d"), s"""{"opt.w${i}_$k":$k}""")
+            val dt = System.nanoTime() - c0
+            var cur = maxCommitNs.get()
+            while (dt > cur && !maxCommitNs.compareAndSet(cur, dt))
+              cur = maxCommitNs.get()
           }
         }
       }
       Await.result(Future.sequence(bursts), 60.minutes)
       val secs = (System.nanoTime() - t0) / 1e9
       val commits = w * perWriter
+      val perCommitListings =
+        (graft.metacat.OccLog.listings.get() - listings0).toDouble / commits
       // protocol sanity: dense seqs, no orphans (a lost commit would gap)
       val last = new ParquetCatalog(spark, root, mergeOnRead = true)
       assert(last.currentLogSeq() == commits.toLong,
         s"expected $commits dense seqs, got ${last.currentLogSeq()}")
       println(f"CCPROBE writers=$w%2d  commits=$commits%4d  wall=$secs%6.1f s  " +
         f"throughput=${commits / secs}%5.2f commits/s  " +
-        f"per-commit=${secs / commits}%5.2f s")
+        f"per-commit=${secs / commits}%5.2f s  " +
+        f"listings/commit=$perCommitListings%6.1f  " +
+        f"max-commit=${maxCommitNs.get() / 1e9}%5.2f s")
     }
     spark.stop()
   }

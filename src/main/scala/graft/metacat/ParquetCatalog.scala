@@ -367,6 +367,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
     }
     try {
+      // probe the batch's fids ONCE (driver-side, bounded at
+      // DeclareGuardMaxFids+1): it powers the small-batch declare guard
+      // below AND lets the duplicate checks run driver-side/fused for
+      // small MOR batches. dryRun keeps the plain job-per-check path —
+      // its contract is "every check ran", with no markers to fold into.
+      val guardProbe: Option[Seq[String]] =
+        if (mergeOnRead && !dryRun)
+          Some(retryOnVanish(batch.select("fid")
+            .limit(DeclareGuardMaxFids + 1).collect().map(_.getString(0)).toSeq))
+        else None
+      val smallGuard = guardProbe.exists(_.size <= DeclareGuardMaxFids)
+
       // re-declaring an existing id — or declaring the same id twice in
       // one batch — is an error, as in the reference (data_handler.py
       // declare: 'already exists'); silently appending would duplicate
@@ -374,17 +386,28 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // duplicate check against the LIVE view (merged in MOR mode, so a
       // hard-deleted fid may legally be re-declared)
       if (!ignoreExisting) {
-        val dup = retryOnVanish(batch.select("fid")
-          .join(storedFiles().select("fid"), Seq("fid"), "left_semi")
-          .limit(1).collect())
-        if (dup.nonEmpty)
-          throw new IllegalArgumentException(
-            s"file ${dup.head.getString(0)} already declared")
-        val selfDup = batch.groupBy("fid").count().filter(col("count") > 1)
-          .limit(1).collect()
-        if (selfDup.nonEmpty)
-          throw new IllegalArgumentException(
-            s"file ${selfDup.head.getString(0)} appears twice in the declare batch")
+        if (smallGuard) {
+          // the probe holds EVERY batch fid, so the self-duplicate check
+          // is free driver-side; the already-declared check folds into
+          // the guard's post-claim probe (one job instead of two)
+          val dup = guardProbe.get.groupBy(identity).collectFirst {
+            case (f, xs) if xs.sizeIs > 1 => f }
+          if (dup.nonEmpty)
+            throw new IllegalArgumentException(
+              s"file ${dup.get} appears twice in the declare batch")
+        } else {
+          val dup = retryOnVanish(batch.select("fid")
+            .join(storedFiles().select("fid"), Seq("fid"), "left_semi")
+            .limit(1).collect())
+          if (dup.nonEmpty)
+            throw new IllegalArgumentException(
+              s"file ${dup.head.getString(0)} already declared")
+          val selfDup = batch.groupBy("fid").count().filter(col("count") > 1)
+            .limit(1).collect()
+          if (selfDup.nonEmpty)
+            throw new IllegalArgumentException(
+              s"file ${selfDup.head.getString(0)} appears twice in the declare batch")
+        }
       }
 
       val dsConstraints = dataset match {
@@ -423,52 +446,60 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // loudly, naming the marker path; fsck reports pending markers.
       var claimedFids: Seq[String] = Nil
       var guarded = batch
-      if (mergeOnRead) {
-        val probe = retryOnVanish(batch.select("fid")
-          .limit(DeclareGuardMaxFids + 1).collect().map(_.getString(0)).toSeq)
-        if (probe.size <= DeclareGuardMaxFids) {
-          val (taken, contended) = claimDeclareFids(probe.sorted)
-          claimedFids = taken
-          if (contended.nonEmpty && !ignoreExisting) {
-            releaseDeclareFids(taken)
-            claimedFids = Nil
-            throw new IllegalArgumentException(
-              s"file ${contended.head} is being declared concurrently " +
-              s"(or a crashed declare left its marker — see " +
-              s"${path("declare_claims")})")
-          }
-          // completed-before-we-claimed: a racer may have finished (and
-          // released) between the duplicate check and our claims. Strict
-          // mode only needs ONE witness (it throws); ignoreExisting
-          // needs the full set to drop idempotently.
-          val nowExisting: Set[String] =
-            if (!ignoreExisting) {
-              val hit = retryOnVanish(
-                storedFiles().filter(col("fid").isin(taken: _*))
-                  .select("fid").limit(1).collect())
-              if (hit.nonEmpty) {
-                releaseDeclareFids(taken)
-                claimedFids = Nil
-                throw new IllegalArgumentException(
-                  s"file ${hit.head.getString(0)} already declared")
-              }
-              Set.empty
-            } else retryOnVanish(
-              storedFiles().filter(col("fid").isin(taken: _*))
-                .select("fid").collect().map(_.getString(0)).toSet)
-          val drop = contended.toSet ++ nowExisting
-          if (drop.nonEmpty)
-            guarded = batch.filter(!col("fid").isin(drop.toSeq: _*))
+      // tombstoned fids among the claimed set, computed by the guard's
+      // fused probe so the MOR append below skips its own dead-check job
+      var guardDead: Option[Set[String]] = None
+      if (smallGuard) {
+        val (taken, contended) = claimDeclareFids(guardProbe.get.distinct.sorted)
+        claimedFids = taken
+        if (contended.nonEmpty && !ignoreExisting) {
+          releaseDeclareFids(taken)
+          claimedFids = Nil
+          throw new IllegalArgumentException(
+            s"file ${contended.head} is being declared concurrently " +
+            s"(or a crashed declare left its marker — see " +
+            s"${path("declare_claims")})")
         }
+        // ONE fused probe job replaces the post-claim existence re-check
+        // AND the append path's tombstone pre-check: per claimed fid,
+        // is it LIVE in the merged view (already declared — the
+        // completed-before-we-claimed window) or TOMBSTONED in the log
+        // (must resurrect through the log, not base-append)?
+        val (liveHits, deadHits) = retryOnVanish {
+          val inTaken = col("fid").isin(taken: _*)
+          val live = storedFiles().filter(inTaken)
+            .select(col("fid"), lit(false).as("dead"))
+          val rows = (if (!logNonEmpty()) live
+            else live.unionByName(deletedFids().filter(inTaken)
+              .select(col("fid"), lit(true).as("dead"))))
+            .collect()
+          (rows.filter(!_.getBoolean(1)).map(_.getString(0)).toSet,
+            rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet)
+        }
+        if (!ignoreExisting && liveHits.nonEmpty) {
+          releaseDeclareFids(taken)
+          claimedFids = Nil
+          throw new IllegalArgumentException(
+            s"file ${liveHits.head} already declared")
+        }
+        val drop = contended.toSet ++ (if (ignoreExisting) liveHits else Set.empty)
+        if (drop.nonEmpty)
+          guarded = batch.filter(!col("fid").isin(drop.toSeq: _*))
+        guardDead = Some(deadHits -- drop)
       }
       try {
 
       // membership rows first: an orphan membership (no file row) is
       // invisible to every read path, whereas the reverse order could
       // leave declared files missing from their target dataset if the
-      // second append fails mid-way
+      // second append fails mid-way. In MOR mode the membership
+      // re-validation is DEFERRED into the fused post-append probe below
+      // (one Spark job per declare, not one per table).
+      var memberReval: Option[(String, String, Set[String])] = None
       dataset.foreach { case (ns, n) =>
-        appendMemberships(() => guarded.select(col("fid")), ns, n)
+        appendMemberships(() => guarded.select(col("fid")), ns, n,
+          deferRevalidate = mergeOnRead)
+          .foreach(pre => memberReval = Some((ns, n, pre)))
       }
       // the ONE JSON parse in a file row's life: text → stored Variant +
       // typed shred columns, at declare time
@@ -478,13 +509,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         // plain base append — resurrect those through the log instead.
         // The dead set is pinned driver-side (it is mutation-sized) so
         // the base-append/log-commit split stays identical across commit
-        // retries.
+        // retries. For small guarded batches it was ALREADY computed by
+        // the guard's fused probe — no extra job here.
         def deadIn(of: DataFrame): Set[String] =
           if (!logNonEmpty()) Set.empty // listing-only fast path
           else retryOnVanish(
             deletedFids().join(of.select("fid"), Seq("fid"), "left_semi")
               .collect().map(_.getString(0)).toSet)
-        val dead = deadIn(stored)
+        val dead = guardDead.getOrElse(deadIn(stored))
         val appended =
           if (dead.isEmpty) stored
           else stored.filter(!col("fid").isin(dead.toSeq: _*))
@@ -493,17 +525,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           commitFilesLog(
             () => stored.filter(col("fid").isin(dead.toSeq: _*)), LogUpsert,
             keys = Some(dead.toSeq))
-        // LOST-ADD closure (same as appendMemberships): a removeFiles
-        // tombstoning these very fids between the dead-check and the
-        // append would shadow the fresh base rows — re-check and
-        // resurrect through the log (the re-declare serializes after the
+        // LOST-ADD closure, FUSED: a removeFiles tombstoning these very
+        // fids between the dead-check and the append would shadow the
+        // fresh base rows, and a removeFrom/removeDataset racing the
+        // membership append likewise — one probe job re-checks BOTH logs
+        // and commits the repairs (each serializes after the racing
         // remove); removes landing after this re-check either saw the
         // appended rows (remove-after-declare) or didn't tombstone them
-        val late = deadIn(appended)
-        if (late.nonEmpty)
-          commitFilesLog(
-            () => stored.filter(col("fid").isin(late.toSeq: _*)), LogUpsert,
-            keys = Some(late.toSeq))
+        declareRevalidate(appended, stored,
+          () => guarded.select(col("fid")), memberReval)
       } else {
         appendParquet(stored, "files", Seq("namespace"))
       }
@@ -546,6 +576,81 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     for (fid <- fids)
       fs.delete(new org.apache.hadoop.fs.Path(dir,
         java.net.URLEncoder.encode(fid, "UTF-8")), false)
+  }
+
+  /** The fused post-append re-validation for [[declareFiles]] (MOR): ONE
+    * probe job re-checks the freshly appended file rows against the files
+    * log (a racing removeFiles tombstone would shadow them) AND the
+    * appended membership rows against the members log (a racing
+    * removeFrom / removeDataset wildcard), then commits whatever repair
+    * records the hits need. Replaces what were two sequential probe jobs
+    * per declare-into-dataset.
+    *
+    * `member` carries (ds namespace, ds name, pre-shadowed fid set) from
+    * the deferred [[appendMemberships]] — the pre-shadowed fids already
+    * went through the log with a later seq than their racing remove, so
+    * they are excluded here (re-committing them would only amplify the
+    * log). Both probe sides rebuild fresh plans per retry attempt. */
+  private def declareRevalidate(appended: DataFrame, stored: DataFrame,
+      mkMemberFids: () => DataFrame,
+      member: Option[(String, String, Set[String])]): Unit = {
+    def memberFids(): Option[DataFrame] = member.collect {
+      case (_, _, pre) if membersLog.nonEmpty() =>
+        val of = mkMemberFids().select("fid")
+        if (pre.isEmpty) of else of.filter(!col("fid").isin(pre.toSeq: _*))
+    }
+    val rows = retryOnVanish {
+      var plans = List.empty[DataFrame]
+      if (logNonEmpty())
+        plans ::= deletedFids()
+          .join(appended.select("fid"), Seq("fid"), "left_semi")
+          .select(col("fid"), lit("f").as("src"))
+      member.foreach { case (ns, n, _) =>
+        memberFids().foreach { of =>
+          val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n
+          val all = membersLog.records()
+          val recs = all.filter(dsHit)
+          plans ::= recs.filter(col("__op") === MemberRemoveAll)
+            .select(lit(null).cast("string").as("fid"), lit("w").as("src"))
+            .unionByName(recs.filter(col("__op") === MemberRemove)
+              .select("fid").join(of, Seq("fid"), "left_semi")
+              .select(col("fid"), lit("m").as("src")))
+            .unionByName(all.filter(col("__op") === MemberRemoveFid)
+              .select("fid").join(of, Seq("fid"), "left_semi")
+              .select(col("fid"), lit("m").as("src")))
+        }
+      }
+      if (plans.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else plans.reduce(_.unionByName(_)).collect()
+    }
+    if (rows.isEmpty) return
+    val lateFiles = rows.filter(_.getString(1) == "f").map(_.getString(0)).toSet
+    val wildcarded = rows.exists(_.getString(1) == "w")
+    val memberHits = rows.filter(_.getString(1) == "m").map(_.getString(0)).toSet
+    if (lateFiles.nonEmpty)
+      commitFilesLog(
+        () => stored.filter(col("fid").isin(lateFiles.toSeq: _*)), LogUpsert,
+        keys = Some(lateFiles.toSeq))
+    member.foreach { case (ns, n, pre) =>
+      def pairs(of: DataFrame) = of.select(col("fid"))
+        .withColumn("dataset_namespace", lit(ns))
+        .withColumn("dataset_name", lit(n))
+      // fresh plan per commit attempt (reads only the caller-pinned batch)
+      def of0(): DataFrame = {
+        val of = mkMemberFids().select("fid")
+        if (pre.isEmpty) of else of.filter(!col("fid").isin(pre.toSeq: _*))
+      }
+      val dsKeys = Some(Seq(ns + "\u0001" + n))
+      if (wildcarded)
+        // a removeDataset raced the append: EVERY appended row is dead
+        // below the wildcard — resurrect the whole set (rare; accepts
+        // the one-time log amplification)
+        membersLog.commit(() => pairs(of0()), MemberAdd, keys = dsKeys)
+      else if (memberHits.nonEmpty)
+        membersLog.commit(
+          () => pairs(of0().filter(col("fid").isin(memberHits.toSeq: _*))),
+          MemberAdd, keys = dsKeys)
+    }
   }
 
   /** Update a dataset's metadata / flags / description (`update_dataset`,
@@ -1551,8 +1656,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * (the lost-add race `MembersLogSpec` pins with it). */
   private[metacat] var onBeforeMembersAppend: () => Unit = () => ()
 
+  /** Append (fid, dataset) membership rows. Returns the revalidation the
+    * caller must still run when `deferRevalidate` is set: Some(preShadowed
+    * fid set) means a base append happened whose lost-add re-check was
+    * DEFERRED (so the caller can fuse it with its own post-append probes,
+    * as [[declareFiles]] does via [[declareRevalidate]]); None means
+    * nothing is deferred (non-MOR, or the whole set already routed
+    * through the log behind a wildcard and out-sequences any racer). */
   private def appendMemberships(mkFids: () => DataFrame, ns: String,
-      n: String): Unit = {
+      n: String, deferRevalidate: Boolean = false): Option[Set[String]] = {
     def pairs(of: DataFrame) = of.select(col("fid"))
       .withColumn("dataset_namespace", lit(ns))
       .withColumn("dataset_name", lit(n))
@@ -1560,7 +1672,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       onBeforeMembersAppend()
       appendParquet(align(pairs(of), FilesDatasetsSchema), "files_datasets")
     }
-    if (!mergeOnRead) { baseAppend(mkFids()); return }
+    if (!mergeOnRead) { baseAppend(mkFids()); return None }
 
     // pin the add set ONCE, rebuilding from a fresh plan on a vacuum
     // race (mkFids() may read catalog state — the members log via
@@ -1585,12 +1697,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         }
       }
     }
-    try appendMembershipsPinned(fids, ns, n, pairs, baseAppend)
+    try appendMembershipsPinned(fids, ns, n, pairs, baseAppend, deferRevalidate)
     finally { fids.unpersist(); () }
   }
 
   private def appendMembershipsPinned(fids: DataFrame, ns: String, n: String,
-      pairs: DataFrame => DataFrame, baseAppend: DataFrame => Unit): Unit = {
+      pairs: DataFrame => DataFrame, baseAppend: DataFrame => Unit,
+      deferRevalidate: Boolean): Option[Set[String]] = {
 
     val dsKeys = Some(Seq(ns + "\u0001" + n))
     // ONE membership-log probe returns BOTH shadow signals — the
@@ -1636,13 +1749,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
     if (!membersLog.nonEmpty()) {
       baseAppend(fids)
+      if (deferRevalidate) return Some(Set.empty)
       revalidate(fids) // the log may have gained its first records
-      return
+      return None
     }
     val (wildcarded, shadowed) = shadowState(fids)
     if (wildcarded) {
+      // the whole set routes through the log and out-sequences any racer
+      // — nothing left to revalidate, deferred or not
       membersLog.commit(() => pairs(fids), MemberAdd, keys = dsKeys)
-      return
+      return None
     }
     val appended =
       if (shadowed.isEmpty) fids
@@ -1652,7 +1768,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       membersLog.commit(
         () => pairs(fids.filter(col("fid").isin(shadowed.toSeq: _*))),
         MemberAdd, keys = dsKeys)
-    revalidate(appended)
+    if (deferRevalidate) Some(shadowed)
+    else { revalidate(appended); None }
   }
 
   private def logNonEmpty(): Boolean = filesLog.nonEmpty()

@@ -609,6 +609,152 @@ object Multimodal {
       .select("doc_a", "doc_b")
   }
 
+  final case class VideoMeta(format: String, brand: String, timescale: Long,
+      duration_ms: Long, n_tracks: Long, video_codec: String, width: Long,
+      height: Long, n_keyframes: Long)
+
+  /** Codec-free MP4 / ISO-BMFF container metadata: a moov/trak/stbl box
+    * walk over raw bytes (ISO/IEC 14496-12 box grammar — 32-bit BE size +
+    * fourcc; size 1 ⇒ 64-bit largesize; size 0 ⇒ to-end-of-file)
+    * recovering the major brand, the movie timescale/duration, the track
+    * count, the video track's sample-entry codec fourcc and pixel
+    * dimensions (tkhd 16.16 fixed point), and its sync-sample (keyframe)
+    * count from stss. This is the duration/resolution/keyframe pre-filter
+    * a video ingest runs across a corpus BEFORE paying for any
+    * ffmpeg-class decode — the same headers-are-real, samples-never-
+    * decoded posture as [[imageMeta]]/[[audioMeta]]. None on anything
+    * unidentifiable; never throws on truncation (a short box simply ends
+    * the walk). The reference has no video path; this extends the
+    * multimodal family. */
+  def videoMeta(p: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String = new String(p, i, 4, "ISO-8859-1")
+    /** children of [start, end) as (type, payloadStart, payloadEnd);
+      * stops cleanly at the first truncated or inconsistent box */
+    def walk(start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var i = start
+      var bad = false
+      while (!bad && i + 8 <= end) {
+        var sz = be32(i)
+        var hdr = 8
+        if (sz == 1 && i + 16 <= end) { sz = be64(i + 8); hdr = 16 }
+        else if (sz == 0) sz = (end - i).toLong
+        if (sz < hdr || sz > end - i) bad = true
+        else {
+          out += ((fourcc(i + 4), i + hdr, i + sz.toInt))
+          i += sz.toInt
+        }
+      }
+      out.result()
+    }
+    try {
+      val top = walk(0, p.length)
+      val ftyp = top.find(_._1 == "ftyp")
+      val moov = top.find(_._1 == "moov")
+      if (ftyp.isEmpty || moov.isEmpty) return None
+      val brand = fourcc(ftyp.get._2)
+      val mb = walk(moov.get._2, moov.get._3)
+      val (ts, durMs) = mb.find(_._1 == "mvhd").map { case (_, s, _) =>
+        // version 1 widens creation/modification/duration to 64 bits
+        if (u8(s) == 1) (be32(s + 20), be64(s + 24) * 1000 / math.max(1L, be32(s + 20)))
+        else (be32(s + 12), be32(s + 16) * 1000 / math.max(1L, be32(s + 12)))
+      }.getOrElse((0L, 0L))
+      val traks = mb.filter(_._1 == "trak")
+      var codec = ""
+      var w = 0L
+      var h = 0L
+      var keyframes = 0L
+      for ((_, tks, tke) <- traks) {
+        val tb = walk(tks, tke)
+        val mdia = tb.find(_._1 == "mdia")
+        val handler = mdia.flatMap { case (_, ms, me) =>
+          walk(ms, me).find(_._1 == "hdlr")
+            .map { case (_, hs, _) => fourcc(hs + 8) }
+        }.getOrElse("")
+        if (handler == "vide" && codec.isEmpty) {
+          tb.find(_._1 == "tkhd").foreach { case (_, ks, _) =>
+            val off = if (u8(ks) == 1) ks + 88 else ks + 76
+            w = be32(off) >> 16
+            h = be32(off + 4) >> 16
+          }
+          for {
+            (_, ms, me) <- mdia.toList
+            (t2, s2, e2) <- walk(ms, me) if t2 == "minf"
+            (t3, s3, e3) <- walk(s2, e2) if t3 == "stbl"
+          } {
+            val sb = walk(s3, e3)
+            sb.find(_._1 == "stsd").foreach { case (_, ss, _) =>
+              codec = fourcc(ss + 12) }
+            sb.find(_._1 == "stss").foreach { case (_, ss, _) =>
+              keyframes = be32(ss + 4) }
+          }
+        }
+      }
+      Some(VideoMeta("mp4", brand, ts, durMs, traks.size.toLong, codec, w, h,
+        keyframes))
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  final case class DocVideoMeta(doc_id: Long, format: String, brand: String,
+      timescale: Long, duration_ms: Long, n_tracks: Long,
+      video_codec: String, width: Long, height: Long, n_keyframes: Long)
+
+  /** batched container-metadata extraction, partition-parallel, parse
+    * failures dropped — the video twin of [[imageMetas]]/[[audioMetas]] */
+  def videoMetas(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions(_.flatMap { p =>
+        videoMeta(p.payload).map(m => DocVideoMeta(p.doc_id, m.format,
+          m.brand, m.timescale, m.duration_ms, m.n_tracks, m.video_codec,
+          m.width, m.height, m.n_keyframes))
+      }).toDF()
+  }
+
+  /** Minimal-but-well-formed ISO-BMFF bytes: ftyp + moov(mvhd,
+    * trak[video: tkhd dims, hdlr 'vide', stbl(stsd codec, stss keyframes)]
+    * [, trak[audio: hdlr 'soun', stsd 'mp4a']]) + a stub mdat — the gate
+    * fixture [[videoMeta]] must walk (boxes are nested and the video trak
+    * is not always first, so fixed offsets don't survive). */
+  def mp4Bytes(brand: String, timescale: Long, durationUnits: Long,
+      width: Long, height: Long, codec: String, nKeyframes: Int,
+      withAudio: Boolean): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(8L + body.length) ++ fcc(tpe) ++ body
+    }
+    val ftyp = box("ftyp", fcc(brand), be32(0x200), fcc("mp41"))
+    // mvhd v0: ver/flags, c/m times, timescale@12, duration@16, then
+    // rate/volume/reserved/matrix/predefined/next-track zero padding
+    val mvhd = box("mvhd", new Array[Byte](12), be32(timescale),
+      be32(durationUnits), new Array[Byte](80))
+    // tkhd v0: 76 bytes of fixed fields, then 16.16 width/height
+    val tkhd = box("tkhd", new Array[Byte](76), be32(width << 16),
+      be32(height << 16))
+    def hdlr(kind: String) = box("hdlr", new Array[Byte](8), fcc(kind),
+      new Array[Byte](13))
+    def stsd(fourcc: String) = box("stsd", new Array[Byte](4), be32(1),
+      be32(8), fcc(fourcc))
+    val stss = box("stss", new Array[Byte](4), be32(nKeyframes.toLong),
+      (0 until nKeyframes).toArray.flatMap(i => be32(i * 2L + 1)))
+    val videoTrak = box("trak", tkhd,
+      box("mdia", hdlr("vide"), box("minf", box("stbl", stsd(codec), stss))))
+    val audioTrak = box("trak",
+      box("mdia", hdlr("soun"), box("minf", box("stbl", stsd("mp4a")))))
+    val moov =
+      if (withAudio) box("moov", mvhd, videoTrak, audioTrak)
+      else box("moov", mvhd, videoTrak)
+    ftyp ++ moov ++ box("mdat", new Array[Byte](16))
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Long, frame_code: Long)
 
   /** frame sampling: treat the payload as a fake video of

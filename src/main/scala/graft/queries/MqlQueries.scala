@@ -187,10 +187,19 @@ object MqlQueries {
     "mql_filter_sample" -> q("filter sample(0.25)(files from dsns:all)") _,
     "mql_filter_hash" -> q("filter hash(3, 1)(files from dsns:all)") _,
     "mql_filter_limit" -> q("filter limit(25)(files from dsns:all ordered)") _,
-    // no DuckDB oracle for mix (sequential interleave; driver records a
-    // rows-only check). randomize exposes its portable md5 sort key as a
-    // column so the oracle verifies the exact reorder derivation.
+    // mix: the driver hash-compares row SETS (order-insensitive), so the
+    // interleave's emitted set is oracle-able even though its order is
+    // driver-sequenced. Three gates cover the algorithm's three regimes
+    // (filters.py:161-191): (2,1) degenerates to always-stream-0 under the
+    // renormalize step, (1,1) disjoint alternates with the exhaustion-stop
+    // count formula, and (1,1) overlapping exercises the dedup-skip path
+    // (its expected fid set is generated by an independent driver-side
+    // replay of the reference score algorithm — see [[mixOracle]]).
+    // randomize exposes its portable md5 sort key as a column so the
+    // oracle verifies the exact reorder derivation.
     "mql_filter_mix" -> q("filter mix(2, 1)(files from dsns:ds1, files from dsns:ds2)") _,
+    "mql_filter_mix_even" -> q("filter mix(1, 1)(files from dsns:ds1, files from dsns:ds2)") _,
+    "mql_filter_mix_overlap" -> q("filter mix(1, 1)(files from dsns:ds1, files from dsns:all)") _,
     "mql_filter_randomize" -> ((s, dir) =>
       fileOut(Mql.query(s, new DerivedCatalog(s, dir),
         "filter randomize(7)(files from dsns:ds0)"))
@@ -363,6 +372,29 @@ object MqlQueries {
       s"SELECT $FileCols FROM mc_files WHERE NOT retired AND $DuckAdler32 % 3 = 1"),
     "mql_filter_limit" -> o(
       s"SELECT $FileCols FROM mc_files WHERE NOT retired ORDER BY fid LIMIT 25"),
+    // mix(2,1): the reference renormalizes scores to max=0 each round and
+    // charges the winner a flat -1.0 (filters.py:170-189), so with
+    // UNNORMALIZED ratios r0 > r1 the score difference returns to the same
+    // fixed point every round (d += r0-r1; d -= 1 on the win for 2-1=1)
+    // and stream 0 wins EVERY round until it exhausts ⇒ the emitted set is
+    // exactly ds1's (non-retired) files. Degenerate but faithful — and the
+    // gate proves the engine reproduces the degeneracy instead of
+    // "helpfully" interleaving.
+    "mql_filter_mix" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 1"),
+    // mix(1,1) over DISJOINT streams: ties go to the higher input index
+    // (sorted(reverse=True, key=(score, index))), so picks alternate
+    // ds2, ds1, ds2, ds1, ... and stop at the first failed pull:
+    // ds2 contributes least(n2, n1+1) and ds1 least(n1, n2) of their
+    // fid-ordered streams.
+    "mql_filter_mix_even" ->
+      (s"WITH ${OracleCatalog.cte}, " +
+        "a AS (SELECT *, row_number() OVER (ORDER BY fid) AS rn FROM mc_files WHERE NOT retired AND k % 5 = 1), " +
+        "b AS (SELECT *, row_number() OVER (ORDER BY fid) AS rn FROM mc_files WHERE NOT retired AND k % 5 = 2), " +
+        "n AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb) " +
+        s"SELECT $FileCols FROM b WHERE rn <= (SELECT least(nb, na + 1) FROM n) " +
+        "UNION ALL " +
+        s"SELECT $FileCols FROM a WHERE rn <= (SELECT least(na, nb) FROM n)"),
     "mql_datasets" -> o(
       "SELECT namespace, name, frozen, monotonic FROM mc_datasets WHERE ds_index >= 0"),
     "mql_datasets_recursive" -> o(
@@ -464,4 +496,59 @@ object MqlQueries {
         " UNION ALL SELECT 'opt.note' AS key WHERE EXISTS" +
         " (SELECT 1 FROM mc_files WHERE NOT retired AND k % 5 = 2 AND has_note)" +
         ") ORDER BY key"))
+
+  /** Pure replay of the reference mix score algorithm
+    * (filters.py:161-191) over already-materialized fid streams — the
+    * oracle-side twin of [[graft.mql.Filters]]' mix, sharing NONE of its
+    * machinery (no Spark iterators, no TreeSet prune, no chunked spill,
+    * no re-attachment join). */
+  private def mixReplay(ratios: Array[Double],
+      streams: Array[Iterator[String]]): Seq[String] = {
+    val sent = scala.collection.mutable.HashSet[String]()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var scores = ratios.indices.map(i => (0.0, i)).toList
+    var done = false
+    while (!done) {
+      scores = scores.map { case (s, i) => (s + ratios(i), i) }
+      scores = scores.sortBy { case (s, i) => (-s, -i) }
+      val (s0, i0) = scores.head
+      scores = scores.map { case (s, i) => (s - s0, i) }
+      var sentOne = false
+      while (!sentOne && !done) {
+        if (!streams(i0).hasNext) done = true
+        else {
+          val f = streams(i0).next()
+          if (!sent(f)) {
+            sent += f; out += f
+            scores = (scores.head._1 - 1.0, i0) :: scores.tail
+            sentOne = true
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Data-dependent oracles, generated at Verify time for the sf dir the
+    * driver compares against (static SQL cannot express the mix
+    * dedup-skip interplay between OVERLAPPING sorted streams). The fid
+    * universe is derived straight from orders.parquet — bypassing
+    * [[DerivedCatalog]] — and the expected set is emitted as a literal
+    * IN-list for DuckDB to re-attach attributes to. The collect is
+    * oracle-generation by definition (driver-side expected-value
+    * computation at verify SF, never a production path). */
+  def dynamicOracles(s: SparkSession, dir: String): Map[String, String] = {
+    val keys = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    def fid(k: Long): String = "F" + ("%08d".format(k))
+    // fid order == orderkey order (8-digit zero pad); retired = k%97==0
+    val ds1 = keys.filter(k => k % 5 == 1 && k % 97 != 0).map(fid)
+    val all = keys.filter(_ % 97 != 0).map(fid)
+    val expect = mixReplay(Array(1.0, 1.0),
+      Array(ds1.iterator, all.iterator))
+    val inList = expect.map("'" + _ + "'").mkString(", ")
+    Map("mql_filter_mix_overlap" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE fid IN ($inList)"))
+  }
 }

@@ -181,6 +181,29 @@ object PipelineQueries {
         }).toDF("doc_id", "payload")
       Multimodal.audioMetas(s, planted)
     }),
+    // the video twin (What's missing #3's codec-free remainder): plant
+    // well-formed ISO-BMFF boxes (ftyp + nested moov/trak/stbl, video
+    // trak ± audio trak) with known brand/timescale/duration/dims/codec/
+    // keyframe-count, recover them all by walking raw bytes — no codec
+    "pipe_mm_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val planted = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val ts = 600L + (id % 4) * 300L
+          val bytes = Multimodal.mp4Bytes(
+            brand = if (id % 2 == 0) "isom" else "mp42",
+            timescale = ts,
+            durationUnits = ts * (id % 30 + 1),
+            width = nc % 640 + 16, height = id % 360 + 16,
+            codec = (id % 3) match {
+              case 0 => "avc1"; case 1 => "hev1"; case _ => "vp09" },
+            nKeyframes = (id % 7 + 1).toInt,
+            withAudio = id % 2 == 1)
+          (id, bytes)
+        }).toDF("doc_id", "payload")
+      Multimodal.videoMetas(s, planted)
+    }),
     // REAL container-header parsing (no codec): plant PNG/JPEG/GIF/BMP
     // headers carrying known dimensions, recover them by parsing bytes
     "pipe_mm_image_meta" -> ((s, d) => {
@@ -1050,6 +1073,20 @@ object PipelineQueries {
         "CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate, " +
         "CAST(n_chars % 2 + 1 AS BIGINT) AS channels, " +
         "CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT) AS bits_per_sample " +
+        "FROM documents"),
+
+    // planted ISO-BMFF parameters recomputed arithmetically: the engine
+    // must round-trip them through a real nested box walk and back
+    "pipe_mm_video_meta" ->
+      ("SELECT doc_id, 'mp4' AS format, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand, " +
+        "CAST(600 + (doc_id % 4) * 300 AS BIGINT) AS timescale, " +
+        "CAST((doc_id % 30 + 1) * 1000 AS BIGINT) AS duration_ms, " +
+        "CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1' ELSE 'vp09' END AS video_codec, " +
+        "CAST(n_chars % 640 + 16 AS BIGINT) AS width, " +
+        "CAST(doc_id % 360 + 16 AS BIGINT) AS height, " +
+        "CAST(doc_id % 7 + 1 AS BIGINT) AS n_keyframes " +
         "FROM documents"),
 
     // planted dimensions recomputed arithmetically: the engine must

@@ -599,6 +599,43 @@ class PipelineSpec extends SparkTestBase {
     assert(audioMeta("plain text".getBytes).isEmpty)
   }
 
+  test("mp4 box walk recovers container metadata without a codec") {
+    import Multimodal._
+    val v = mp4Bytes("isom", 600, 600 * 12, 1920, 1080, "avc1",
+      nKeyframes = 5, withAudio = true)
+    assert(videoMeta(v) ==
+      Some(VideoMeta("mp4", "isom", 600, 12000, 2, "avc1", 1920, 1080, 5)))
+    // video-only, different brand/codec/timescale
+    val v2 = mp4Bytes("mp42", 90000, 90000L * 3, 640, 360, "hev1",
+      nKeyframes = 1, withAudio = false)
+    assert(videoMeta(v2) ==
+      Some(VideoMeta("mp4", "mp42", 90000, 3000, 1, "hev1", 640, 360, 1)))
+    // audio trak FIRST: the walk must find the video trak by its hdlr,
+    // not by position
+    val ftypEnd = 20 // ftyp is 8 header + 12 payload
+    val moovStart = ftypEnd
+    val moov = v.slice(moovStart, v.length - 24) // strip trailing mdat
+    assert(new String(moov, 4, 4, "ISO-8859-1") == "moov")
+    // rebuild: mvhd(8+100=108), then swap the two traks
+    val mvhdEnd = moovStart + 8 + 108
+    def be32(a: Array[Byte], i: Int): Int =
+      ((a(i) & 0xff) << 24) | ((a(i + 1) & 0xff) << 16) |
+        ((a(i + 2) & 0xff) << 8) | (a(i + 3) & 0xff)
+    val t1len = be32(v, mvhdEnd)
+    val t1 = v.slice(mvhdEnd, mvhdEnd + t1len)
+    val t2start = mvhdEnd + t1len
+    val t2len = be32(v, t2start)
+    val t2 = v.slice(t2start, t2start + t2len)
+    val swapped = v.take(mvhdEnd) ++ t2 ++ t1 ++ v.drop(t2start + t2len)
+    assert(videoMeta(swapped) ==
+      Some(VideoMeta("mp4", "isom", 600, 12000, 2, "avc1", 1920, 1080, 5)))
+    // corrupt/foreign/truncated: None (or a clean partial), never a throw
+    assert(videoMeta("plain text payload".getBytes).isEmpty)
+    assert(videoMeta(Array[Byte]()).isEmpty)
+    assert(videoMeta(grayPatternGif(1)).isEmpty) // a real non-BMFF container
+    assert(videoMeta(v.take(10)).isEmpty)        // truncated mid-ftyp
+  }
+
   test("multimodal payload/decode plumbing") {
     val d = Multimodal.decoded(spark, docs)
     assert(d.count() == docs.count())
