@@ -49,6 +49,16 @@ object Dedup {
   private val shingleCache = new java.util.LinkedHashMap[
     (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
 
+  /** [[withShingles]] minus the session cache/persist — for one-shot
+    * query-specific plans (e.g. a survivors-only candidate fetch) that
+    * would otherwise churn the FIFO cache and pin storage for frames
+    * never read twice. */
+  private[pipeline] def shinglesUncached(docs: DataFrame): DataFrame =
+    docs.withColumn("__t", toks)
+      .filter(size(col("__t")) >= 3)
+      .withColumn("shingles", expr(shingleExpr))
+      .drop("__t")
+
   def withShingles(docs: DataFrame): DataFrame = shingleCache.synchronized {
     // keyed by a stable session id + the canonicalized plan OBJECT —
     // structural equality, which for file relations includes the root
@@ -666,4 +676,101 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** The persisted LSH signature index of a corpus: one narrow
+    * (doc_id, band, bkey) row per band per document — the artifact an
+    * INCREMENTAL dedup pipeline maintains so that admitting a new batch
+    * never re-reads (or re-shingles) the corpus it already ingested. At
+    * cluster scale this is a parquet table bucketed by `bkey` (the probe
+    * join's shuffle key), appended per admitted batch and compacted with
+    * the usual small-file maintenance; rows are ~3 narrow columns, so
+    * the index is orders of magnitude smaller than the text it covers. */
+  def signatureIndex(docs: DataFrame, numHashes: Int = 8,
+      bands: Int = 4): DataFrame =
+    bandedKeys(withShingles(docs).select(col("doc_id"), col("shingles")),
+      numHashes, bands)
+
+  /** INCREMENTAL cross-batch near-duplicate detection — the shape a
+    * continuously-ingesting 100 TB pipeline actually runs: dedup cost per
+    * day must be O(batch), not O(corpus), so the corpus side is probed
+    * through its [[signatureIndex]] and its text is touched ONLY for
+    * verified candidates.
+    *
+    * Returns one row per (batch doc, matched doc) pair with exact shingle
+    * Jaccard >= `threshold` and `src` saying whether the match is an
+    * already-ingested corpus doc or an EARLIER doc of the same batch
+    * (doc_b < doc_a — k copies inside one batch resolve to the earliest,
+    * so exactly one is admitted).
+    *
+    * Scale shape: the batch is shingled and MinHashed once (O(batch));
+    * candidates meet in (band, bkey) buckets against the narrow index —
+    * a shuffle on band keys, never on text; verification fetches corpus
+    * shingle sets ONLY for candidate doc_ids (semi-join BEFORE the
+    * shingle projection — the survivors-only re-read posture of
+    * [[Decontam]]'s exact-confirm). Nothing rescans the ingested corpus.
+    * (Storing the full k-hash signature in the index would allow
+    * estimated-Jaccard verification with zero corpus reads, at the cost
+    * of false positives; exact verify is chosen so precision is exact
+    * and the DuckDB oracle can replay it.)
+    *
+    * Contract: corpus and batch doc_ids are disjoint (an id in both
+    * would double its verification row). `index` — pass the PERSISTED
+    * index when you have one; default rebuilds it from `corpus` (the
+    * bootstrap / testing path). Banding recall per pair is the usual
+    * 1-(1-j^r)^b; candidates are verified exactly, so false positives
+    * are impossible. */
+  def incrementalDedupPairs(corpus: DataFrame, batch: DataFrame,
+      index: Option[DataFrame] = None, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val bsh = withShingles(batch).select(col("doc_id"), col("shingles"))
+    val bKeys = bandedKeys(bsh, numHashes, bands)
+    val idx = index.getOrElse(signatureIndex(corpus, numHashes, bands))
+    val probe = bKeys.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val cross = probe.join(
+      idx.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+      Seq("band", "bkey"))
+    val intra = probe.join(
+      bKeys.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+      Seq("band", "bkey"))
+      .filter(col("doc_b") < col("doc_a"))
+    val cand = cross.unionByName(intra)
+      .select("doc_a", "doc_b").dropDuplicates()
+    // corpus text is read back ONLY for matched candidate ids — the
+    // semi-join runs below the shingle projection, so at scale it is a
+    // pushed-down id filter on the corpus table, not a corpus scan
+    val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
+    val corpusSide = shinglesUncached(
+        corpus.join(candIds, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("shingles"), lit("corpus").as("src"))
+    val side = corpusSide.unionByName(
+      bsh.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("shingles"), lit("batch").as("src")))
+    cand
+      .join(bsh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+        Seq("doc_a"))
+      .join(side.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("src")), Seq("doc_b"))
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"),
+        col("src"))
+  }
+
+  /** The ADMITTED subset of an incremental batch: batch docs with no
+    * verified match in the corpus index or among earlier batch docs
+    * ([[incrementalDedupPairs]]). Conservative policy: a doc that matches
+    * a REJECTED earlier doc is still rejected (near-dup chains admit only
+    * their head) — the standard posture, since admitting chain members
+    * would re-introduce the near-dup mass dedup exists to remove. The
+    * admitted docs' [[signatureIndex]] rows are what an ingest appends to
+    * the persisted index before the next batch. */
+  def incrementalAdmit(corpus: DataFrame, batch: DataFrame,
+      index: Option[DataFrame] = None, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    batch.select("doc_id").join(
+      incrementalDedupPairs(corpus, batch, index, numHashes, bands, threshold)
+        .select(col("doc_a").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 }

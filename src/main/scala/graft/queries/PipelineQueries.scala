@@ -32,6 +32,21 @@ object PipelineQueries {
     "pipe_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), numHashes = 8, bands = 4)),
     "pipe_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d))),
+    // incremental ingest dedup: even doc_ids are the already-ingested
+    // corpus (probed via its narrow signature index, text fetched only
+    // for verified candidates), odd doc_ids are the arriving batch
+    "pipe_dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalDedupPairs(all.filter(col("doc_id") % 2 === 0),
+        all.filter(col("doc_id") % 2 === 1))
+    }),
+    // the admitted subset of that batch (no match in corpus or earlier
+    // in-batch) — what an ingest appends to the index before the next day
+    "pipe_dedup_incr_admit" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalAdmit(all.filter(col("doc_id") % 2 === 0),
+        all.filter(col("doc_id") % 2 === 1))
+    }),
     "pipe_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     // SimHash near-dup pairs via the pigeonhole block join — EXACT at
     // hamming <= 3, so the oracle is the plain quadratic reference
@@ -878,6 +893,34 @@ object PipelineQueries {
     "pipe_minhash_pairs" ->
       (s"WITH $MinhashScored " +
         "SELECT doc_a, doc_b, round(jac, 4) AS jac FROM scored WHERE jac >= 0.5"),
+
+    // incremental dedup replayed on the even/odd split: same (8,4)
+    // banding as pipe_minhash_pairs, batch side (odd) probes corpus
+    // (even) in any order plus EARLIER odd docs, exact-Jaccard verify
+    "pipe_dedup_incremental" ->
+      (s"WITH $Sig, bands AS (SELECT doc_id, s, b.range AS band, " +
+        "CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+        "FROM sig, range(4) b), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS s_a, b.s AS s_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "WHERE a.doc_id % 2 = 1 AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)), " +
+        "scored AS (SELECT doc_a, doc_b, " +
+        "len(list_intersect(s_a, s_b))::DOUBLE / len(list_distinct(list_concat(s_a, s_b))) AS jac FROM cand) " +
+        "SELECT doc_a, doc_b, round(jac, 4) AS jac, " +
+        "CASE WHEN doc_b % 2 = 0 THEN 'corpus' ELSE 'batch' END AS src " +
+        "FROM scored WHERE jac >= 0.5"),
+
+    "pipe_dedup_incr_admit" ->
+      (s"WITH $Sig, bands AS (SELECT doc_id, s, b.range AS band, " +
+        "CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+        "FROM sig, range(4) b), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS s_a, b.s AS s_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "WHERE a.doc_id % 2 = 1 AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)), " +
+        "dup AS (SELECT DISTINCT doc_a FROM cand WHERE " +
+        "len(list_intersect(s_a, s_b))::DOUBLE / len(list_distinct(list_concat(s_a, s_b))) >= 0.5) " +
+        "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
+        "AND doc_id NOT IN (SELECT doc_a FROM dup)"),
 
     "pipe_jaccard_pairs" ->
       (s"WITH $Shingles, scored AS (" +

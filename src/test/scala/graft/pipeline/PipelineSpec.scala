@@ -1181,4 +1181,71 @@ class PipelineSpec extends SparkTestBase {
     val s2 = Sampling.splitAssign(grown).filter(col("doc_id") < 100000)
     assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
   }
+
+  test("incremental dedup pairs: shape, precision and admit partition") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val pairs = Dedup.incrementalDedupPairs(corpus, batch).cache()
+    val rows = pairs.collect()
+    assert(rows.nonEmpty, "planted dup corpus must yield incremental pairs")
+    rows.foreach { r =>
+      val (a, b, src) = (r.getLong(0), r.getLong(1), r.getString(3))
+      assert(a % 2 == 1, s"doc_a $a must be a batch doc")
+      if (src == "corpus") assert(b % 2 == 0, s"corpus match $b must be even")
+      else { assert(b % 2 == 1 && b < a, s"batch match $b must be earlier odd") }
+      assert(r.getDouble(2) >= 0.5)
+    }
+    // precision is exact: every pair is a true >= 0.5 jaccard pair of the
+    // full corpus (brute force on sf0.001)
+    val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
+    val brute = sh.toDF("x", "sh_a").crossJoin(sh.toDF("y", "sh_b"))
+      .filter(col("x") =!= col("y"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+      .select(col("x").as("doc_a"), col("y").as("doc_b"))
+    assert(pairs.select("doc_a", "doc_b")
+      .join(brute, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+    // admitted + rejected partition the batch exactly
+    val admitted = Dedup.incrementalAdmit(corpus, batch)
+    val rejected = pairs.select("doc_a").distinct()
+    assert(admitted.count() + rejected.count() == batch.count())
+    assert(admitted.join(rejected.withColumnRenamed("doc_a", "doc_id"),
+      Seq("doc_id"), "left_semi").count() == 0)
+    pairs.unpersist()
+  }
+
+  test("incremental dedup via a persisted index matches the rebuild path") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+    try {
+      // day 0: persist the corpus index (the artifact a real ingest keeps)
+      Dedup.signatureIndex(corpus).write.parquet(s"$tmp/index")
+      val idx = spark.read.parquet(s"$tmp/index")
+      val viaIndex = Dedup.incrementalDedupPairs(corpus, batch, Some(idx))
+      val rebuilt = Dedup.incrementalDedupPairs(corpus, batch)
+      assert(viaIndex.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(viaIndex).isEmpty)
+      // day 1: append the admitted batch's keys and probe a SECOND batch —
+      // must equal rebuilding the index from corpus + admitted docs
+      val admitted = Dedup.incrementalAdmit(corpus, batch)
+      val day1Corpus = corpus.unionByName(
+        batch.join(admitted, Seq("doc_id"), "left_semi"))
+      Dedup.signatureIndex(batch.join(admitted, Seq("doc_id"), "left_semi"))
+        .write.mode("append").parquet(s"$tmp/index")
+      val batch2 = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("doc_id", col("doc_id") + 100001L) // offset past every existing id
+      val viaAppended = Dedup.incrementalDedupPairs(day1Corpus, batch2,
+        Some(spark.read.parquet(s"$tmp/index")))
+      val rebuilt2 = Dedup.incrementalDedupPairs(day1Corpus, batch2)
+      assert(viaAppended.exceptAll(rebuilt2).isEmpty &&
+        rebuilt2.exceptAll(viaAppended).isEmpty)
+      // batch2 clones every original batch doc, so each is a near-dup of
+      // its admitted twin (or was already rejected) — nothing is admitted
+      assert(Dedup.incrementalAdmit(day1Corpus, batch2,
+        Some(spark.read.parquet(s"$tmp/index"))).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
