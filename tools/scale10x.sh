@@ -25,6 +25,7 @@ QUERIES="mql_bfq_where mql_filter_hash mql_full_scan mql_summary_count mql_union
 pipe_bpe_encode pipe_bpe_train pipe_chunk pipe_containment_pairs \
 pipe_containment_stratified pipe_corpus_clean pipe_corpus_pipeline \
 pipe_corpus_stats pipe_decontam pipe_decontam_bloom pipe_dedup_clusters \
+pipe_dedup_incremental pipe_dedup_incr_admit \
 pipe_dedup_emb_clusters pipe_dedup_embedding pipe_dedup_exact \
 pipe_dedup_segments pipe_dedup_segments_fp pipe_dedup_semantic \
 pipe_dedup_substring pipe_emb_outliers pipe_emb_pq pipe_emb_quantize \
