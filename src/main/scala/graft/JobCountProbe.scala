@@ -26,7 +26,11 @@ object JobCountProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // java.lang.Long values: with a Scala primitive Long the remove() of
+    // an absent key would unbox null to 0L and the null check below could
+    // never fire — a JobEnd without a recorded start would then add
+    // (ev.time - 0), i.e. epoch millis, to jobWall
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     val jobWall = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(ev: SparkListenerJobStart): Unit = {

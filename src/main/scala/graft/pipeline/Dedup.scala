@@ -60,9 +60,10 @@ object Dedup {
     16, 0.75f, /* accessOrder = LRU */ true)
 
   /** [[withShingles]] minus the session cache/persist — for one-shot
-    * query-specific plans (e.g. a survivors-only candidate fetch) that
-    * would otherwise churn the FIFO cache and pin storage for frames
-    * never read twice. */
+    * query-specific plans (e.g. a survivors-only candidate fetch). The
+    * LRU cache would survive the churn, but caching a plan that is never
+    * read twice still pins a persist slot and evicts an entry that might
+    * be — one-shot plans simply don't belong in the cache. */
   private[pipeline] def shinglesUncached(docs: DataFrame): DataFrame =
     docs.withColumn("__t", toks)
       .filter(size(col("__t")) >= 3)
