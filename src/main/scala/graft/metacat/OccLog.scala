@@ -418,6 +418,15 @@ private[metacat] final class OccLog(
   /** this log's name (the leg tag in transaction markers) */
   private[metacat] def logName: String = name
 
+  /** Await the conflicting predecessors of claimed seq `s` — the
+    * [[commit]] posture, exposed for [[TxnLog]]'s store-SENSITIVE
+    * primary leg: after this returns, a fold computed from the store
+    * reads exactly the published state its keys depend on (seqs < s
+    * with intersecting keys are all published; disjoint-key records
+    * commute under the per-key folds). */
+  private[metacat] def awaitForStaging(s: Long, keys: Option[Seq[String]]): Unit =
+    awaitPublished(s - 1L, keys)
+
   private[metacat] def isPublished(s: Long): Boolean =
     fsOf(hPath(name)).exists(new Path(path(name), seqDirName(s)))
 
@@ -447,8 +456,24 @@ private[metacat] final class OccLog(
     // advanced the frontier past the walk.
     var candidate = maxClaimed() + 1L
     while (s == 0L) {
-      if (claim(candidate)) s = candidate
-      else {
+      if (claim(candidate)) {
+        // Claim/vacuum TOCTOU guard: between resyncs a concurrent
+        // checkpoint+vacuum may have advanced past `candidate` and
+        // deleted its (published) marker — this claim then recreated a
+        // marker BELOW the checkpoint horizon. Publishing there would be
+        // a silent loss: records() folds ckpt + segments > ckpt, so the
+        // commit is never read and the next vacuum deletes it. One
+        // ckptSeq() listing per WON claim (the uncontended cost shape)
+        // closes the window: a checkpoint covering s is proof s was
+        // already published by someone else, so our fresh marker is
+        // bogus — release it and resync above the horizon.
+        if (candidate > ckptSeq()) s = candidate
+        else {
+          val fs = fsOf(hPath(claimsT))
+          fs.delete(new Path(path(claimsT), seqDirName(candidate)), false)
+          candidate = math.max(candidate + 1L, maxClaimed() + 1L)
+        }
+      } else {
         attempt += 1
         if (attempt >= 10000)
           throw new IllegalStateException(
@@ -503,7 +528,21 @@ private[metacat] final class OccLog(
     val fs = fsOf(hPath(name))
     val dst = new Path(path(name), seqDirName(s))
     fs.mkdirs(dst.getParent)
-    if (!fs.rename(tmp, dst)) {
+    // The lenient race has TWO shapes, not one: a recoverer that won the
+    // publish leaves dst in place (rename returns false), but a
+    // recoverer that ALSO finished its stage-dir cleanup leaves tmp
+    // GONE — and RawLocalFileSystem.rename surfaces a vanished source as
+    // FileNotFoundException from its copy fallback rather than `false`
+    // (the r12 one-in-N TxnSpec flake: a snapshot's GC pass rolled the
+    // txn forward and deleted the stage dir mid-race; the writer's own
+    // publish then threw here). Either way, dst published == success.
+    val renamed =
+      try fs.rename(tmp, dst)
+      catch {
+        case _: java.io.FileNotFoundException if !strict && fs.exists(dst) =>
+          false
+      }
+    if (!renamed) {
       if (strict || !fs.exists(dst))
         throw new IllegalStateException(
           s"publish of claimed log seq $s failed: $tmp -> $dst")
