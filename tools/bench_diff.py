@@ -33,7 +33,12 @@ MIN_CALIB_SAMPLES = 3
 
 def loaded_run(d):
     """True when a history entry records a busy machine — excluded from
-    medians so a contaminated run can never become the comparison bar."""
+    medians so a contaminated run can never become the comparison bar.
+    r13 runs stamp their own verdict ("contaminated": true, covering both
+    load and calibration deviation); older entries only carry
+    load_before, so both signals are honored."""
+    if d.get("contaminated") is True:
+        return True
     lb = d.get("load_before")
     return isinstance(lb, (int, float)) and lb > LOAD_MAX
 
