@@ -25,10 +25,10 @@ import scala.concurrent.ExecutionContext.Implicits.global
   *    restarted sequence space)
   *  - fsck stays green on a vacuumed log, still flags real gaps above
   *    the horizon, and flags a PARTIAL vacuum (crashed mid-delete) */
-class CheckpointSpec extends SparkTestBase {
+class CheckpointSpec extends SparkTestBase with OccFailureCapture {
 
   private def newRoot(): String =
-    Files.createTempDirectory("graft-ckpt-").toString
+    registerRoot(Files.createTempDirectory("graft-ckpt-").toString)
 
   private def declare(cat: ParquetCatalog, n: Int): Unit = {
     import spark.implicits._

@@ -25,10 +25,10 @@ import scala.concurrent.ExecutionContext.Implicits.global
   *  - catalog level: two writers storming DISJOINT datasets' memberships
   *    converge with every mutation applied (serializable), claims dense
   *  - vacuum removes the key sidecars with their claims */
-class KeyedOccSpec extends SparkTestBase {
+class KeyedOccSpec extends SparkTestBase with OccFailureCapture {
 
   private def newRoot(): String =
-    Files.createTempDirectory("graft-keyed-").toString
+    registerRoot(Files.createTempDirectory("graft-keyed-").toString)
 
   private val schema = StructType(Seq(
     StructField("k", StringType), StructField("v", LongType),

@@ -22,10 +22,10 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * a commit computed from a stale snapshot shadowing a concurrent
   * commit — permanently drops the other writer's keys; the serializable
   * outcome carries every key from both writers. */
-class MultiWriterSpec extends SparkTestBase {
+class MultiWriterSpec extends SparkTestBase with OccFailureCapture {
 
   private def newRoot(): String =
-    Files.createTempDirectory("graft-multiwriter-").toString
+    registerRoot(Files.createTempDirectory("graft-multiwriter-").toString)
 
   private def declare(cat: ParquetCatalog, n: Int): Unit = {
     import spark.implicits._

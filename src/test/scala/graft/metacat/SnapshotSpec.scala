@@ -20,10 +20,10 @@ import scala.concurrent.ExecutionContext.Implicits.global
   *    its as-of views are readable
   *  - continuous churn past the pass budget fails loudly instead of
   *    returning an unvalidated cut */
-class SnapshotSpec extends SparkTestBase {
+class SnapshotSpec extends SparkTestBase with OccFailureCapture {
 
   private def newRoot(): String =
-    Files.createTempDirectory("graft-snap-").toString
+    registerRoot(Files.createTempDirectory("graft-snap-").toString)
 
   private def declare(cat: ParquetCatalog, n: Int,
       ds: Option[(String, String)] = None): Unit = {
@@ -122,6 +122,54 @@ class SnapshotSpec extends SparkTestBase {
     } finally stop.set(true)
     val total = Await.result(writer, 5.minutes)
     assert(total > 0, "writer burst never ran")
+  }
+
+  test("snapshots during an updateFile-replace storm never straddle the txn") {
+    // r13 (closes r12 What's wrong #3): updateFile with metadata +
+    // replace-parents is now ONE primary-leg transaction; a capture
+    // between its files-log and edges-log effects — possible when they
+    // were two separate OCC commits — must be impossible. Each storm
+    // mutation atomically (a) stamps `upd.v` into Si's metadata and
+    // (b) replaces Si's parents with the EMPTY set, so any cut where
+    // exactly one of the two is visible is a straddle.
+    import spark.implicits._
+    val n = 16
+    val cat = new ParquetCatalog(spark, newRoot(), mergeOnRead = true)
+    cat.createDataset("sds", "d")
+    declare(cat, n, ds = Some(("sds", "d")))
+    cat.addProvenance((0 until n - 1).map(i => (s"S$i", s"S${i + 1}"))
+      .toDF("parent_fid", "child_fid"))
+    val victims = (3 until n by 2).map(i => s"S$i")
+    val stop = new AtomicBoolean(false)
+    val storm = Future {
+      victims.foreach { f =>
+        if (!stop.get())
+          cat.updateFile(f, metadataJson = Some(s"""{"upd.v":1}"""),
+            parents = Some(Nil), mode = "replace")
+      }
+    }
+    try {
+      var checks = 0
+      while (!storm.isCompleted && checks < 100) {
+        val v = cat.snapshot()
+        val stamped = cat.filesAsOf(v)
+          .select(col("fid"),
+            expr("try_variant_get(metadata, \"$['upd.v']\", 'long')").as("u"))
+          .collect().map(r => r.getString(0) -> !r.isNullAt(1)).toMap
+        val withParent = cat.parentChildAsOf(v)
+          .select("child_fid").collect().map(_.getString(0)).toSet
+        for (f <- victims)
+          assert(stamped(f) == !withParent(f),
+            s"straddled cut for $f at $v: metaStamped=${stamped(f)} " +
+            s"parentsCleared=${!withParent(f)}")
+        checks += 1
+      }
+      assert(checks > 0)
+    } finally stop.set(true)
+    Await.result(storm, 300.seconds)
+    val finalParents = cat.parentChild.select("child_fid")
+      .collect().map(_.getString(0)).toSet
+    assert(victims.forall(f => !finalParents(f)))
   }
 
   test("a pinned version survives maintenance: vacuum refuses, unpin releases") {

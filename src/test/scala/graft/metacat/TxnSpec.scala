@@ -26,10 +26,10 @@ import scala.concurrent.ExecutionContext.Implicits.global
   *    applied exactly the committed mutations
   *  - snapshot-vs-mutation storm: every captured cut sees each removed
   *    fid fully present or fully gone across all three views */
-class TxnSpec extends SparkTestBase {
+class TxnSpec extends SparkTestBase with OccFailureCapture {
 
   private def newRoot(): String =
-    Files.createTempDirectory("graft-txn-").toString
+    registerRoot(Files.createTempDirectory("graft-txn-").toString)
 
   /** n files F0..F(n-1), all members of ds:d, edges Fi -> F(i+1) */
   private def seeded(n: Int): ParquetCatalog = {
@@ -101,6 +101,136 @@ class TxnSpec extends SparkTestBase {
     assert(state(cat)._1.size == 4, "files themselves stay")
   }
 
+  test("updateFile with metadata + replace-edges: kill at every seam, atomic either way") {
+    // r13: the primary-leg protocol — the files leg FOLDS over
+    // predecessor state (metadata merge), the edges leg is literal; a
+    // crash must never leave new metadata with old provenance or vice
+    // versa (the r12 gap: two separate OCC commits could be split by a
+    // crash or a snapshot)
+    def parentsOf(cat: ParquetCatalog, f: String): Set[String] =
+      cat.parentChild.filter(col("child_fid") === f)
+        .select("parent_fid").collect().map(_.getString(0)).toSet
+    def tagOf(cat: ParquetCatalog, f: String): Option[Long] =
+      cat.files.filter(col("fid") === f)
+        .select(expr("try_variant_get(metadata, \"$['opt.tag']\", 'long')"))
+        .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val rollbackSeams = Seq("after-intent", "after-stage:edges_log",
+      "after-stage:files_log")
+    val forwardSeams = Seq("after-commit-flip", "after-publish:edges_log",
+      "after-publish:files_log")
+    for (seam <- rollbackSeams ++ forwardSeams) {
+      val cat = seeded(6)
+      assert(parentsOf(cat, "F2") == Set("F1") && tagOf(cat, "F2").isEmpty)
+      cat.txnFailpoint(Some(seam))
+      val killed = intercept[Throwable] {
+        cat.updateFile("F2", metadataJson = Some("""{"opt.tag":7}"""),
+          parents = Some(Seq("F0", "F4")), mode = "replace")
+      }
+      assert(killed.getMessage.contains("txn failpoint"), s"seam $seam: $killed")
+      cat.recoverTxns(force = true)
+      val (p, t) = (parentsOf(cat, "F2"), tagOf(cat, "F2"))
+      if (rollbackSeams.contains(seam)) {
+        assert(p == Set("F1") && t.isEmpty,
+          s"seam $seam: rollback must leave metadata AND provenance untouched, got parents=$p tag=$t")
+        // catalog fully usable after the rollback (all seq spaces dense)
+        cat.updateFile("F2", metadataJson = Some("""{"opt.tag":7}"""),
+          parents = Some(Seq("F0", "F4")), mode = "replace")
+      } else {
+        assert(p == Set("F0", "F4") && t.contains(7L),
+          s"seam $seam: roll-forward must apply metadata AND provenance together, got parents=$p tag=$t")
+      }
+      // either way the final state is the fully-applied mutation, and
+      // replace touched ONLY the parent side (child edge F2>F3 intact)
+      assert(parentsOf(cat, "F2") == Set("F0", "F4"))
+      assert(parentsOf(cat, "F3") == Set("F2"), s"seam $seam: child side leaked")
+      val audit = Fsck.audit(cat).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(audit.forall(_._2 == 0L),
+        s"seam $seam: fsck not green: ${audit.filter(_._2 != 0L)}")
+    }
+    // add-update mode: the txn stages literal adds (no wildcard); a
+    // roll-forward keeps every pre-existing edge
+    val cat = seeded(6)
+    cat.txnFailpoint(Some("after-commit-flip"))
+    intercept[Throwable] {
+      cat.updateFile("F2", metadataJson = Some("""{"opt.more":1}"""),
+        children = Some(Seq("F5")))
+    }
+    cat.recoverTxns(force = true)
+    assert(cat.parentChild.filter(col("parent_fid") === "F2")
+      .select("child_fid").collect().map(_.getString(0)).toSet == Set("F3", "F5"))
+    assert(parentsOf(cat, "F2") == Set("F1"), "add-update must not drop edges")
+  }
+
+  test("declare with dataset: kill at every seam, files and membership land together") {
+    // r13: declareFiles(dataset=Some) commits its base appends (files +
+    // files_datasets) and any log legs as ONE transaction with
+    // base-append legs — a crash can no longer leave declared files
+    // split from their target dataset (r12 What's missing #1b)
+    import spark.implicits._
+    def batch(ids: Seq[Int]) = ids.map { i =>
+      (s"D$i", "ns", s"d_$i.dat", s"""{"core.run":$i}""", "t", 50L + i)
+    }.toDF("fid", "namespace", "name", "metadata_json", "creator", "size")
+      .withColumn("created_timestamp", to_timestamp(lit("2026-03-01 00:00:00")))
+    val rollbackSeams = Seq("after-intent", "after-stage:base-files_datasets",
+      "after-stage:base-files")
+    val forwardSeams = Seq("after-commit-flip",
+      "after-publish:base-files_datasets", "after-publish:base-files")
+    for (seam <- rollbackSeams ++ forwardSeams) {
+      val cat = seeded(3)
+      cat.txnFailpoint(Some(seam))
+      val killed = intercept[Throwable] {
+        cat.declareFiles(batch(Seq(10, 11)), dataset = Some(("ds", "d")))
+      }
+      assert(killed.getMessage.contains("txn failpoint"), s"seam $seam: $killed")
+      cat.recoverTxns(force = true)
+      val (files, members, _) = state(cat)
+      if (rollbackSeams.contains(seam)) {
+        assert(!files("D10") && !members("D10"),
+          s"seam $seam: rollback must leave no trace of the declare")
+        // catalog fully usable afterwards: the same declare succeeds
+        cat.declareFiles(batch(Seq(10, 11)), dataset = Some(("ds", "d")))
+      } else {
+        assert(files("D10") && members("D10"),
+          s"seam $seam: roll-forward must land files AND memberships")
+      }
+      val (f2, m2, _) = state(cat)
+      assert(Seq("D10", "D11").forall(d => f2(d) && m2(d)), s"seam $seam")
+      val audit = Fsck.audit(cat).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(audit.forall(_._2 == 0L),
+        s"seam $seam: fsck not green: ${audit.filter(_._2 != 0L)}")
+    }
+    // the tombstone-resurrect mix: re-declaring a hard-deleted fid routes
+    // that fid through a files-log leg and (its membership shadowed by
+    // the removeFids wildcard) a members-log leg, alongside the base legs
+    // — killed at the commit flip, recovery lands all four legs together
+    val cat = seeded(4)
+    cat.removeFiles(Seq("F1"))
+    cat.txnFailpoint(Some("after-commit-flip"))
+    intercept[Throwable] {
+      cat.declareFiles(
+        batch(Seq(20)).unionByName(
+          seededRow("F1", 99).toDF("fid", "namespace", "name",
+            "metadata_json", "creator", "size")
+            .withColumn("created_timestamp",
+              to_timestamp(lit("2026-03-01 00:00:00")))),
+        dataset = Some(("ds", "d")))
+    }
+    cat.recoverTxns()
+    val (files, members, _) = state(cat)
+    assert(files("F1") && members("F1"),
+      "tombstoned fid must resurrect through the log legs with the txn")
+    assert(files("D20") && members("D20"))
+    assert(Fsck.audit(cat).collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap.forall(_._2 == 0L))
+  }
+
+  private def seededRow(fid: String, i: Int) = {
+    import spark.implicits._
+    Seq((fid, "ns", s"f_rd_$i.dat", s"""{"core.run":$i}""", "t", 10L + i))
+  }
+
   test("a successor blocked on a dead transaction heals it via the timeout hook") {
     System.setProperty("graft.occ.publishTimeoutMs", "1500")
     try {
@@ -122,7 +252,7 @@ class TxnSpec extends SparkTestBase {
   }
 
   test("seeded differential crash fuzz: recovery converges to the committed prefix") {
-    val rnd = new scala.util.Random(20260815L)
+    val rnd = new scala.util.Random(registerSeed(20260815L))
     val cat = seeded(30)
     // model: which fids the catalog should still hold
     var model = (0 until 30).map(i => s"F$i").toSet

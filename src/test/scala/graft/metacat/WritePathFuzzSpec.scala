@@ -12,14 +12,14 @@ import scala.util.Random
   * rows + dataset memberships) must coincide. Complements the 3 query-side
   * fuzzers — this one hunts ordering/compaction bugs in the
   * rewrite-and-swap storage path. */
-class WritePathFuzzSpec extends SparkTestBase {
+class WritePathFuzzSpec extends SparkTestBase with OccFailureCapture {
 
   // in-memory model of the catalog's visible state
   private case class MFile(fid: String, var namespace: String, var run: Long,
       var mark: Option[String], var retired: Boolean)
 
   private def freshCatalog(): (ParquetCatalog, String) = {
-    val root = Files.createTempDirectory("graft-fuzz-cat-").toString
+    val root = registerRoot(Files.createTempDirectory("graft-fuzz-cat-").toString)
     (new ParquetCatalog(spark, root), root)
   }
 
@@ -38,7 +38,7 @@ class WritePathFuzzSpec extends SparkTestBase {
   }
 
   test("random mutation sequences match the model") {
-    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(42L))
+    val rnd = new Random(registerSeed(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(42L)))
     val rounds = sys.env.get("GRAFT_FUZZ_N").map(_.toInt / 40 max 2).getOrElse(3)
 
     for (round <- 0 until rounds) {
@@ -150,11 +150,11 @@ class WritePathFuzzSpec extends SparkTestBase {
   private type State = (String, Long, Option[String], Boolean) // ns, run, mark, retired
 
   test("random MOR histories: filesAsOf replays every recorded sequence") {
-    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 7).getOrElse(49L))
+    val rnd = new Random(registerSeed(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 7).getOrElse(49L)))
     val rounds = sys.env.get("GRAFT_FUZZ_N").map(_.toInt / 40 max 2).getOrElse(2)
 
     for (round <- 0 until rounds) {
-      val root = Files.createTempDirectory("graft-fuzz-tt-").toString
+      val root = registerRoot(Files.createTempDirectory("graft-fuzz-tt-").toString)
       val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
       // declare-time attrs per fid (the base row MOR never rewrites
       // between compactions) + the mutation journal the engine's log
@@ -248,11 +248,11 @@ class WritePathFuzzSpec extends SparkTestBase {
   }
 
   test("MOR reads interleaved DURING a compaction swap stay consistent") {
-    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 13).getOrElse(55L))
+    val rnd = new Random(registerSeed(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong + 13).getOrElse(55L)))
     val rounds = sys.env.get("GRAFT_FUZZ_N").map(_.toInt / 40 max 2).getOrElse(2)
 
     for (round <- 0 until rounds) {
-      val root = Files.createTempDirectory("graft-fuzz-mc-").toString
+      val root = registerRoot(Files.createTempDirectory("graft-fuzz-mc-").toString)
       val cat = new ParquetCatalog(spark, root, mergeOnRead = true)
       val model = scala.collection.mutable.LinkedHashMap.empty[String, State]
       var nextId = 0
