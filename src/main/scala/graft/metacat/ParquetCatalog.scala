@@ -489,33 +489,88 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
       try {
 
-      // membership rows first: an orphan membership (no file row) is
-      // invisible to every read path, whereas the reverse order could
-      // leave declared files missing from their target dataset if the
-      // second append fails mid-way. In MOR mode the membership
-      // re-validation is DEFERRED into the fused post-append probe below
-      // (one Spark job per declare, not one per table).
-      var memberReval: Option[(String, String, Set[String])] = None
-      dataset.foreach { case (ns, n) =>
-        appendMemberships(() => guarded.select(col("fid")), ns, n,
-          deferRevalidate = mergeOnRead)
-          .foreach(pre => memberReval = Some((ns, n, pre)))
-      }
       // the ONE JSON parse in a file row's life: text → stored Variant +
       // typed shred columns, at declare time
       val stored = toStored(guarded)
-      if (mergeOnRead) {
-        // a fid whose latest log record is a tombstone would shadow a
-        // plain base append — resurrect those through the log instead.
-        // The dead set is pinned driver-side (it is mutation-sized) so
-        // the base-append/log-commit split stays identical across commit
-        // retries. For small guarded batches it was ALREADY computed by
-        // the guard's fused probe — no extra job here.
-        def deadIn(of: DataFrame): Set[String] =
-          if (!logNonEmpty()) Set.empty // listing-only fast path
-          else retryOnVanish(
-            deletedFids().join(of.select("fid"), Seq("fid"), "left_semi")
-              .collect().map(_.getString(0)).toSet)
+      // a fid whose latest log record is a tombstone would shadow a
+      // plain base append — resurrect those through the log instead.
+      // The dead set is pinned driver-side (it is mutation-sized) so
+      // the base-append/log-commit split stays identical across commit
+      // retries. For small guarded batches it was ALREADY computed by
+      // the guard's fused probe — no extra job here.
+      def deadIn(of: DataFrame): Set[String] =
+        if (!mergeOnRead || !logNonEmpty()) Set.empty // listing-only fast path
+        else retryOnVanish(
+          deletedFids().join(of.select("fid"), Seq("fid"), "left_semi")
+            .collect().map(_.getString(0)).toSet)
+
+      if (mergeOnRead && dataset.isDefined) {
+        // r13: the file rows and their memberships commit as ONE
+        // transaction ([[TxnLog]] with base-append legs) — the crash
+        // window that could leave declared files and their target
+        // dataset split (the reference closes it with one Postgres
+        // transaction, data_handler.py:631-763) rolls back before the
+        // commit point and forward after it. The member side keeps
+        // appendMemberships' exact decision tree (base append while the
+        // log has no shadowing records; log commits for wildcarded /
+        // shadowed sets), just expressed as transaction legs; the file
+        // side keeps the base-append fast path with the tombstone-
+        // shadowed subset resurrected through a files-log leg. Base legs
+        // publish after log legs, so a mid-publish reader only ever sees
+        // the invisible direction (membership pairs without file rows).
+        val (ns, n) = dataset.get
+        val dsKeys = Some(Seq(ns + "\u0001" + n))
+        def pairs(of: DataFrame) = align(of.select(col("fid"))
+          .withColumn("dataset_namespace", lit(ns))
+          .withColumn("dataset_name", lit(n)), FilesDatasetsSchema)
+        val fids = guarded.select("fid") // derives from the PINNED batch
+        var memberReval: Option[(String, String, Set[String])] = None
+        var memberLogLeg: Option[TxnLog.Leg] = None
+        var memberBaseLeg: Option[TxnLog.BaseLeg] = None
+        if (!membersLog.nonEmpty()) {
+          memberBaseLeg = Some(TxnLog.BaseLeg("files_datasets",
+            () => pairs(fids)))
+          memberReval = Some((ns, n, Set.empty))
+        } else {
+          val (wildcarded, shadowed) = memberShadowState(fids, ns, n)
+          if (wildcarded) {
+            // the whole set routes through the log and out-sequences any
+            // racer — nothing left to revalidate
+            memberLogLeg = Some(TxnLog.Leg("members_log", MemberAdd,
+              dsKeys, () => pairs(fids)))
+          } else {
+            memberBaseLeg = Some(TxnLog.BaseLeg("files_datasets", () =>
+              pairs(if (shadowed.isEmpty) fids
+                else fids.filter(!col("fid").isin(shadowed.toSeq: _*)))))
+            if (shadowed.nonEmpty)
+              memberLogLeg = Some(TxnLog.Leg("members_log", MemberAdd,
+                dsKeys, () => pairs(
+                  fids.filter(col("fid").isin(shadowed.toSeq: _*)))))
+            memberReval = Some((ns, n, shadowed))
+          }
+        }
+        val dead = guardDead.getOrElse(deadIn(stored))
+        val appended =
+          if (dead.isEmpty) stored
+          else stored.filter(!col("fid").isin(dead.toSeq: _*))
+        val filesLogLeg =
+          if (dead.isEmpty) None
+          else Some(TxnLog.Leg("files_log", LogUpsert, Some(dead.toSeq),
+            () => align(withShredCols(
+              stored.filter(col("fid").isin(dead.toSeq: _*))), storedSchema)))
+        txns.run(memberLogLeg.toSeq ++ filesLogLeg.toSeq,
+          baseLegs = memberBaseLeg.toSeq :+
+            TxnLog.BaseLeg("files", () => appended, Seq("namespace")))
+        // LOST-ADD closure, FUSED: a removeFiles tombstoning these very
+        // fids between the dead-check and the transaction would shadow
+        // the fresh base rows, and a removeFrom/removeDataset racing the
+        // membership legs likewise — one probe job re-checks BOTH logs
+        // and commits the repairs (each serializes after the racing
+        // remove); removes landing after this re-check either saw the
+        // published rows (remove-after-declare) or didn't tombstone them
+        declareRevalidate(appended, stored,
+          () => guarded.select(col("fid")), memberReval)
+      } else if (mergeOnRead) {
         val dead = guardDead.getOrElse(deadIn(stored))
         val appended =
           if (dead.isEmpty) stored
@@ -525,16 +580,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           commitFilesLog(
             () => stored.filter(col("fid").isin(dead.toSeq: _*)), LogUpsert,
             keys = Some(dead.toSeq))
-        // LOST-ADD closure, FUSED: a removeFiles tombstoning these very
-        // fids between the dead-check and the append would shadow the
-        // fresh base rows, and a removeFrom/removeDataset racing the
-        // membership append likewise — one probe job re-checks BOTH logs
-        // and commits the repairs (each serializes after the racing
-        // remove); removes landing after this re-check either saw the
-        // appended rows (remove-after-declare) or didn't tombstone them
         declareRevalidate(appended, stored,
-          () => guarded.select(col("fid")), memberReval)
+          () => guarded.select(col("fid")), member = None)
       } else {
+        // COW: membership rows first — an orphan membership (no file
+        // row) is invisible to every read path, whereas the reverse
+        // order could leave declared files missing from their target
+        // dataset if the second append fails mid-way
+        dataset.foreach { case (ns, n) =>
+          appendMemberships(() => guarded.select(col("fid")), ns, n)
+          ()
+        }
         appendParquet(stored, "files", Seq("namespace"))
       }
       } finally releaseDeclareFids(claimedFids)
@@ -1393,6 +1449,48 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           retryOnVanish(failOnViolations(mkUpdated().filter(hit), reqs))
       }
     }
+    // MOR with a provenance change: ONE cross-log transaction carries
+    // the files-row update AND the edge replace/adds, so a crash (or a
+    // snapshot captured mid-mutation) can never see new metadata with
+    // old provenance — the last multi-log mutation the reference got
+    // from a single Postgres transaction (data_handler.py:1046-1149)
+    // that still committed here as two separate OCC commits (r12
+    // verdict, What's wrong #3). The files leg is the store-SENSITIVE
+    // PRIMARY (its fold merges over predecessor state — [[TxnLog.Leg]]);
+    // the edges leg is literal. In add-update mode the edges leg stages
+    // the adds verbatim: the single-log path's not-yet-present anti-join
+    // is an optimization the txn trades away — a re-add of an existing
+    // pair is a no-op under the latest-per-pair fold.
+    if (mergeOnRead && (parents.isDefined || children.isDefined)) {
+      import spark.implicits._
+      def sideRows(given: Seq[String], asParents: Boolean): DataFrame = {
+        val add = given.distinct
+          .map(p => if (asParents) (Option(p), Option(fid))
+            else (Option(fid), Option(p)))
+          .toDF("parent_fid", "child_fid").withColumn("__op", lit(EdgeAdd))
+        if (mode == "replace") {
+          val wildcard = (if (asParents)
+              Seq((Option.empty[String], Option(fid)))
+            else Seq((Option(fid), Option.empty[String])))
+            .toDF("parent_fid", "child_fid")
+            .withColumn("__op", lit(EdgeRemove))
+          wildcard.unionByName(add)
+        } else add
+      }
+      def edgeRows() =
+        (parents.map(sideRows(_, asParents = true)).toSeq ++
+          children.map(sideRows(_, asParents = false)).toSeq)
+          .reduce(_.unionByName(_))
+      val edgeKeys =
+        fid +: (parents.getOrElse(Nil) ++ children.getOrElse(Nil)).distinct
+      txns.run(Seq(
+        TxnLog.Leg("edges_log", EdgeAdd, Some(edgeKeys), () => edgeRows()),
+        TxnLog.Leg("files_log", LogUpsert, Some(Seq(fid)),
+          () => align(withShredCols(mkUpdated().filter(hit)), storedSchema),
+          primary = true)))
+      return
+    }
+
     applyFilesUpdate(() => mkUpdated(), Seq(fid))
 
     def writeEdges(given: Seq[String], asParents: Boolean): Unit = {
@@ -1505,7 +1603,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * whose writer died instead of failing loudly on its claims */
   private val txns = new TxnLog(spark, root, Map(
     "files_log" -> filesLog, "members_log" -> membersLog,
-    "edges_log" -> edgesLog, "admin_log" -> adminLog))
+    "edges_log" -> edgesLog, "admin_log" -> adminLog),
+    baseDirs = Map(
+      "files" -> path("files"), "files_datasets" -> path("files_datasets")))
   Seq(filesLog, membersLog, edgesLog, adminLog)
     .foreach(_.stuckClaimRecovery = txns.recoverSeq)
 
@@ -1701,33 +1801,38 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     finally { fids.unpersist(); () }
   }
 
+  /** ONE membership-log probe returning BOTH shadow signals for an add
+    * set — the dataset wildcard flag and the remove-shadowed fid subset
+    * — so each caller pays one job, not two. Fresh records() plan per
+    * retry attempt (a pre-built frame's file listing goes stale when the
+    * read races a vacuum and would fail identically on every retry).
+    * Fid-wide wildcards (removeFiles) shadow base appends of those fids
+    * in EVERY dataset — they carry null dataset columns, so they are
+    * probed outside the dataset filter. Shared by the membership append
+    * and the r13 declare transaction's member-leg decision. */
+  private def memberShadowState(of: DataFrame, ns: String,
+      n: String): (Boolean, Set[String]) = retryOnVanish {
+    val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n
+    val all = membersLog.records()
+    val recs = all.filter(dsHit)
+    val rows = recs.filter(col("__op") === MemberRemoveAll)
+      .select(lit(null).cast("string").as("fid"))
+      .unionByName(recs.filter(col("__op") === MemberRemove)
+        .select("fid").join(of.select("fid"), Seq("fid"), "left_semi"))
+      .unionByName(all.filter(col("__op") === MemberRemoveFid)
+        .select("fid").join(of.select("fid"), Seq("fid"), "left_semi"))
+      .collect()
+    (rows.exists(_.isNullAt(0)),
+      rows.filter(!_.isNullAt(0)).map(_.getString(0)).toSet)
+  }
+
   private def appendMembershipsPinned(fids: DataFrame, ns: String, n: String,
       pairs: DataFrame => DataFrame, baseAppend: DataFrame => Unit,
       deferRevalidate: Boolean): Option[Set[String]] = {
 
     val dsKeys = Some(Seq(ns + "\u0001" + n))
-    // ONE membership-log probe returns BOTH shadow signals — the
-    // dataset wildcard flag and the remove-shadowed fid subset — so each
-    // append pays one job here, not two. Fresh records() plan per retry
-    // attempt (a pre-built frame's file listing goes stale when the read
-    // races a vacuum and would fail identically on every retry).
-    val dsHit = col("dataset_namespace") === ns && col("dataset_name") === n
-    def shadowState(of: DataFrame): (Boolean, Set[String]) = retryOnVanish {
-      val all = membersLog.records()
-      val recs = all.filter(dsHit)
-      // fid-wide wildcards (removeFiles) shadow base appends of those
-      // fids in EVERY dataset — they carry null dataset columns, so they
-      // must be probed outside the dataset filter
-      val rows = recs.filter(col("__op") === MemberRemoveAll)
-        .select(lit(null).cast("string").as("fid"))
-        .unionByName(recs.filter(col("__op") === MemberRemove)
-          .select("fid").join(of.select("fid"), Seq("fid"), "left_semi"))
-        .unionByName(all.filter(col("__op") === MemberRemoveFid)
-          .select("fid").join(of.select("fid"), Seq("fid"), "left_semi"))
-        .collect()
-      (rows.exists(_.isNullAt(0)),
-        rows.filter(!_.isNullAt(0)).map(_.getString(0)).toSet)
-    }
+    def shadowState(of: DataFrame): (Boolean, Set[String]) =
+      memberShadowState(of, ns, n)
 
     // re-check the appended set against the CURRENT log; commit repair
     // add records (serialized after the racing remove) for any row the
@@ -2252,9 +2357,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         case other => throw new IllegalStateException(s"unknown log $other")
       }
       val committed = txns.committedLegs()
-      val straddling = committed.exists { legs =>
-        val in = legs.map { case (l, s) => frontier(l) >= s }
-        in.contains(true) && in.contains(false)
+      val straddling = committed.exists { t =>
+        val in = t.logLegs.map { case (l, s) => frontier(l) >= s }
+        val logMixed = in.contains(true) && in.contains(false)
+        // base-leg rows are visible to EVERY as-of view once moved, so
+        // a base-leg transaction is cut-consistent only when the base is
+        // fully moved AND every log leg sits inside the frontier —
+        // anything else (including fully-unpublished, which a roll-
+        // forward below would make retroactively visible) must resolve
+        // before capture
+        logMixed || (t.hasBase && (t.basePending || in.contains(false)))
       }
       if (straddling) {
         // complete the transaction (its staged legs are durable — roll

@@ -26,6 +26,10 @@ import org.apache.hadoop.fs.Path
   *     predecessor publishes, so two concurrent transactions can never
   *     deadlock across logs — the latest-wins per-key folds make any
   *     publish interleave collapse to the seq order the claims fixed.
+  *     Exception (r13): at most ONE leg may be a store-SENSITIVE
+  *     `primary` ([[TxnLog.Leg]]) — it stages LAST, after awaiting its
+  *     own log's conflicting predecessors; deadlock-freedom holds
+  *     because every primary in the system lives on the same log.
   *  4. COMMIT POINT: rename the marker `.preparing` → `.committed`
   *     (atomic). Before the rename the transaction is invisible (no leg
   *     published) and rolls BACK; after it, the staged legs are the
@@ -63,14 +67,16 @@ import org.apache.hadoop.fs.Path
   * transactions, snapshots, fsck and stuck-claim recovery, never on the
   * single-log commit hot path. */
 private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
-    root: String, logs: Map[String, OccLog]) {
+    root: String, logs: Map[String, OccLog],
+    baseDirs: Map[String, String] = Map.empty) {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
 
   /** test-only failpoint: the name of the protocol seam to crash at
     * (throws [[TxnLog.TxnKill]] there, once). Seams: `after-claims`,
-    * `after-intent`, `after-stage:<log>`, `after-commit-flip`,
-    * `after-publish:<log>`. */
+    * `after-intent`, `after-stage:<log>`, `after-stage:base-<table>`,
+    * `after-commit-flip`, `after-publish:<log>`,
+    * `after-publish:base-<table>`. */
   @volatile private[metacat] var failpoint: Option[String] = None
 
   private def boom(at: String): Unit =
@@ -110,13 +116,35 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
     * published; the marker may outlive the call until each leg falls
     * inside its log's dense frontier (snapshot straddle protection) —
     * [[gc]] reaps it. A single-leg call degenerates to the plain
-    * single-log commit. */
-  def run(legs: Seq[TxnLog.Leg]): Unit = {
-    require(legs.nonEmpty, "empty transaction")
+    * single-log commit.
+    *
+    * `baseLegs` (r13): BASE-TABLE append legs for mutations whose fast
+    * path is a direct parquet append rather than a log commit (declare).
+    * A base leg stages its rows under the txn dir like any leg; its
+    * publish MOVES the staged part files into the table directory with
+    * txn-id-prefixed names, so roll-forward recovery is idempotent
+    * (a rename that already happened reads as done). Base rows carry no
+    * seq — they are visible to EVERY as-of view the moment they land —
+    * so [[ParquetCatalog.snapshot]] refuses to capture while a
+    * committed base-leg transaction is not yet fully published
+    * ([[committedLegs]] reports `basePending`). Base legs publish AFTER
+    * every log leg: a reader mid-window sees the log effects (e.g.
+    * memberships) without the base rows, which is the invisible
+    * direction for a declare — membership pairs without their file rows
+    * join to nothing. */
+  def run(legs: Seq[TxnLog.Leg],
+      baseLegs: Seq[TxnLog.BaseLeg] = Nil): Unit = {
+    require(legs.nonEmpty || baseLegs.nonEmpty, "empty transaction")
     require(legs.map(_.log).distinct.size == legs.size,
       "one leg per log: merge same-log records into one mixed-op frame")
+    require(baseLegs.map(_.table).distinct.size == baseLegs.size,
+      "one base leg per table")
+    require(legs.count(_.primary) <= 1,
+      "at most one store-sensitive primary leg per transaction")
     legs.foreach(l => require(logs.contains(l.log), s"unknown log ${l.log}"))
-    if (legs.size == 1) {
+    baseLegs.foreach(b => require(baseDirs.contains(b.table),
+      s"unknown base table ${b.table}"))
+    if (legs.size == 1 && baseLegs.isEmpty) {
       val l = legs.head
       logs(l.log).commit(l.mkRows, l.op, l.keys)
       return
@@ -127,14 +155,33 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
     val seqs: Seq[(TxnLog.Leg, Long)] =
       legs.map(l => l -> logs(l.log).claimNext(l.keys))
     boom("after-claims")
-    // 2. intent marker
+    // 2. intent marker (base legs recorded as `base-<table> 0`)
     val preparing = markerPath(id, "preparing")
     fs.mkdirs(txnDirPath)
-    writeMarker(preparing, seqs.map { case (l, s) => (l.log, s) })
+    writeMarker(preparing, seqs.map { case (l, s) => (l.log, s) } ++
+      baseLegs.map(b => (s"base-${b.table}", 0L)))
     boom("after-intent")
-    // 3. stage every leg — NO predecessor awaits (store-insensitive legs)
+    // 3. stage every SECONDARY leg — no predecessor awaits
+    // (store-insensitive); then the primary, if any: await its log's
+    // conflicting predecessors (the normal single-log posture — a
+    // predecessor that is itself a dead transaction heals through the
+    // publish-timeout recovery hook), THEN compute its fold and stage.
+    // A failed await or stage before the commit point is a presumed
+    // abort either way.
     try {
-      for ((l, s) <- seqs) {
+      for ((l, s) <- seqs if !l.primary) {
+        logs(l.log).stageRows(s, l.mkRows, l.op, legStage(id, l.log))
+        boom(s"after-stage:${l.log}")
+      }
+      for (b <- baseLegs) {
+        val w = b.mkRows().write.mode(
+          org.apache.spark.sql.SaveMode.Overwrite)
+        (if (b.partitionCols.nonEmpty) w.partitionBy(b.partitionCols: _*)
+         else w).parquet(legStage(id, s"base-${b.table}").toString)
+        boom(s"after-stage:base-${b.table}")
+      }
+      for ((l, s) <- seqs if l.primary) {
+        logs(l.log).awaitForStaging(s, l.keys)
         logs(l.log).stageRows(s, l.mkRows, l.op, legStage(id, l.log))
         boom(s"after-stage:${l.log}")
       }
@@ -156,14 +203,64 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
         "the mutation did NOT apply")
     }
     boom("after-commit-flip")
-    // 5. publish (lenient: a concurrent recoverer may win a rename)
+    // 5. publish (lenient: a concurrent recoverer may win a rename).
+    // Log legs first, base legs last — see the base-leg visibility note
     for ((l, s) <- seqs) {
       logs(l.log).publishStaged(s, legStage(id, l.log), strict = false)
       boom(s"after-publish:${l.log}")
     }
+    for (b <- baseLegs) {
+      moveStaged(id, b.table)
+      boom(s"after-publish:base-${b.table}")
+    }
     fs.delete(stageDir(id), true)
     gcMarker(markerPath(id, "committed"))
   }
+
+  /** Publish a staged base leg: move every staged part file into the
+    * table directory under a txn-id-prefixed name. Part-file names are
+    * fixed at stage time, so a roll-forward racing the original writer
+    * (or another recoverer) is idempotent — a rename whose source is
+    * gone and destination present already happened. */
+  private def moveStaged(id: String, table: String): Unit = {
+    val src = legStage(id, s"base-$table")
+    if (!fs.exists(src)) return // already fully published
+    val dst = new Path(baseDirs(table))
+    // a roll-forward racing the original writer (or another recoverer)
+    // may move files — or delete the drained stage dir — under this
+    // walk; a vanished source whose target landed is a completed move
+    // (RawLocalFileSystem surfaces it as FileNotFoundException from the
+    // rename's copy fallback, not as `false`)
+    def move(srcDir: Path, dstDir: Path): Unit = {
+      fs.mkdirs(dstDir)
+      val entries =
+        try fs.listStatus(srcDir)
+        catch { case _: java.io.FileNotFoundException => return }
+      entries.foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory) {
+          if (!nm.startsWith("_")) move(st.getPath, new Path(dstDir, nm))
+        } else if (!nm.startsWith("_") && !nm.startsWith(".")) {
+          val target = new Path(dstDir, s"t$id-$nm")
+          val renamed =
+            try fs.rename(st.getPath, target)
+            catch {
+              case _: java.io.FileNotFoundException if fs.exists(target) =>
+                false
+            }
+          if (!renamed && !(fs.exists(target) && !fs.exists(st.getPath)))
+            throw new java.io.IOException(
+              s"txn base publish failed: ${st.getPath} -> $target")
+        }
+      }
+    }
+    move(src, dst)
+    fs.delete(src, true)
+    ()
+  }
+
+  private def isBase(tag: String): Boolean = tag.startsWith("base-")
+  private def baseTable(tag: String): String = tag.stripPrefix("base-")
 
   private def abort(id: String, legs: Seq[(String, Long)],
       preparing: Path): Unit = {
@@ -171,7 +268,10 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
     val aborted = markerPath(id, "aborted")
     if (!fs.rename(preparing, aborted) && !fs.exists(aborted))
       return // someone else owns the marker now (committed) — leave it
-    legs.foreach { case (l, s) => logs(l).publishNoop(s) }
+    // base legs have no seq to no-op: deleting the stage dir IS their
+    // rollback (nothing was moved before the commit point)
+    legs.filterNot(l => isBase(l._1))
+      .foreach { case (l, s) => logs(l).publishNoop(s) }
     fs.delete(stageDir(id), true)
     fs.delete(aborted, false)
     ()
@@ -197,21 +297,35 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
   def pendingCount(): Long = pendingMarkers().size.toLong
 
   /** Legs of transactions that could still STRADDLE a snapshot cut: for
-    * each committed-but-not-yet-GC'd marker, its (log, seq) legs. A
-    * `.preparing` transaction has no published leg (every leg is above
-    * every dense frontier), so only committed ones matter. */
-  def committedLegs(): Seq[Seq[(String, Long)]] =
-    pendingMarkers().filter(_._2 == "committed").map(_._3)
+    * each committed-but-not-yet-GC'd marker, its LOG (log, seq) legs
+    * plus the base-leg publication state. A `.preparing` transaction has
+    * no published leg (every leg is above every dense frontier, no base
+    * file moved), so only committed ones matter. Base rows are visible
+    * to every as-of view once moved, so a consistent cut over a base-leg
+    * transaction needs the base fully moved AND every log leg inside the
+    * frontier — anything else straddles ([[ParquetCatalog.snapshot]]
+    * resolves by rolling the transaction forward and re-capturing). */
+  def committedLegs(): Seq[TxnLog.PendingTxn] =
+    pendingMarkers().filter(_._2 == "committed").map { case (p, _, legs) =>
+      val id = p.getName.stripPrefix("t").stripSuffix(".committed")
+      val (base, logLegs) = legs.partition(l => isBase(l._1))
+      TxnLog.PendingTxn(logLegs, hasBase = base.nonEmpty,
+        basePending = base.exists(b => fs.exists(legStage(id, b._1))))
+    }
 
-  /** GC a committed marker once every leg is inside its log's dense
-    * published frontier — before that, the marker is the snapshot
-    * straddle guard. Returns true when deleted. */
+  /** GC a committed marker once every log leg is inside its log's dense
+    * published frontier and every base leg is fully moved — before
+    * that, the marker is the snapshot straddle guard. Returns true when
+    * deleted. */
   private def gcMarker(p: Path): Boolean = {
     val legs =
       try readMarker(p)
       catch { case _: java.io.FileNotFoundException => return true }
-    val done = legs.forall { case (l, s) =>
-      logs(l).densePublishedSeq() >= s }
+    val id = p.getName.stripPrefix("t").stripSuffix(".committed")
+    val done = legs.forall {
+      case (l, _) if isBase(l) => !fs.exists(legStage(id, l))
+      case (l, s) => logs(l).densePublishedSeq() >= s
+    }
     if (done) fs.delete(p, false)
     done
   }
@@ -229,9 +343,11 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
       state match {
         case "committed" =>
           val id = p.getName.stripPrefix("t").stripSuffix(".committed")
-          legs.foreach { case (l, s) =>
-            if (!logs(l).isPublished(s))
-              logs(l).publishStaged(s, legStage(id, l), strict = false)
+          legs.foreach {
+            case (l, _) if isBase(l) => moveStaged(id, baseTable(l))
+            case (l, s) =>
+              if (!logs(l).isPublished(s))
+                logs(l).publishStaged(s, legStage(id, l), strict = false)
           }
           fs.delete(stageDir(id), true)
           if (gcMarker(p)) acted += 1
@@ -243,7 +359,8 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
             acted += 1
           }
         case "aborted" =>
-          legs.foreach { case (l, s) => logs(l).publishNoop(s) }
+          legs.filterNot(l => isBase(l._1))
+            .foreach { case (l, s) => logs(l).publishNoop(s) }
           val id = p.getName.stripPrefix("t").stripSuffix(".aborted")
           fs.delete(stageDir(id), true)
           fs.delete(p, false)
@@ -266,9 +383,11 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
         state match {
           case "committed" =>
             val id = p.getName.stripPrefix("t").stripSuffix(".committed")
-            legs.foreach { case (l, s) =>
-              if (!logs(l).isPublished(s))
-                logs(l).publishStaged(s, legStage(id, l), strict = false)
+            legs.foreach {
+              case (l, _) if isBase(l) => moveStaged(id, baseTable(l))
+              case (l, s) =>
+                if (!logs(l).isPublished(s))
+                  logs(l).publishStaged(s, legStage(id, l), strict = false)
             }
             fs.delete(stageDir(id), true)
             gcMarker(p)
@@ -281,7 +400,8 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
             abort(id, legs, p)
             true
           case "aborted" =>
-            legs.foreach { case (l, s) => logs(l).publishNoop(s) }
+            legs.filterNot(l => isBase(l._1))
+              .foreach { case (l, s) => logs(l).publishNoop(s) }
             true
           case _ => false
         }
@@ -290,11 +410,34 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
 }
 
 private[metacat] object TxnLog {
-  /** one transaction leg: `mkRows` MUST be store-insensitive (see
+  /** One transaction leg. `mkRows` MUST be store-insensitive (see
     * [[TxnLog]]'s staging contract) — it is computed without awaiting
-    * predecessor publishes */
+    * predecessor publishes — UNLESS `primary = true`: the primary leg is
+    * the one store-SENSITIVE leg a transaction may carry (r13, for
+    * mutations whose records fold over predecessor state, e.g.
+    * updateFile's metadata merge). It awaits its log's conflicting
+    * predecessors like a plain single-log commit, stages AFTER every
+    * secondary, and the commit point follows its fold. At most one leg
+    * per transaction may be primary, and every primary in the system
+    * must live on the SAME log (here: files_log) — that keeps the
+    * cross-log wait graph well-founded (a primary's await can only block
+    * on same-log predecessors, each of which is a bounded single-log
+    * commit, an await-free secondary, or a lower-seq primary), so two
+    * concurrent transactions can never deadlock across logs. */
   final case class Leg(log: String, op: String, keys: Option[Seq[String]],
-      mkRows: () => DataFrame)
+      mkRows: () => DataFrame, primary: Boolean = false)
+
+  /** one BASE-TABLE append leg (r13): literal rows staged as parquet,
+    * published by idempotent part-file moves into `table`'s directory —
+    * see [[TxnLog.run]]'s base-leg notes */
+  final case class BaseLeg(table: String, mkRows: () => DataFrame,
+      partitionCols: Seq[String] = Nil)
+
+  /** a committed-but-not-GC'd transaction, as the snapshot straddle
+    * guard needs it: its log legs, whether it carries base legs, and
+    * whether any base leg is still staged (not yet fully moved) */
+  final case class PendingTxn(logLegs: Seq[(String, Long)],
+      hasBase: Boolean, basePending: Boolean)
 
   /** test-only failpoint crash */
   final class TxnKill(at: String)

@@ -375,6 +375,56 @@ object WritePathQueries {
     // (declares, provenance base appends) are part of every snapshot, as
     // documented. All mutations are k-arithmetic, so DuckDB recomputes
     // both the captured and the live cut directly from `orders`.
+    // SNAPSHOT PINS as an oracle-gated product guarantee (r13; r12
+    // verdict Next-round #6): pin a captured version, mutate, prove the
+    // pinned read still replays the capture-time state exactly, prove
+    // maintenance honors the pin (vacuum refuses), then FORCE the vacuum
+    // and prove the pin is invalidated LOUDLY (fsck counts it stale, the
+    // as-of read refuses naming the horizon) — never silently wrong.
+    "mql_write_path_pins" -> ((s, dir) => {
+      import s.implicits._
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_wpp_")
+      graft.TempDirs.register(rootPath)
+      val cat = new ParquetCatalog(s, rootPath.toString, mergeOnRead = true)
+      val rows = seedRows(s, dir)
+      cat.createDataset("wds", "base")
+      cat.declareFiles(rows, dataset = Some(("wds", "base")))
+      val ks = (0 until 200)
+      cat.retireFiles(ks.filter(_ % 10 == 0).map(fidOf)) // files seq 1
+      val v = cat.snapshot()
+      cat.pin("rep", v)
+      // post-pin mutations the pinned read must NOT see
+      cat.updateFileMeta(ks.filter(_ % 13 == 0).map(fidOf),
+        """{"pin.tag":9}""", mode = "update") // files seq 2
+      cat.retireFiles(ks.filter(_ % 7 == 0).map(fidOf)) // files seq 3
+      cat.checkpointFilesLog()
+      val vac =
+        try { cat.vacuumFilesLog(); "not-refused" }
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("pin") => "refused" }
+      def shape(df: DataFrame, kind: String) = df.select(
+        lit(kind).as("kind"), col("fid").as("a"),
+        concat(col("retired").cast("string"), lit(":"),
+          coalesce(expr("try_variant_get(metadata, \"$['pin.tag']\", 'long')")
+            .cast("string"), lit("-"))).as("b"))
+      // materialize the pinned replay BEFORE maintenance destroys it
+      val pinned = shape(cat.filesAsOf(v), "pf").localCheckpoint()
+      cat.vacuumFilesLog(force = true) // pin invalidated — loudly, below
+      val stale = graft.metacat.Fsck.audit(cat).collect()
+        .collectFirst { case r if r.getString(0) == "mor_stale_pins" =>
+          r.getLong(1) }.getOrElse(-1L)
+      val gone =
+        try { cat.filesAsOf(v).count(); "readable" }
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("vacuum horizon") => "asof-refused" }
+      val status = Seq(
+        ("pin", "rep", cat.pins().map(_._1).mkString(",")),
+        ("vac", "rep", vac),
+        ("stale", "rep", stale.toString),
+        ("gone", "rep", gone)).toDF("kind", "a", "b")
+      status.unionByName(pinned).unionByName(shape(cat.files, "lf"))
+    }),
+
     "mql_write_path_snapshot" -> ((s, dir) => {
       val rootPath = java.nio.file.Files.createTempDirectory("graft_wps_")
       graft.TempDirs.register(rootPath)
@@ -474,9 +524,54 @@ object WritePathQueries {
       cat.recoverTxns(force = true)
       killed("after-publish:admin_log") { cat.removeDataset("wds", "tmp") }
       cat.recoverTxns()
+      // updateFile metadata ⊕ replace-edges (r13 PRIMARY-LEG txn: the
+      // files fold is store-sensitive, the edge frame literal). Killed
+      // after the primary's stage → rolled back (metadata AND provenance
+      // untouched), retried clean; killed at the flip / mid-publish →
+      // rolled forward: tag and edges land together, never split
+      killed("after-stage:files_log") {
+        cat.updateFile(fidOf(80), metadataJson = Some("""{"txn.tag":1}"""),
+          parents = Some(Seq(fidOf(3), fidOf(5))), mode = "replace") }
+      cat.recoverTxns(force = true)
+      cat.updateFile(fidOf(80), metadataJson = Some("""{"txn.tag":1}"""),
+        parents = Some(Seq(fidOf(3), fidOf(5))), mode = "replace")
+      killed("after-commit-flip") {
+        cat.updateFile(fidOf(84), metadataJson = Some("""{"txn.tag":2}"""),
+          parents = Some(Nil), mode = "replace") }
+      cat.recoverTxns()
+      killed("after-publish:edges_log") {
+        cat.updateFile(fidOf(88), metadataJson = Some("""{"txn.tag":3}"""),
+          children = Some(Seq(fidOf(89)))) }
+      cat.recoverTxns()
+      // declare + membership as ONE base-leg transaction (r13): killed
+      // after staging the base files → rolled back with no trace, the
+      // retry lands clean; killed mid-publish → recovery moves the
+      // staged base part files and the membership rows together
+      def extraRows(lo: Int, hi: Int) =
+        s.range(lo, hi).select(
+          concat(lit("W"), lpad(col("id").cast("string"), 8, "0")).as("fid"),
+          lit("wraw").as("namespace"),
+          concat(lit("w_"), col("id").cast("string"), lit(".dat")).as("name"),
+          concat(lit("{\"core.run\":"), (col("id") % 100).cast("string"),
+            lit("}")).as("metadata_json"),
+          lit("u0").as("creator"),
+          to_timestamp(lit("2026-03-01 00:00:00")).as("created_timestamp"),
+          (col("id") * 10).cast("long").as("size"))
+      killed("after-stage:base-files") {
+        cat.declareFiles(extraRows(210, 220), dataset = Some(("wds", "base"))) }
+      cat.recoverTxns(force = true)
+      cat.declareFiles(extraRows(210, 220), dataset = Some(("wds", "base")))
+      killed("after-publish:base-files_datasets") {
+        cat.declareFiles(extraRows(220, 230), dataset = Some(("wds", "base"))) }
+      cat.recoverTxns()
 
       cat.files.select(lit("f").as("kind"), col("fid").as("a"),
           col("namespace").as("b"))
+        .unionByName(cat.files
+          .select(lit("u").as("kind"), col("fid").as("a"),
+            expr("CAST(try_variant_get(metadata, \"$['txn.tag']\", 'long') AS STRING)")
+              .as("b"))
+          .filter(col("b").isNotNull))
         .unionByName(cat.filesDatasets.select(lit("m").as("kind"),
           col("fid").as("a"),
           concat_ws(":", col("dataset_namespace"), col("dataset_name")).as("b")))
@@ -692,17 +787,47 @@ object WritePathQueries {
     // or re-run; the rolled-forward kills landed via recovery), dataset
     // tmp dropped with its memberships, every edge touching a removed
     // fid gone
+    // r13 adds the updateFile primary-leg txn kills: the rolled-back 80
+    // retry and the rolled-forward 84/88 land tag + edge effects
+    // together — parents of 80 replaced by {3,5}, parents of 84 cleared,
+    // child 89 added to 88, and a 'u' row per stamped tag
     "mql_write_path_txn" ->
       ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200), " +
-        "live AS (SELECT k FROM w WHERE NOT (k BETWEEN 10 AND 39) " +
-        "AND NOT (k BETWEEN 50 AND 59)) " +
+        "live0 AS (SELECT k FROM w WHERE NOT (k BETWEEN 10 AND 39) " +
+        "AND NOT (k BETWEEN 50 AND 59)), " +
+        // the declared-under-kill extras join live0 for file/membership
+        // rows only — provenance was seeded before they existed
+        "live AS (SELECT k FROM live0 " +
+        "UNION ALL SELECT CAST(range AS INT) FROM range(210, 230)) " +
         "SELECT 'f' AS kind, 'W' || lpad(CAST(k AS VARCHAR), 8, '0') AS a, " +
         "'wraw' AS b FROM live " +
+        "UNION ALL SELECT 'u', 'W' || lpad(CAST(k AS VARCHAR), 8, '0'), " +
+        "CAST((k - 76) // 4 AS VARCHAR) FROM live WHERE k IN (80, 84, 88) " +
         "UNION ALL SELECT 'm', 'W' || lpad(CAST(k AS VARCHAR), 8, '0'), " +
         "'wds:base' FROM live " +
         "UNION ALL SELECT 'e', 'W' || lpad(CAST(p.k AS VARCHAR), 8, '0'), " +
         "'W' || lpad(CAST(c.k AS VARCHAR), 8, '0') " +
-        "FROM live p JOIN live c ON c.k = p.k * 2 AND p.k > 0"),
+        "FROM live0 p JOIN live0 c ON c.k = p.k * 2 AND p.k > 0 " +
+        "WHERE c.k NOT IN (80, 84) " +
+        "UNION ALL SELECT 'e', 'W00000003', 'W00000080' " +
+        "UNION ALL SELECT 'e', 'W00000005', 'W00000080' " +
+        "UNION ALL SELECT 'e', 'W00000088', 'W00000089'"),
+
+    // pins: the pinned replay freezes retired = k%10 only (no pin.tag —
+    // stamped after the pin); the live view carries both retire passes
+    // and the tags; maintenance honored the pin (vac refused), the
+    // forced vacuum invalidated it loudly (stale=1, as-of refuses)
+    "mql_write_path_pins" ->
+      ("WITH w AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200) " +
+        "SELECT 'pin' AS kind, 'rep' AS a, 'rep' AS b " +
+        "UNION ALL SELECT 'vac', 'rep', 'refused' " +
+        "UNION ALL SELECT 'stale', 'rep', '1' " +
+        "UNION ALL SELECT 'gone', 'rep', 'asof-refused' " +
+        "UNION ALL SELECT 'pf', 'W' || lpad(CAST(k AS VARCHAR), 8, '0'), " +
+        "CAST(k % 10 = 0 AS VARCHAR) || ':-' FROM w " +
+        "UNION ALL SELECT 'lf', 'W' || lpad(CAST(k AS VARCHAR), 8, '0'), " +
+        "CAST(k % 10 = 0 OR k % 7 = 0 AS VARCHAR) || ':' || " +
+        "CASE WHEN k % 13 = 0 THEN '9' ELSE '-' END FROM w"),
 
     "mql_write_path" -> WritePathOracle,
     "mql_write_path_mor" -> WritePathOracle,
