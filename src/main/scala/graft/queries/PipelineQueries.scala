@@ -397,7 +397,7 @@ object PipelineQueries {
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3)"
   private val Hex60 = (x: String) =>
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
-  private val Sig =
+  private[queries] val Sig =
     Shingles + ", sig AS (SELECT doc_id, s, list_transform(range(0, 8), h -> " +
       s"list_min(list_transform(s, x -> ${Hex60("CAST(h AS VARCHAR) || ':' || x")}))) AS g FROM sh)"
   private val EmbNorm =

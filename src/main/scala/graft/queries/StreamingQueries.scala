@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream, IntervalJoinStream, IvfAssignStream, RetrievalStream, SketchStream}
+import graft.streaming.{CorpusGateStream, DecontamStream, DedupStream, EventsStream, IncrementalDedupStream, IntervalJoinStream, IvfAssignStream, RetrievalStream, SketchStream}
 
 /** Structured Streaming entries for the correctness gate: each runs a real
   * incremental query (AvailableNow trigger) over the events files and is
@@ -64,9 +64,43 @@ object StreamingQueries {
     // held as complete-mode state, BM25 ranked batch-side from that
     // state; must equal the batch operator (shared oracle)
     "stream_bm25" -> ((s, d) =>
-      RetrievalStream.runToBatch(s, s"$d/documents.parquet", "v_stream_bm25")))
+      RetrievalStream.runToBatch(s, s"$d/documents.parquet", "v_stream_bm25")),
+    // day-2 incremental dedup ingest (r13): batch 0 bootstraps the
+    // persisted corpus + signature index, batch 1 probes them, and the
+    // runner REDELIVERS batch 1 verbatim (at-least-once) — the output
+    // must still be the exactly-once corpus
+    "stream_dedup_incremental" -> ((s, d) =>
+      IncrementalDedupStream.runToBatch(s, s"$d/documents.parquet")))
+
+  private def jacGE(thr: String) =
+    "len(list_intersect(s_a, s_b))::DOUBLE / " +
+      s"len(list_distinct(list_concat(s_a, s_b))) >= $thr"
 
   val oracles: Map[String, String] = Map(
+    // sequential replay of the two-batch ingest: batch 0 = evens with
+    // intra-batch dedup only; batch 1 = odds probed against batch 0's
+    // ADMITTED corpus (the index holds admitted docs only) plus earlier
+    // odds (chain policy: matching a rejected earlier doc still
+    // rejects). The redelivered batch 1 adds nothing — exactly this.
+    "stream_dedup_incremental" ->
+      (s"WITH ${PipelineQueries.Sig}, bands AS (SELECT doc_id, s, b.range AS band, " +
+        "CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+        "FROM sig, range(4) b), " +
+        "cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS s_a, b.s AS s_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0 AND b.doc_id < a.doc_id), " +
+        s"dup0 AS (SELECT DISTINCT doc_a FROM cand0 WHERE ${jacGE("0.5")}), " +
+        "c0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0 " +
+        "AND doc_id NOT IN (SELECT doc_a FROM dup0)), " +
+        "cand1 AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS s_a, b.s AS s_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "WHERE a.doc_id % 2 = 1 AND (b.doc_id IN (SELECT doc_id FROM c0) " +
+        "OR (b.doc_id % 2 = 1 AND b.doc_id < a.doc_id))), " +
+        s"dup1 AS (SELECT DISTINCT doc_a FROM cand1 WHERE ${jacGE("0.5")}) " +
+        "SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM c0 " +
+        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM documents " +
+        "WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_a FROM dup1)"),
+
     "stream_events_hourly" ->
       """SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_epoch, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.Dedup
+
+/** STREAMING INCREMENTAL CROSS-BATCH DEDUP — the day-2 ingest loop of
+  * [[Dedup.incrementalAdmit]] (r12's batch operator), closed over a
+  * PERSISTED corpus + signature index (r13; r12 verdict Next-round #5):
+  * each micro-batch probes the index the previous batches appended,
+  * admits its near-dup survivors, and appends their corpus rows and
+  * index rows — so batch N+1's probe sees batch N without any
+  * O(corpus) work.
+  *
+  * At-least-once delivery is absorbed by PARTITION-IDEMPOTENT writes,
+  * the foreachBatch exactly-once recipe: both tables are partitioned by
+  * the micro-batch id and written with dynamic partition overwrite, and
+  * the batch's computation reads the store WITHOUT its own partition
+  * (`batch <> bid`) — a redelivered batch therefore recomputes exactly
+  * what its first attempt computed (same corpus view, same index view)
+  * and overwrites its own partitions with identical rows, whether the
+  * first attempt finished one write, both, or neither. Cross-batch
+  * redelivery (the same doc arriving again in a LATER batch) is dropped
+  * by an anti-join on the corpus ids before the probe.
+  *
+  * Scale shape: per batch this is O(batch) shingling + a narrow-index
+  * bucket join ([[Dedup.incrementalDedupPairs]]'s contract — corpus
+  * text fetched only for verified candidates); the partition-per-batch
+  * layout is the standard streaming-ingest table shape, compacted by
+  * the usual small-file maintenance. */
+object IncrementalDedupStream {
+
+  private def readOr(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists(st =>
+        !st.getPath.getName.startsWith("_"))) Some(spark.read.parquet(dir))
+    else None
+  }
+
+  /** One micro-batch of the ingest, exposed for direct redelivery in
+    * tests/gates: probe, admit, overwrite this batch's two partitions.
+    * MUST be deterministic in (store-without-bid, batch) — see the
+    * idempotence contract above. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, bid: Long,
+      corpusDir: String, indexDir: String): Unit = {
+    val b = batch.dropDuplicates("doc_id").persist()
+    try {
+      val corpus = readOr(spark, corpusDir)
+        .map(_.filter(col("batch") =!= bid).drop("batch"))
+      val idx = readOr(spark, indexDir)
+        .map(_.filter(col("batch") =!= bid).drop("batch"))
+      // cross-batch at-least-once: a doc already admitted by an EARLIER
+      // batch re-arriving here is the same doc, not a near-dup — drop it
+      // before the probe so it neither self-rejects nor re-admits
+      val fresh = corpus match {
+        case Some(c) => b.join(c.select("doc_id"), Seq("doc_id"), "left_anti")
+        case None => b
+      }
+      // bootstrap: an absent corpus is an empty one (only intra-batch
+      // dedup applies on the first batch)
+      val corpusOrEmpty = corpus.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema))
+      val admitted = fresh.join(
+        Dedup.incrementalAdmit(corpusOrEmpty, fresh, idx),
+        Seq("doc_id"), "left_semi").persist()
+      // the overwrite mode rides on the WRITER, not the session conf —
+      // inside foreachBatch the frames belong to the micro-batch's
+      // cloned session, so a session-conf set on the outer session never
+      // reaches the write (observed: static overwrite truncated the
+      // other batches' partitions)
+      admitted.withColumn("batch", lit(bid))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(corpusDir)
+      Dedup.signatureIndex(admitted).withColumn("batch", lit(bid))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(indexDir)
+      admitted.unpersist()
+      ()
+    } finally { b.unpersist(); () }
+  }
+
+  /** start the ingest over a streaming frame of documents (doc_id, text) */
+  def ingest(rows: DataFrame, corpusDir: String, indexDir: String,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val spark = rows.sparkSession
+    val w = rows.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestBatch(spark, batch, bid, corpusDir, indexDir)
+      }
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+
+  /** Gate runner: evens arrive as batch 0 (bootstrap), odds as batch 1
+    * (probing the persisted batch-0 index); then batch 1 is REDELIVERED
+    * verbatim through [[ingestBatch]] — the at-least-once case — and the
+    * returned corpus must be the exactly-once result. Returns
+    * (doc_id, batch) per admitted doc. */
+  def runToBatch(spark: SparkSession, docFile: String): DataFrame = {
+    val docs = spark.read.parquet(docFile).select("doc_id", "text")
+    val dir = DedupStream.stageOrderedBatches(spark, Seq(
+      "evens" -> docs.filter(col("doc_id") % 2 === 0),
+      "odds" -> docs.filter(col("doc_id") % 2 === 1)))
+    val out = java.nio.file.Files.createTempDirectory("graft-incr-ingest-")
+    graft.TempDirs.register(out)
+    val (corpusDir, indexDir) = (s"$out/corpus", s"$out/index")
+    val q = ingest(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir),
+      corpusDir, indexDir)
+    q.awaitTermination()
+    // at-least-once: the whole second batch arrives AGAIN with the same
+    // batch id (a retried micro-batch) — partition overwrite + the
+    // bid-excluding reads make this converge to the identical store
+    ingestBatch(spark, docs.filter(col("doc_id") % 2 === 1), 1L,
+      corpusDir, indexDir)
+    spark.read.parquet(corpusDir)
+      .select(col("doc_id"), col("batch").cast("long").as("batch"))
+  }
+}
