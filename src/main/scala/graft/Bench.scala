@@ -162,7 +162,11 @@ object Bench {
       Thread.sleep(30000L)
       calibSecFinal = try calibrate() catch { case _: Throwable => -1.0 }
       calibIoSec = try calibrateIo() catch { case _: Throwable => -1.0 }
-      contaminatedReason = contaminationReason(loadAvg(), calibSecFinal,
+      // re-check with the PRE-RUN load signal: the calibration probes'
+      // own 32-thread bursts inflate the instantaneous 1-min average
+      // (observed 0.94 -> 2.61 with nothing else running), and only
+      // load_BEFORE can gate contamination
+      contaminatedReason = contaminationReason(loadBefore, calibSecFinal,
         calibIoSec, histCalib, histCalibIo, loadMax, 2.0)
     }
     val contaminated = contaminatedReason.isDefined
