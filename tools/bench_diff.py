@@ -123,7 +123,15 @@ def contention_check(new, calibs):
               "regress-flag it; rerun on an idle machine "
               f"(load_after={new.get('load_after')})")
         flagged = True
-    for key, label in (("calib_sec", "cpu"), ("calib_io_sec", "io")):
+    # Per-probe factors: CPU contention shows up huge when present (2x is
+    # plenty), but disk drift is gradual and SELECTIVE — r13 measured a
+    # session with calib_io at 1.53x history where I/O-bound queries read
+    # 1.5-2x while CPU-bound ones sat at ~1.1x, sailing under a 2x bar
+    # AND under a median-per-query-ratio gate. Observed clean calib_io
+    # sits within ~1.2x of its median (r12-r13: 0.74 median, clean runs
+    # 0.71-0.89); every degraded session read >=1.4x. Bar at 1.4x.
+    for key, label, factor in (("calib_sec", "cpu", 2.0),
+                               ("calib_io_sec", "io", 1.4)):
         c = new.get(key)
         hist = calibs.get(key, [])
         if not isinstance(c, (int, float)) or c <= 0:
@@ -141,9 +149,10 @@ def contention_check(new, calibs):
         base = statistics.median(hist)
         if base <= 0:
             continue
-        if c > 2.0 * base or c < base / 2.0:
+        if c > factor * base or c < base / 2.0:
             print(f"CONTENTION ({label}): calibration {c:.2f} s vs history "
-                  f"median {base:.2f} s (load_before={new.get('load_before')}, "
+                  f"median {base:.2f} s, bar {factor}x "
+                  f"(load_before={new.get('load_before')}, "
                   f"load_after={new.get('load_after')}) — refusing to "
                   "regress-flag this run; rerun on an idle machine")
             flagged = True
@@ -194,6 +203,27 @@ def main_history(hist_path, new_path):
           f"({len(nq)} queries)")
     if contention_check(new, calibs):
         return
+    # Broad-slowdown gate: a code change moves SPECIFIC operators; an
+    # environment drift moves everything. When the MEDIAN per-query
+    # ratio across all shared queries exceeds 1.25x, per-query SLOWER
+    # flags would misattribute machine drift to code (r13: a run with
+    # load_before 0.36 and both calib probes under their 2x bars still
+    # read every family 50-100% over history — disk-slow session), so
+    # refuse to flag and say why.
+    shared = [(nq[k] / med[k]) for k in set(med) & set(nq)
+              if med.get(k, 0) > 0.2 and nq.get(k, -1) > 0
+              and (n_runs or {}).get(k, 0) >= 3]
+    if len(shared) >= 10:
+        med_ratio = statistics.median(shared)
+        if med_ratio > 1.25:
+            print(f"ENVIRONMENT-DRIFT: median per-query ratio "
+                  f"{med_ratio:.2f}x across {len(shared)} shared queries — "
+                  "a uniform slowdown is machine drift, not a code "
+                  "regression (calibration probes "
+                  f"{new.get('calib_sec')}/{new.get('calib_io_sec')} vs "
+                  "history; see PERFORMANCE.md r13); refusing to "
+                  "regress-flag this run")
+            return
     diff(med, nq, new, n_runs)
 
 
