@@ -59,14 +59,39 @@ object Bench {
     * JSON object per line; regex extraction keeps this dependency-free).
     * Only same-sf lines count — probe cost is sf-independent by design,
     * but keeping the filter means a future sf-dependent probe can't
-    * silently cross-contaminate. */
+    * silently cross-contaminate. Lines from contaminated or loaded runs
+    * are excluded (mirroring tools/bench_diff.py's `loaded_run`):
+    * every artifact is appended to the history regardless of verdict, so
+    * without this filter repeated contaminated runs would inflate the
+    * history medians and progressively weaken the gate's own 2x bar. */
   private[graft] def calibHistory(lines: Seq[String], sfDir: String,
-      field: String): Seq[Double] = {
+      field: String, loadMax: Double = 1.0): Seq[Double] = {
     val f = (s"""\"$field\":(-?[0-9.]+)""").r
     val sf = ("\"sf\":\"" + java.util.regex.Pattern.quote(sfDir) + "\"").r
-    lines.filter(l => sf.findFirstIn(l).isDefined)
+    val lb = """"load_before":(-?[0-9.]+)""".r
+    def loadedRun(l: String): Boolean =
+      l.contains("\"contaminated\":true") ||
+        lb.findFirstMatchIn(l).exists(_.group(1).toDouble > loadMax)
+    lines.filter(l => sf.findFirstIn(l).isDefined && !loadedRun(l))
       .flatMap(l => f.findFirstMatchIn(l).map(_.group(1).toDouble))
       .filter(_ > 0)
+  }
+
+  /** Post-run drift verdict (r13 hole: the 463.7 s official artifact
+    * probed clean at 14:04Z, then the machine degraded MID-run — untouched
+    * queries read 8x — and the artifact still self-certified clean because
+    * the gate only ever looked before the first query). A run whose
+    * post-run re-probe reads > factor x its own pre-run probe was not
+    * measured under the conditions it certified. Failed probes (-1)
+    * abstain. */
+  private[graft] def postRunDrift(calibBefore: Double, calibAfter: Double,
+      calibIoBefore: Double, calibIoAfter: Double,
+      factor: Double): Option[String] = {
+    if (calibBefore > 0 && calibAfter > 0 && calibAfter > factor * calibBefore)
+      return Some(f"calib_after $calibAfter%.3f > ${factor}%.1fx pre-run $calibBefore%.3f")
+    if (calibIoBefore > 0 && calibIoAfter > 0 && calibIoAfter > factor * calibIoBefore)
+      return Some(f"calib_io_after $calibIoAfter%.3f > ${factor}%.1fx pre-run $calibIoBefore%.3f")
+    None
   }
 
   def main(args: Array[String]): Unit = {
@@ -153,8 +178,8 @@ object Bench {
       try java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("bench_history.jsonl")).asScala.toSeq
       catch { case _: Throwable => Seq.empty[String] }
-    val histCalib = calibHistory(histLines, sfDir, "calib_sec")
-    val histCalibIo = calibHistory(histLines, sfDir, "calib_io_sec")
+    val histCalib = calibHistory(histLines, sfDir, "calib_sec", loadMax)
+    val histCalibIo = calibHistory(histLines, sfDir, "calib_io_sec", loadMax)
     var contaminatedReason = contaminationReason(loadBefore, calibSecFinal,
       calibIoSec, histCalib, histCalibIo, loadMax, 2.0)
     if (contaminatedReason.exists(_.startsWith("calib"))) {
@@ -169,9 +194,8 @@ object Bench {
       contaminatedReason = contaminationReason(loadBefore, calibSecFinal,
         calibIoSec, histCalib, histCalibIo, loadMax, 2.0)
     }
-    val contaminated = contaminatedReason.isDefined
     contaminatedReason.foreach(r =>
-      System.err.println(s"[bench] CONTAMINATED artifact: $r"))
+      System.err.println(s"[bench] CONTAMINATED artifact (pre-run): $r"))
 
     // catalog_init = open the stored catalog + first scan. When the
     // shredded store is cold this includes the one-time ingest (JSON →
@@ -194,6 +218,11 @@ object Bench {
     val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").flatMap(_.toIntOption)
       .filter(_ >= 0).getOrElse(1)
     var failedRuns = 0
+    // per-query loadavg samples: informational forensics (a mid-run
+    // contention window shows WHICH queries it hit), never a gate — the
+    // bench's own 32-thread bursts keep the 1-min average elevated, so
+    // only the calibration re-probe below can stamp mid-run drift
+    val loadPerQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
       (1 to warmup).foreach { _ =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -202,6 +231,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); secs(t0) } catch { case _: Throwable => -1.0 }
       }
+      loadPerQuery(name) = loadAvg()
       val ok = runs.filter(_ >= 0).sorted
       failedRuns += runs.size - ok.size
       val med =
@@ -214,6 +244,18 @@ object Bench {
       // single median run swings
       name -> (med, if (ok.isEmpty) -1.0 else ok.head)
     }
+    // post-run re-probe (r14): re-measure both calibrations AFTER the last
+    // query and stamp contaminated when they disagree >1.4x with the
+    // pre-run values — closing the mid-run-drift hole that let the 463.7 s
+    // r13 artifact self-certify clean after the machine degraded mid-run.
+    val calibAfter = try calibrate() catch { case _: Throwable => -1.0 }
+    val calibIoAfter = try calibrateIo() catch { case _: Throwable => -1.0 }
+    val driftReason = postRunDrift(calibSecFinal, calibAfter, calibIoSec,
+      calibIoAfter, 1.4)
+    driftReason.foreach(r =>
+      System.err.println(s"[bench] CONTAMINATED artifact (mid-run drift): $r"))
+    contaminatedReason = contaminatedReason.orElse(driftReason)
+    val contaminated = contaminatedReason.isDefined
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qsMin = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v._2 }
@@ -224,8 +266,10 @@ object Bench {
     val loadAfter = loadAvg()
     val contamJson = s""""contaminated":$contaminated,"contaminated_reason":${
       contaminatedReason.map("\"" + _ + "\"").getOrElse("null")},"waited_sec":${math.rint(waitedSec)}"""
+    val loadQs = loadPerQuery.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSecFinal,"calib_io_sec":$calibIoSec,$contamJson,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSecFinal,"calib_io_sec":$calibIoSec,"calib_after":$calibAfter,"calib_io_after":$calibIoAfter,$contamJson,"queries":$qs,"queries_min":$qsMin,"load_per_query":$loadQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }
     // append-only, git-retained history: bench_last.json is overwritten by
@@ -237,7 +281,7 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSecFinal,"calib_io_sec":$calibIoSec,$contamJson,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSecFinal,"calib_io_sec":$calibIoSec,"calib_after":$calibAfter,"calib_io_after":$calibIoAfter,$contamJson,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,9 +46,13 @@ import scala.concurrent.ExecutionContext.Implicits.global
   *   sbt "runMain graft.ConcurrencyProbe [nFiles perWriter w1 w2 ...] [--overlap|--mixed|--multi-jvm]"
   */
 object ConcurrencyProbe {
-  /** child-process arm: one writer's burst in its own JVM */
+  /** child-process arm: one writer's burst in its own JVM. `mode` is
+    * the contention shape (disjoint | overlap | mixed) — r13's worker
+    * silently ran the disjoint burst whatever the parent was asked,
+    * so `--overlap --multi-jvm` printed a line that LOOKED like the
+    * serialized workload but measured the disjoint one. */
   private def worker(args: Array[String]): Unit = {
-    val Array(root, idxS, perWriterS, nFilesS, cpusS) = args
+    val Array(root, idxS, perWriterS, nFilesS, cpusS, mode) = args
     val (idx, perWriter, nFiles) = (idxS.toInt, perWriterS.toInt, nFilesS.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpusS]")
@@ -63,7 +67,11 @@ object ConcurrencyProbe {
     var maxNs = 0L
     val t0 = System.nanoTime()
     for (k <- 0 until perWriter) {
-      val fid = (idx * perWriter + k) % nFiles
+      // same fid rule as the single-JVM arm: overlap pins every commit
+      // to the shared fid 0; mixed serializes every 4th commit on it
+      val fid =
+        if (mode == "overlap" || (mode == "mixed" && k % 4 == 3)) 0
+        else (idx * perWriter + k) % nFiles
       val c0 = System.nanoTime()
       cat.updateFileMeta(Seq(f"P$fid%09d"), s"""{"opt.w${idx}_$k":$k}""")
       maxNs = math.max(maxNs, System.nanoTime() - c0)
@@ -112,9 +120,11 @@ object ConcurrencyProbe {
         val outs = (0 until w).map(i =>
           java.nio.file.Files.createTempFile(s"graft_ccw_${i}_", ".out"))
         val procs = (0 until w).map { i =>
+          val mode =
+            if (overlap) "overlap" else if (mixed) "mixed" else "disjoint"
           val pb = new ProcessBuilder("bash", "scripts/run.sh",
             "graft.ConcurrencyProbe", "--worker", root, i.toString,
-            perWriter.toString, nFiles.toString, cpus.toString)
+            perWriter.toString, nFiles.toString, cpus.toString, mode)
           pb.directory(new java.io.File("/root/repo"))
           pb.redirectErrorStream(true)
           pb.redirectOutput(outs(i).toFile)
@@ -138,7 +148,9 @@ object ConcurrencyProbe {
         assert(last.currentLogSeq() == commits.toLong,
           s"expected $commits dense seqs, got ${last.currentLogSeq()}")
         outs.foreach(o => java.nio.file.Files.deleteIfExists(o))
-        println(f"CCPROBE-MJ writers=$w%2d  commits=$commits%4d  wall=$wall%6.1f s  " +
+        val modeTag =
+          if (overlap) "overlap" else if (mixed) "mixed" else "disjoint"
+        println(f"CCPROBE-MJ mode=$modeTag writers=$w%2d  commits=$commits%4d  wall=$wall%6.1f s  " +
           f"throughput=${commits / wall}%5.2f commits/s  " +
           f"per-commit=${wall / commits}%5.2f s  " +
           f"listings/commit=$perCommitListings%6.1f  " +

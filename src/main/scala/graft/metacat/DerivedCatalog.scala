@@ -122,9 +122,23 @@ class DerivedCatalog(spark: SparkSession, dir: String) extends MetacatCatalog {
   private def loadOrIngest: Either[DataFrame, DataFrame] = {
     val store = sys.env.getOrElse("SPARK_GRAFT_CATALOG_STORE", "/tmp/graft-catalog-store")
     if (store == "off") return Left(buildFiles)
-    try Right(materializedFiles(spark, dir, store, buildFiles))
+    // the store is written SORTED on the hot shred keys (r14): ShredProbe
+    // measured selective shred scans FLAT under growth only when row
+    // groups carry narrow min/max ranges (sorted-shred 0.23→0.25 s vs
+    // linear 0.63→1.79 s for unsorted Variant at 4× rows) — without the
+    // sort the typed columns save the decode but every row group still
+    // reads. sortWithinPartitions: no global shuffle (at 100 TB a total
+    // sort would be the most expensive stage of ingest); each output
+    // file is internally sorted, which is all row-group pruning needs.
+    try Right(materializedFiles(spark, dir, store,
+      buildFiles.sortWithinPartitions(shredSortCols.map(col): _*)))
     catch { case _: Throwable => Left(buildFiles) } // unwritable store ⇒ old path
   }
+
+  /** physical sort order of the stored files table: the hot shred keys,
+    * leading with `_s_core_run` (the dominant selective predicate) */
+  private def shredSortCols: Seq[String] =
+    shredding.values.map(_._1).toSeq.sorted
 
   private def buildFiles: DataFrame = {
     val k = col("o_orderkey")
@@ -298,8 +312,10 @@ object DerivedCatalog {
     val src = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
     val sfs = src.getFileSystem(hconf)
     val st = sfs.getFileStatus(src)
-    // v2: derivation logic version — bump when buildFiles changes shape
-    val fp = s"v2:${st.getLen}:${st.getModificationTime}"
+    // v3: derivation logic version — bump when buildFiles changes shape
+    // (v2→v3: store sorted on hot shred keys so stale unsorted stores
+    // rebuild instead of silently serving the unprunable layout)
+    val fp = s"v3:${st.getLen}:${st.getModificationTime}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val dst = new org.apache.hadoop.fs.Path(s"$store/files-$key")

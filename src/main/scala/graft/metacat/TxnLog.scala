@@ -68,7 +68,8 @@ import org.apache.hadoop.fs.Path
   * single-log commit hot path. */
 private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
     root: String, logs: Map[String, OccLog],
-    baseDirs: Map[String, String] = Map.empty) {
+    baseDirs: Map[String, String] = Map.empty,
+    primaryLog: String = "files_log") {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
 
@@ -141,6 +142,14 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
       "one base leg per table")
     require(legs.count(_.primary) <= 1,
       "at most one store-sensitive primary leg per transaction")
+    // deadlock-freedom leans on "every primary in the system lives on
+    // the SAME log" (see the staging contract above) — enforced here,
+    // not just documented: a primary on any other log would reintroduce
+    // the cross-log circular wait and surface only as a spurious
+    // 120 s crashed-writer timeout
+    legs.filter(_.primary).foreach(l => require(l.log == primaryLog,
+      s"primary legs must live on the designated primary log " +
+        s"'$primaryLog' (got '${l.log}')"))
     legs.foreach(l => require(logs.contains(l.log), s"unknown log ${l.log}"))
     baseLegs.foreach(b => require(baseDirs.contains(b.table),
       s"unknown base table ${b.table}"))

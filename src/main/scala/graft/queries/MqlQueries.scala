@@ -182,6 +182,19 @@ object MqlQueries {
           expr("try_variant_get(metadata, \"$['run.n_name']\", 'string')").as("run_name"))
     }),
 
+    // --- conf-loaded USER filter (SURVEY §2.7's registry row — the last
+    // spec-only component, oracle-gated r14): BandFilter is user-side
+    // code in the queries package, resolved by name through
+    // spark.graft.filters (conf entry → Class.forName → zero-arg
+    // construct → per-call resolution), exercising positional AND
+    // keyword params through the MQL grammar ---
+    "mql_filter_user" -> ((s, dir) => {
+      val cat = new DerivedCatalog(s, dir)
+      s.conf.set("spark.graft.filters", "band=graft.queries.BandFilter")
+      fileOut(Mql.query(s, cat,
+        "filter band(200000, 400000, key=\"size\")(files from dsns:ds2)"))
+    }),
+
     // --- filters (SURVEY §2.7) ---
     "mql_filter_stride" -> q("filter stride(7, 2)(files from dsns:all)") _,
     "mql_filter_sample" -> q("filter sample(0.25)(files from dsns:all)") _,
@@ -357,6 +370,9 @@ object MqlQueries {
       s"SELECT $FileCols, n.n_name AS run_name FROM mc_files" +
         " LEFT JOIN nation n ON m_run = n.n_nationkey" +
         " WHERE NOT retired AND k % 5 = 3 AND m_run < 60"),
+    "mql_filter_user" -> o(
+      s"SELECT $FileCols FROM mc_files WHERE NOT retired AND k % 5 = 2" +
+        " AND size >= 200000 AND size < 400000"),
     "mql_filter_randomize" -> o(
       s"SELECT $FileCols, md5('7:' || fid) AS rand_key" +
         " FROM mc_files WHERE NOT retired AND k % 5 = 0"),

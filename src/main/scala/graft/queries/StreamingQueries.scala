@@ -70,36 +70,65 @@ object StreamingQueries {
     // runner REDELIVERS batch 1 verbatim (at-least-once) — the output
     // must still be the exactly-once corpus
     "stream_dedup_incremental" -> ((s, d) =>
-      IncrementalDedupStream.runToBatch(s, s"$d/documents.parquet")))
+      IncrementalDedupStream.runToBatch(s, s"$d/documents.parquet")),
+    // store LIFECYCLE (r14): compact the partition-per-batch corpus+index
+    // into the reserved batch=-1 partition (identity-checked swap), fsck
+    // the corpus↔index invariants (any violation throws → red gate), and
+    // serve the corpus from the compacted store — same admitted set as
+    // stream_dedup_incremental, batch provenance folded to -1. The
+    // two-batch ingest is staged once per corpus dir (maintenance runs
+    // against an EXISTING store; re-staging per run would time the
+    // ingest, the pipe_bpe_encode lesson); compaction is idempotent, so
+    // repeat runs re-fold the compacted store and must emit the same rows.
+    "stream_dedup_store_maint" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val (corpusDir, indexDir) = maintStore.computeIfAbsent(d, dir =>
+        IncrementalDedupStream.stageStore(s, s"$dir/documents.parquet"))
+      graft.pipeline.DedupStore.compact(s, corpusDir, indexDir)
+      val bad = graft.pipeline.DedupStore.fsck(s, corpusDir, indexDir)
+        .filter(!col("ok")).collect()
+      require(bad.isEmpty, s"dedup-store fsck violations: ${bad.mkString("; ")}")
+      s.read.parquet(corpusDir)
+        .select(col("doc_id"), col("batch").cast("long").as("batch"))
+    }))
+
+  private val maintStore =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private def jacGE(thr: String) =
     "len(list_intersect(s_a, s_b))::DOUBLE / " +
       s"len(list_distinct(list_concat(s_a, s_b))) >= $thr"
 
+  /** sequential replay of the two-batch ingest: batch 0 = evens with
+    * intra-batch dedup only; batch 1 = odds probed against batch 0's
+    * ADMITTED corpus (the index holds admitted docs only) plus earlier
+    * odds (chain policy: matching a rejected earlier doc still rejects).
+    * The redelivered batch 1 adds nothing — exactly this. `b0`/`b1` are
+    * the emitted batch tags (0/1 live; -1/-1 after compaction folds the
+    * provenance). */
+  private def incrIngestOracle(b0: Int, b1: Int): String =
+    s"WITH ${PipelineQueries.Sig}, bands AS (SELECT doc_id, s, b.range AS band, " +
+      "CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
+      "FROM sig, range(4) b), " +
+      "cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS s_a, b.s AS s_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+      "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0 AND b.doc_id < a.doc_id), " +
+      s"dup0 AS (SELECT DISTINCT doc_a FROM cand0 WHERE ${jacGE("0.5")}), " +
+      "c0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0 " +
+      "AND doc_id NOT IN (SELECT doc_a FROM dup0)), " +
+      "cand1 AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS s_a, b.s AS s_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+      "WHERE a.doc_id % 2 = 1 AND (b.doc_id IN (SELECT doc_id FROM c0) " +
+      "OR (b.doc_id % 2 = 1 AND b.doc_id < a.doc_id))), " +
+      s"dup1 AS (SELECT DISTINCT doc_a FROM cand1 WHERE ${jacGE("0.5")}) " +
+      s"SELECT doc_id, CAST($b0 AS BIGINT) AS batch FROM c0 " +
+      s"UNION ALL SELECT doc_id, CAST($b1 AS BIGINT) FROM documents " +
+      "WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_a FROM dup1)"
+
   val oracles: Map[String, String] = Map(
-    // sequential replay of the two-batch ingest: batch 0 = evens with
-    // intra-batch dedup only; batch 1 = odds probed against batch 0's
-    // ADMITTED corpus (the index holds admitted docs only) plus earlier
-    // odds (chain policy: matching a rejected earlier doc still
-    // rejects). The redelivered batch 1 adds nothing — exactly this.
-    "stream_dedup_incremental" ->
-      (s"WITH ${PipelineQueries.Sig}, bands AS (SELECT doc_id, s, b.range AS band, " +
-        "CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
-        "FROM sig, range(4) b), " +
-        "cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS s_a, b.s AS s_b " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
-        "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0 AND b.doc_id < a.doc_id), " +
-        s"dup0 AS (SELECT DISTINCT doc_a FROM cand0 WHERE ${jacGE("0.5")}), " +
-        "c0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0 " +
-        "AND doc_id NOT IN (SELECT doc_a FROM dup0)), " +
-        "cand1 AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS s_a, b.s AS s_b " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
-        "WHERE a.doc_id % 2 = 1 AND (b.doc_id IN (SELECT doc_id FROM c0) " +
-        "OR (b.doc_id % 2 = 1 AND b.doc_id < a.doc_id))), " +
-        s"dup1 AS (SELECT DISTINCT doc_a FROM cand1 WHERE ${jacGE("0.5")}) " +
-        "SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM c0 " +
-        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM documents " +
-        "WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_a FROM dup1)"),
+    "stream_dedup_incremental" -> incrIngestOracle(0, 1),
+    // compacted store: same admitted set, provenance folded to batch=-1
+    "stream_dedup_store_maint" -> incrIngestOracle(-1, -1),
 
     "stream_events_hourly" ->
       """SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_epoch, event_type,

@@ -27,8 +27,17 @@ import graft.pipeline.Dedup
   * Scale shape: per batch this is O(batch) shingling + a narrow-index
   * bucket join ([[Dedup.incrementalDedupPairs]]'s contract — corpus
   * text fetched only for verified candidates); the partition-per-batch
-  * layout is the standard streaming-ingest table shape, compacted by
-  * the usual small-file maintenance. */
+  * layout is the standard streaming-ingest table shape, folded by
+  * [[graft.pipeline.DedupStore.compact]] (r14) so probe planning never
+  * pays an O(all-batches-ever) listing.
+  *
+  * CONCURRENCY POSTURE — SINGLE WRITER per store: the corpus/index dirs
+  * are bare parquet, and the idempotence argument above assumes the only
+  * writer of partition `batch=b` is THIS stream's batch b. Two ingest
+  * streams sharing one store would collide on batch ids and race the
+  * store reads; run one stream per store (scale inside the stream via
+  * partitions), and see [[graft.pipeline.DedupStore]] for the compaction
+  * + fsck lifecycle and the offline-maintenance contract. */
 object IncrementalDedupStream {
 
   private def readOr(spark: SparkSession, dir: String): Option[DataFrame] = {
@@ -103,6 +112,15 @@ object IncrementalDedupStream {
     * returned corpus must be the exactly-once result. Returns
     * (doc_id, batch) per admitted doc. */
   def runToBatch(spark: SparkSession, docFile: String): DataFrame = {
+    val (corpusDir, _) = stageStore(spark, docFile)
+    spark.read.parquet(corpusDir)
+      .select(col("doc_id"), col("batch").cast("long").as("batch"))
+  }
+
+  /** Run the full two-batch + redelivery ingest into a fresh temp store
+    * and return (corpusDir, indexDir) — the staged input the lifecycle
+    * gates ([[graft.pipeline.DedupStore]]) maintain. */
+  def stageStore(spark: SparkSession, docFile: String): (String, String) = {
     val docs = spark.read.parquet(docFile).select("doc_id", "text")
     val dir = DedupStream.stageOrderedBatches(spark, Seq(
       "evens" -> docs.filter(col("doc_id") % 2 === 0),
@@ -120,7 +138,6 @@ object IncrementalDedupStream {
     // bid-excluding reads make this converge to the identical store
     ingestBatch(spark, docs.filter(col("doc_id") % 2 === 1), 1L,
       corpusDir, indexDir)
-    spark.read.parquet(corpusDir)
-      .select(col("doc_id"), col("batch").cast("long").as("batch"))
+    (corpusDir, indexDir)
   }
 }

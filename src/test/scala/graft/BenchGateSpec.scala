@@ -54,6 +54,33 @@ class BenchGateSpec extends AnyFunSuite {
       Seq(0.50))
   }
 
+  test("calibHistory excludes contaminated and loaded runs (mirrors bench_diff loaded_run)") {
+    val lines = Seq(
+      """{"at":"t","load_before":0.3,"calib_sec":0.17,"contaminated":false,"sf":"/root/testdata/sf0.1"}""",
+      // stamped contaminated: its inflated probe must not raise the bar
+      """{"at":"t","load_before":0.4,"calib_sec":0.55,"contaminated":true,"sf":"/root/testdata/sf0.1"}""",
+      // pre-r13 line with no contaminated field but a loaded machine
+      """{"at":"t","load_before":4.98,"calib_sec":0.61,"sf":"/root/testdata/sf0.1"}""",
+      """{"at":"t","load_before":0.2,"calib_sec":0.19,"contaminated":false,"sf":"/root/testdata/sf0.1"}""")
+    assert(Bench.calibHistory(lines, "/root/testdata/sf0.1", "calib_sec", 1.0) ==
+      Seq(0.17, 0.19))
+  }
+
+  test("post-run drift: a degraded post-probe marks the run; flat or failed probes pass") {
+    // the r13 hole: pre-run probes clean, machine degrades mid-run
+    assert(Bench.postRunDrift(0.17, 0.17, 0.89, 2.31, 1.4)
+      .exists(_.contains("calib_io_after")))
+    assert(Bench.postRunDrift(0.17, 0.52, 0.89, 0.90, 1.4)
+      .exists(_.contains("calib_after")))
+    // flat pre/post: clean
+    assert(Bench.postRunDrift(0.17, 0.18, 0.89, 0.91, 1.4).isEmpty)
+    // exactly at the factor: passes (strict >)
+    assert(Bench.postRunDrift(1.0, 1.4, 0.5, 0.7, 1.4).isEmpty)
+    // failed probes (-1) abstain on either side
+    assert(Bench.postRunDrift(-1.0, 9.9, 0.89, 0.90, 1.4).isEmpty)
+    assert(Bench.postRunDrift(0.17, -1.0, 0.89, -1.0, 1.4).isEmpty)
+  }
+
   test("median: odd, even, empty") {
     assert(Bench.median(Seq(3, 1, 2).map(_.toDouble)) == 2.0)
     assert(Bench.median(Seq(1.0, 2.0, 3.0, 4.0)) == 2.5)

@@ -53,6 +53,27 @@ class TxnSpec extends SparkTestBase with OccFailureCapture {
     cat.parentChild.select(concat_ws(">", col("parent_fid"), col("child_fid")))
       .collect().map(_.getString(0)).toSet)
 
+  test("a primary leg off the designated primary log is rejected up front") {
+    // deadlock-freedom rests on every primary living on ONE log (r14,
+    // ADVICE): a primary on any other log must fail fast as a contract
+    // violation, not 120 s later as a spurious crashed-writer timeout
+    import org.apache.spark.sql.types._
+    val root = newRoot()
+    val schema = StructType(Seq(StructField("k", StringType)))
+    def mkLog(n: String) = new OccLog(spark, root, n, schema, df => df)
+    val txns = new TxnLog(spark, root,
+      Map("files_log" -> mkLog("files_log"), "members_log" -> mkLog("members_log")),
+      primaryLog = "files_log")
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      txns.run(Seq(
+        TxnLog.Leg("members_log", "up", None, () => Seq("a").toDF("k"),
+          primary = true),
+        TxnLog.Leg("files_log", "up", None, () => Seq("b").toDF("k"))))
+    }
+    assert(e.getMessage.contains("primary log"))
+  }
+
   test("removeFiles: kill at every recoverable seam, recovery restores atomicity") {
     val rollbackSeams = Seq("after-intent", "after-stage:edges_log",
       "after-stage:members_log", "after-stage:files_log")

@@ -65,13 +65,30 @@ print(f"   isolated {sys.argv[1]}: {iso['queries'][sys.argv[1]]} s "
 PY
 done
 
+# Phase 3 (r14): day-N incremental-ingest curve — K sequential batches
+# into one persisted corpus+index; per-batch wall must stay flat while
+# the corpus grows K-fold (the operator's central O(batch) claim).
+echo "== phase 3: incremental-ingest curve (8 batches)"
+scripts/run.sh graft.IncrIngestProbe "$DIR/documents.parquet" 8 \
+  | tee /tmp/scale10x_incr.txt | grep INCRINGEST
+
 python3 - <<'PY'
-import json
+import json, re
 main = json.load(open('/tmp/scale10x_main.json'))
 main['queries_isolated'] = json.load(open('/tmp/scale10x_iso.json'))
+incr = {'batch_secs': [], 'corpus_rows': []}
+for line in open('/tmp/scale10x_incr.txt'):
+    m = re.match(r'INCRINGEST batch=\s*(\d+) wall=([0-9.]+) corpus_rows=(\d+)', line)
+    if m:
+        incr['batch_secs'].append(float(m.group(2)))
+        incr['corpus_rows'].append(int(m.group(3)))
+    s = re.match(r'INCRINGEST-SUMMARY .*flatness=([0-9.]+)x', line)
+    if s:
+        incr['flatness'] = float(s.group(1))
+main['incremental_ingest'] = incr
 with open('SCALE10X_BENCH.json', 'w') as f:
     json.dump(main, f, indent=0)
 print("wrote SCALE10X_BENCH.json: total", main['value'], "s;",
       len(main['queries']), "queries;", len(main['queries_isolated']),
-      "isolated")
+      "isolated; ingest flatness", incr.get('flatness'))
 PY
