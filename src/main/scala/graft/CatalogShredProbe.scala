@@ -59,8 +59,9 @@ object CatalogShredProbe {
         expr("try_variant_get(metadata, \"$['core.run']\", 'long')") === 777L))
       def mqlSel = graft.mql.Mql.query(spark, cat, "files where core.run == 777")
       val mql = timed(mqlSel)
-      val pushed = mqlSel.queryExecution.executedPlan.toString
-        .contains("PushedFilters: [IsNotNull(_s_core_run), EqualTo(_s_core_run,777")
+      val plan = mqlSel.queryExecution.executedPlan.toString
+      val pushed = plan.contains("EqualTo(_s_core_run,777") &&
+        plan.contains("PushedFilters")
       println(f"CATSHRED mult=$mult%3d rows=$n ingest=$ingest%.1f " +
         f"variant=$variant%.3f mql_shred=$mql%.3f pushed=$pushed " +
         f"speedup=${variant / mql}%.1fx")

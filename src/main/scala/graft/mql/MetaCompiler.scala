@@ -87,9 +87,29 @@ object MetaCompiler {
     def exp(e: MetaExp): Column = e match {
       case MAnd(cs) => cs.map(exp).reduce(_ && _)
       case MOr(cs) => cs.map(exp).reduce(_ || _)
-      case Cmp(l, op, r, neg) => xorNeg(rawCmp(l, op, r), neg)
-      case InRange(l, lo, hi, neg, inv) => xorNeg(rawRange(l, lo, hi, inv), neg)
-      case InSet(l, vs, neg, inv) => xorNeg(rawSet(l, vs, inv), neg)
+      // typed-column scalars (shredded metadata keys, object attributes)
+      // compile to NULL-FREE conjuncts (`isNotNull && typed cmp`) instead
+      // of the generic `coalesce(raw, false)` wrapper: coalesce blocks
+      // both predicate pushdown and the optimizer's cast-unwrapping, so
+      // the old form read EVERY row group — measured through the catalog
+      // read path by CatalogShredProbe (r14), the shred columns saved the
+      // Variant decode but never reached parquet min/max stats. The
+      // missing-key⇒false XOR neg truth table is unchanged: a null column
+      // makes the conjunct false, and negation flips it to true.
+      case Cmp(l, op, r, neg) => typedCol(l) match {
+        case Some((x, t)) => xorNegNullFree(nullFreeCmp(x, t, op, r), neg)
+        case None => xorNeg(rawCmp(l, op, r), neg)
+      }
+      // `inv` only arises from the [all] rewrite on array scalars, which
+      // are never typed columns — the typed branch can ignore it
+      case InRange(l, lo, hi, neg, inv) => typedCol(l) match {
+        case Some((x, t)) => xorNegNullFree(nullFreeRange(x, t, lo, hi), neg)
+        case None => xorNeg(rawRange(l, lo, hi, inv), neg)
+      }
+      case InSet(l, vs, neg, inv) => typedCol(l) match {
+        case Some((x, t)) => xorNegNullFree(nullFreeSet(x, t, vs), neg)
+        case None => xorNeg(rawSet(l, vs, inv), neg)
+      }
       case Present(n, neg) => xorNeg(tv(n).isNotNull, neg)
     }
 
@@ -97,6 +117,36 @@ object MetaCompiler {
       val r = coalesce(raw, lit(false))
       if (neg) !r else r
     }
+
+    /** for raw predicates that can never evaluate to null — skipping the
+      * coalesce keeps them pushdown-eligible */
+    private def xorNegNullFree(raw: Column, neg: Boolean): Column =
+      if (neg) !raw else raw
+
+    /** scalar bound to a typed column: a shredded metadata key or an
+      * object attribute */
+    private def typedCol(l: Scalar): Option[(Column, ShredType)] = l match {
+      case MetaAttr(n) => shredded(n)
+      case ObjectAttr(n) => Some(attrCol(n))
+      case _ => None
+    }
+
+    /** null-free typed comparison: false on a null column; `!=` is the
+      * complement among present values (identical truth table to
+      * [[cmpShredded]] under the callers' coalesce, minus the coalesce) */
+    private def nullFreeCmp(x: Column, t: ShredType, op: String, c: Const): Column =
+      if (op == "!=") x.isNotNull && !cmpShredded(x, t, "==", c)
+      else x.isNotNull && cmpShredded(x, t, op, c)
+
+    private def nullFreeRange(x: Column, t: ShredType, lo: Const, hi: Const): Column =
+      ((lo, t): @unchecked) match {
+        case (IntC(_) | FloatC(_), ShredNum) | (StringC(_), ShredStr) =>
+          x.isNotNull && typedRange(x, lo, hi)
+        case _ => lit(false)
+      }
+
+    private def nullFreeSet(x: Column, t: ShredType, vs: List[Const]): Column =
+      x.isNotNull && vs.map(c => cmpShredded(x, t, "==", c)).reduce(_ || _)
 
     // ---- variant access ----
     private def path(name: String): String = s"$$['$name']"
@@ -130,13 +180,26 @@ object MetaCompiler {
       when(schemaOf(v) === "BOOLEAN", try_variant_get(v, "$", "boolean"))
 
     // ---- comparisons ----
-    private def cmpNum(x: Column, op: String, d: Double): Column = op match {
-      case "==" => x === d
-      case "<" => x < d
-      case "<=" => x <= d
-      case ">" => x > d
-      case ">=" => x >= d
-      case _ => lit(false) // regex on a number: type mismatch => false
+    /** integral constants become LONG literals: against an integer shred
+      * column the comparison then needs no cast on either side (the
+      * optimizer does NOT unwrap long→double column casts, so a double
+      * literal would un-push the predicate); against double columns the
+      * literal side is promoted, which is always pushable. Values beyond
+      * 2^53 compare exactly this way where the old double compare was
+      * lossy. */
+    private def numConst(d: Double): Any =
+      if (d == math.rint(d) && math.abs(d) <= 9.007199254740992e15) d.toLong
+      else d
+    private def cmpNum(x: Column, op: String, dRaw: Double): Column = {
+      val d = numConst(dRaw)
+      op match {
+        case "==" => x === d
+        case "<" => x < d
+        case "<=" => x <= d
+        case ">" => x > d
+        case ">=" => x >= d
+        case _ => lit(false) // regex on a number: type mismatch => false
+      }
     }
 
     private def cmpStr(x: Column, op: String, s: String): Column = op match {
@@ -184,10 +247,14 @@ object MetaCompiler {
       if (op == "!=")
         x.isNotNull && !coalesce(cmpShredded(x, t, "==", c), lit(false))
       else (c, t) match {
-        case (IntC(i), ShredNum) => cmpNum(x.cast("double"), op, i.toDouble)
-        case (FloatC(d), ShredNum) => cmpNum(x.cast("double"), op, d)
-        case (DateC(d), ShredNum) => cmpNum(x.cast("double"), op, d)
-        case (StringC(s), ShredStr) => cmpStr(x.cast("string"), op, s)
+        // constants stay on the LITERAL side, uncast column on the left:
+        // the analyzer's type coercion + UnwrapCastInBinaryComparison
+        // then leave a plain typed comparison the parquet source can
+        // push (a cast on the COLUMN side is never pushable)
+        case (IntC(i), ShredNum) => cmpNum(x, op, i.toDouble)
+        case (FloatC(d), ShredNum) => cmpNum(x, op, d)
+        case (DateC(d), ShredNum) => cmpNum(x, op, d)
+        case (StringC(s), ShredStr) => cmpStr(x, op, s)
         case (BoolC(b), ShredBool) => if (op == "==") x === b else lit(false)
         case _ => lit(false) // type-class mismatch
       }
@@ -265,9 +332,11 @@ object MetaCompiler {
     }
 
     private def typedRange(x: Column, lo: Const, hi: Const): Column = (lo, hi) match {
-      case (IntC(a), IntC(b)) => x.cast("double").between(a.toDouble, b.toDouble)
-      case (FloatC(a), FloatC(b)) => x.cast("double").between(a, b)
-      case (StringC(a), StringC(b)) => x.cast("string").between(a, b)
+      // uncast column side, long literals for integral bounds — see
+      // cmpShredded's pushdown note
+      case (IntC(a), IntC(b)) => x.between(a, b)
+      case (FloatC(a), FloatC(b)) => x.between(numConst(a), numConst(b))
+      case (StringC(a), StringC(b)) => x.between(a, b)
       case _ => lit(false)
     }
 
