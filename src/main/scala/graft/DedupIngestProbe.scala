@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.metacat.DedupLog
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** Ingest-throughput probe for the MULTI-WRITER OCC dedup store
+  * ([[graft.metacat.DedupLog]]): W writers concurrently ingest B batches
+  * of N synthetic docs each into ONE shared store, and the probe reports
+  * aggregate docs/s per writer count plus the protocol counters
+  * (listings/ingest, max single ingest).
+  *
+  * Three contention arms mirror [[ConcurrencyProbe]]'s:
+  *  - `disjoint` (default): every doc's token set is unique to its
+  *    (writer, batch, doc) — all key footprints disjoint, commits
+  *    commute, Spark writes overlap; aggregate throughput should scale
+  *    with writers until the local scheduler saturates.
+  *  - `--clones`: a fixed pool of clone groups is spread across EVERY
+  *    writer's batches — all footprints intersect on the shared buckets,
+  *    the fully-serialized path; correctness over speed (exactly one
+  *    admitted doc per group, asserted post-run).
+  *  - `--mixed`: every 4th doc comes from the shared pool — the partial
+  *    contention a real multi-source ingest fleet produces.
+  *
+  * Single-JVM threads sharing one local[32] scheduler — past ~8 writers
+  * the sag measures harness contention, not the protocol (the same
+  * caveat ConcurrencyProbe's multi-JVM arm exists for); run small writer
+  * counts for protocol signal. Post-run the probe asserts the store
+  * invariants regardless of arm: fsck green and no duplicate admitted
+  * text.
+  *
+  *   sbt "runMain graft.DedupIngestProbe [docsPerBatch batches w1 w2 ...] [--clones|--mixed]"
+  */
+object DedupIngestProbe {
+
+  /** deterministic 10-token doc bodies; seed uniqueness = near-dup
+    * structure (shared seed ⇒ jaccard 1.0, distinct seeds ⇒ 0.0) */
+  private def docsDf(spark: SparkSession, n: Int, idBase: Long,
+      seedFor: Int => String): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(k => (idBase + k,
+      (0 until 10).map(i => s"${seedFor(k)}-$i").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val clones = args.contains("--clones")
+    val mixed = args.contains("--mixed")
+    val rest = args.filterNot(a => a == "--clones" || a == "--mixed")
+    val docsPerBatch = if (rest.nonEmpty) rest(0).toInt else 2000
+    val batches = if (rest.length > 1) rest(1).toInt else 4
+    val writerCounts =
+      if (rest.length > 2) rest.drop(2).map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    val mode = if (clones) "clones" else if (mixed) "mixed" else "disjoint"
+    val clonePool = 256 // shared groups the contended arms draw from
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (w <- writerCounts) {
+      val root = java.nio.file.Files.createTempDirectory("graft_dedup_ing_")
+        .toString + "/store"
+      val dl = new DedupLog(spark, root)
+      val nIngests = w * batches
+      val maxNs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listings0 = graft.metacat.OccLog.listings.get()
+      val t0 = System.nanoTime()
+      Await.result(Future.sequence((0 until w).map { wi =>
+        Future {
+          for (b <- 0 until batches) {
+            val bid = wi.toLong * batches + b
+            val seedFor: Int => String = k =>
+              if (clones || (mixed && k % 4 == 3))
+                s"shared-${(wi + b + k) % clonePool}"
+              else s"w$wi-b$b-d$k"
+            val d = docsDf(spark, docsPerBatch, bid * 1000000L, seedFor)
+            val c0 = System.nanoTime()
+            dl.ingest(d, bid)
+            val dt = System.nanoTime() - c0
+            var cur = maxNs.get()
+            while (dt > cur && !maxNs.compareAndSet(cur, dt)) cur = maxNs.get()
+          }
+        }
+      }), 60.minutes)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val perIngestListings =
+        (graft.metacat.OccLog.listings.get() - listings0).toDouble / nIngests
+      // store invariants hold whatever the interleave was
+      val admitted = dl.corpus().persist()
+      val n = admitted.count()
+      val dupTexts = n - admitted.select("text").distinct().count()
+      require(dupTexts == 0L, s"$dupTexts duplicate admitted texts")
+      val badFsck = dl.fsck().filter(!col("ok")).count()
+      require(badFsck == 0L, s"$badFsck fsck violations")
+      admitted.unpersist()
+      val docsTotal = nIngests.toLong * docsPerBatch
+      println(f"DEDUPPROBE mode=$mode writers=$w%2d  ingests=$nIngests%3d  " +
+        f"docs=$docsTotal%7d  admitted=$n%7d  wall=$secs%6.1f s  " +
+        f"throughput=${docsTotal / secs}%8.1f docs/s  " +
+        f"per-ingest=${secs / nIngests}%5.2f s  " +
+        f"listings/ingest=$perIngestListings%6.1f  " +
+        f"max-ingest=${maxNs.get() / 1e9}%5.2f s")
+    }
+    spark.stop()
+  }
+}

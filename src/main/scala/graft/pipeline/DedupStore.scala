@@ -105,10 +105,19 @@ object DedupStore {
     * state; any violation means the store was written outside the
     * single-writer contract or a partial batch landed. */
   def fsck(spark: SparkSession, corpusDir: String, indexDir: String,
-      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+      numHashes: Int = 8, bands: Int = 4): DataFrame =
+    fsckFrames(spark, spark.read.parquet(corpusDir).drop("batch"),
+      spark.read.parquet(indexDir).drop("batch"), numHashes, bands)
+
+  /** [[fsck]] over already-derived frames — shared with the OCC-governed
+    * store ([[graft.metacat.DedupLog.fsck]]), whose corpus/index are two
+    * projections of one log rather than two parquet dirs. */
+  def fsckFrames(spark: SparkSession, corpusFrame: DataFrame,
+      indexFrame: DataFrame, numHashes: Int = 8,
+      bands: Int = 4): DataFrame = {
     import spark.implicits._
-    val corpus = spark.read.parquet(corpusDir).drop("batch")
-    val idx = spark.read.parquet(indexDir).drop("batch")
+    val corpus = corpusFrame
+    val idx = indexFrame
       .select(col("doc_id"), col("band").cast("int").as("band"), col("bkey"))
     val corpusIds = corpus.select("doc_id").persist()
     val nCorpus = corpusIds.count()

@@ -71,6 +71,14 @@ object StreamingQueries {
     // must still be the exactly-once corpus
     "stream_dedup_incremental" -> ((s, d) =>
       IncrementalDedupStream.runToBatch(s, s"$d/documents.parquet")),
+    // the MULTI-WRITER store (r14): the same two-batch + redelivery
+    // scenario through the OCC-governed DedupLog — admissions commit to
+    // one catalog-protocol log with LSH-bucket key footprints, then the
+    // log's own checkpoint+vacuum lifecycle and fsck run before the
+    // corpus is served. Same oracle as stream_dedup_incremental: the
+    // governance changes who may write, never what is admitted.
+    "stream_dedup_occ" -> ((s, d) =>
+      IncrementalDedupStream.runOccToBatch(s, s"$d/documents.parquet")),
     // store LIFECYCLE (r14): compact the partition-per-batch corpus+index
     // into the reserved batch=-1 partition (identity-checked swap), fsck
     // the corpus↔index invariants (any violation throws → red gate), and
@@ -127,6 +135,8 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_dedup_incremental" -> incrIngestOracle(0, 1),
+    // OCC-governed store: identical admitted set and batch provenance
+    "stream_dedup_occ" -> incrIngestOracle(0, 1),
     // compacted store: same admitted set, provenance folded to batch=-1
     "stream_dedup_store_maint" -> incrIngestOracle(-1, -1),
 

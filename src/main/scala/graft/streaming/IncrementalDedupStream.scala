@@ -106,6 +106,55 @@ object IncrementalDedupStream {
     w.start()
   }
 
+  /** Start the OCC-GOVERNED ingest over the same stream surface as
+    * [[ingest]]: micro-batches route through
+    * [[graft.metacat.DedupLog.ingest]], so ANY number of concurrent
+    * streams (or batch writers, or other JVMs) may share `logRoot` —
+    * conflicting admissions serialize on their LSH-bucket key footprints,
+    * disjoint ones commute and overlap. Redelivery needs no partition
+    * tricks here: a redelivered batch's docs are already corpus members
+    * and the commit publishes zero rows. */
+  def ingestOcc(rows: DataFrame, logRoot: String,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val dl = new graft.metacat.DedupLog(rows.sparkSession, logRoot)
+    val w = rows.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) => dl.ingest(batch, bid) }
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+
+  /** Gate runner for the OCC store: the same evens/odds two-batch +
+    * verbatim-redelivery scenario as [[runToBatch]], through
+    * [[graft.metacat.DedupLog]] — then the log's OWN lifecycle
+    * (checkpoint + vacuum) and fsck run before the corpus is served, so
+    * one gate covers protocol, convergence and maintenance. Output and
+    * oracle are identical to `stream_dedup_incremental` (admission
+    * semantics don't change with the governance). */
+  def runOccToBatch(spark: SparkSession, docFile: String): DataFrame = {
+    val docs = spark.read.parquet(docFile).select("doc_id", "text")
+    val dir = DedupStream.stageOrderedBatches(spark, Seq(
+      "evens" -> docs.filter(col("doc_id") % 2 === 0),
+      "odds" -> docs.filter(col("doc_id") % 2 === 1)))
+    val out = java.nio.file.Files.createTempDirectory("graft-occ-dedup-")
+    graft.TempDirs.register(out)
+    val root = s"$out/store"
+    val q = ingestOcc(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir), root)
+    q.awaitTermination()
+    val dl = new graft.metacat.DedupLog(spark, root)
+    // at-least-once: the whole second batch arrives AGAIN — the OCC store
+    // must publish an empty commit and serve the exactly-once corpus
+    dl.ingest(docs.filter(col("doc_id") % 2 === 1), 1L)
+    dl.checkpoint()
+    dl.vacuum()
+    val bad = dl.fsck().filter(!col("ok")).collect()
+    require(bad.isEmpty, s"dedup-log fsck violations: ${bad.mkString("; ")}")
+    dl.corpus().select(col("doc_id"), col("batch"))
+  }
+
   /** Gate runner: evens arrive as batch 0 (bootstrap), odds as batch 1
     * (probing the persisted batch-0 index); then batch 1 is REDELIVERED
     * verbatim through [[ingestBatch]] — the at-least-once case — and the

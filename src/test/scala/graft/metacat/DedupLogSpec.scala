@@ -1,0 +1,137 @@
+package graft.metacat
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+import graft.mql.SparkTestBase
+import graft.streaming.IncrementalDedupStream
+
+/** The OCC-governed multi-writer dedup store ([[DedupLog]]): admission
+  * parity with the single-writer store, serializable concurrent admission
+  * (one winner per clone group no matter how batches interleave),
+  * redelivery convergence without partition tricks, and the log's own
+  * lifecycle preserving the corpus. */
+class DedupLogSpec extends SparkTestBase {
+
+  private def tmpRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-deduplog-$tag-")
+    graft.TempDirs.register(d)
+    s"$d/store"
+  }
+
+  /** docs long enough to shingle; distinct seeds share ZERO tokens (so
+    * zero shingles — never candidates), clones share the full text (so
+    * jaccard 1.0 — always candidates); ids are never shared */
+  private def doc(id: Long, seed: String): (Long, String) =
+    (id, (0 until 10).map(i => s"$seed-$i").mkString(" "))
+
+  private def toDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** order-free content identity of the store's corpus */
+  private def corpusId(dl: DedupLog): (Long, Long) = {
+    val r = dl.corpus().agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(doc_id, text, batch))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("sequential ingest matches the single-writer store's admissions") {
+    val docs = (0L until 40L).map { i =>
+      // %7 == 1 docs clone their predecessor's text — cross-parity
+      // near-dups (evens/odds split puts clone pairs in both batches)
+      if (i % 7 == 1) doc(i, s"payload-${i - 1}")
+      else doc(i, s"payload-$i")
+    }
+    val evens = docs.filter(_._1 % 2 == 0)
+    val odds = docs.filter(_._1 % 2 == 1)
+
+    val root = tmpRoot("parity")
+    val dl = new DedupLog(spark, root)
+    dl.ingest(toDf(evens), 0L)
+    dl.ingest(toDf(odds), 1L)
+
+    // the bare partition-overwrite store on the identical batch sequence
+    val out = java.nio.file.Files.createTempDirectory("graft-deduplog-bare-")
+    graft.TempDirs.register(out)
+    val (corpusDir, indexDir) = (s"$out/corpus", s"$out/index")
+    IncrementalDedupStream.ingestBatch(spark, toDf(evens), 0L, corpusDir, indexDir)
+    IncrementalDedupStream.ingestBatch(spark, toDf(odds), 1L, corpusDir, indexDir)
+
+    val got = dl.corpus().select("doc_id", "batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = spark.read.parquet(corpusDir)
+      .select(col("doc_id"), col("batch").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(dl.fsck().filter(!col("ok")).count() == 0)
+  }
+
+  test("concurrent clone storm: exactly one admitted doc per clone group") {
+    val writers = 4
+    val groups = 12
+    // writer w's batch holds one member of EVERY clone group (identical
+    // text ⇒ identical signature ⇒ guaranteed candidates) plus unique
+    // filler — every pair of batches conflicts on every group's buckets,
+    // the worst-case interleave for the protocol
+    def batchOf(w: Int): Seq[(Long, String)] =
+      (0 until groups).map(g => doc(w * 1000L + g, s"group-$g")) ++
+        (0 until 5).map(k => doc(w * 1000L + 500 + k, s"solo-$w-$k"))
+
+    val root = tmpRoot("storm")
+    val dl = new DedupLog(spark, root)
+    Await.result(Future.sequence((0 until writers).map(w =>
+      Future { dl.ingest(toDf(batchOf(w)), w.toLong) })), 10.minutes)
+
+    val admitted = dl.corpus().collect()
+    // one winner per clone group, every unique filler admitted
+    val byText = admitted.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(byText.values.forall(_ == 1),
+      s"duplicate admissions: ${byText.filter(_._2 > 1).toMap}")
+    assert(admitted.length == groups + writers * 5)
+    assert(dl.fsck().filter(!col("ok")).count() == 0)
+
+    // the claims carry REAL key footprints (keyed OCC, not total order)
+    val claims = new java.io.File(s"$root/dedup_log_claims")
+      .listFiles().filter(_.getName.endsWith(".keys"))
+    assert(claims.nonEmpty)
+    claims.foreach { f =>
+      val c = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      assert(c.trim != "*" && c.contains("b:"), s"unkeyed claim ${f.getName}")
+    }
+  }
+
+  test("redelivered batch publishes zero rows; store byte-identical") {
+    val root = tmpRoot("redeliver")
+    val dl = new DedupLog(spark, root)
+    val batch = (0L until 10L).map(i => doc(i, s"pay-$i"))
+    dl.ingest(toDf(batch), 0L)
+    val before = corpusId(dl)
+    dl.ingest(toDf(batch), 0L) // verbatim redelivery
+    assert(corpusId(dl) == before)
+    // and a LATER-batch re-arrival of a subset converges the same way
+    dl.ingest(toDf(batch.take(3)), 1L)
+    assert(corpusId(dl) == before)
+    assert(dl.fsck().filter(!col("ok")).count() == 0)
+  }
+
+  test("checkpoint + vacuum preserve the corpus under prior concurrency") {
+    val root = tmpRoot("lifecycle")
+    val dl = new DedupLog(spark, root)
+    Await.result(Future.sequence((0 until 3).map(w => Future {
+      dl.ingest(toDf((0 until 8).map(k =>
+        doc(w * 100L + k, s"life-$w-$k"))), w.toLong)
+    })), 10.minutes)
+    val before = corpusId(dl)
+    assert(dl.checkpoint() > 0L)
+    dl.vacuum()
+    assert(corpusId(dl) == before)
+    assert(dl.fsck().filter(!col("ok")).count() == 0)
+    // post-vacuum writers keep working against the checkpointed store
+    dl.ingest(toDf(Seq(doc(9999L, "post-vacuum"))), 99L)
+    assert(corpusId(dl)._1 == before._1 + 1)
+  }
+}
