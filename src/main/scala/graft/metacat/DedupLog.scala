@@ -71,6 +71,33 @@ final class DedupLog(spark: SparkSession, root: String,
   private val log = new OccLog(spark, root, "dedup_log", Schema,
     OccLog.latestPerKey(Seq("doc_id", "band")))
 
+  // Pin the LSH configuration to the store: signatures written under one
+  // (numHashes, bands) banding are meaningless to a probe using another,
+  // and the conflict rule itself keys on the banding — a second writer
+  // opening the store with different params would SILENTLY mis-dedup.
+  // First open stamps an exclusive marker; every open verifies it.
+  locally {
+    val p = new org.apache.hadoop.fs.Path(s"$root/dedup_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = s"numHashes=$numHashes\nbands=$bands\nthreshold=$threshold"
+    if (!fs.exists(p)) {
+      fs.mkdirs(p.getParent)
+      try {
+        val out = fs.create(p, false) // exclusive: first writer stamps
+        try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => () } // racer stamped first
+    }
+    val in = fs.open(p)
+    val got = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    require(got == want,
+      s"dedup store at $root was created with [$got]; this writer wants " +
+        s"[$want] — mixed LSH configs silently mis-dedup, refusing to open")
+  }
+
   /** Admit one ingest batch of `(doc_id, text)` rows under OCC: probe the
     * published corpus/index, admit near-dup survivors
     * ([[Dedup.incrementalAdmit]] — chain policy, intra-batch earliest
@@ -88,6 +115,7 @@ final class DedupLog(spark: SparkSession, root: String,
       val sig = Dedup.signatureIndex(b, numHashes, bands)
         .select(col("doc_id"), col("band").cast("int").as("band"), col("bkey"))
         .persist()
+      try {
       val keys = sig
         .select(concat_ws(":", lit("b"), col("band"), col("bkey")).as("k"))
         .unionByName(b.select(concat_ws(":", lit("d"), col("doc_id")).as("k")))
@@ -115,7 +143,7 @@ final class DedupLog(spark: SparkSession, root: String,
             .select(col("doc_id"), col("band"), col("bkey"),
               lit(null).cast("string").as("text"), lit(batchId).as("batch")))
       }, OpAdmit, Some(keys))
-      sig.unpersist()
+      } finally { sig.unpersist(); () }
       ()
     } finally { b.unpersist(); () }
   }

@@ -118,6 +118,16 @@ class DedupLogSpec extends SparkTestBase {
     assert(dl.fsck().filter(!col("ok")).count() == 0)
   }
 
+  test("LSH config pin: a second writer with different banding is refused") {
+    val root = tmpRoot("pin")
+    new DedupLog(spark, root) // stamps numHashes=8 bands=4
+    new DedupLog(spark, root) // same config re-opens fine
+    val e = intercept[IllegalArgumentException] {
+      new DedupLog(spark, root, numHashes = 16, bands = 8)
+    }
+    assert(e.getMessage.contains("refusing to open"))
+  }
+
   test("checkpoint + vacuum preserve the corpus under prior concurrency") {
     val root = tmpRoot("lifecycle")
     val dl = new DedupLog(spark, root)
