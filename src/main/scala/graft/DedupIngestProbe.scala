@@ -103,13 +103,39 @@ object DedupIngestProbe {
     spark.stop()
   }
 
+  /** day-N arm: ONE writer ingests `batches` sequential batches into one
+    * store, checkpoint+vacuum every 4th — the OCC twin of the bare
+    * store's SCALE10X incremental-ingest curve. Per-batch wall must stay
+    * FLAT while the corpus grows (the probe is bucket-keyed against the
+    * narrow index, the records() read is bounded by the checkpoint, and
+    * the commit costs O(batch)); prints one DEDUPCURVE line per batch. */
+  private def curveArm(spark: SparkSession, docsPerBatch: Int,
+      batches: Int): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_curve_")
+      .toString + "/store"
+    val dl = new DedupLog(spark, root)
+    for (b <- 0 until batches) {
+      val d = docsDf(spark, docsPerBatch, b.toLong * 1000000L,
+        seedFor("disjoint", 0, b))
+      val t0 = System.nanoTime()
+      dl.ingest(d, b.toLong)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val maint = b % 4 == 3
+      if (maint) { dl.checkpoint(); dl.vacuum() }
+      println(f"DEDUPCURVE batch=$b%2d wall=$wall%6.2f s corpus=" +
+        f"${(b + 1).toLong * docsPerBatch}%7d ckpt=$maint")
+    }
+    require(dl.fsck().filter(!col("ok")).count() == 0L, "fsck violations")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--worker")) { worker(args.drop(1)); return }
     val clones = args.contains("--clones")
     val mixed = args.contains("--mixed")
     val multiJvm = args.contains("--multi-jvm")
+    val curve = args.contains("--curve")
     val rest = args.filterNot(a =>
-      a == "--clones" || a == "--mixed" || a == "--multi-jvm")
+      a == "--clones" || a == "--mixed" || a == "--multi-jvm" || a == "--curve")
     val docsPerBatch = if (rest.nonEmpty) rest(0).toInt else 2000
     val batches = if (rest.length > 1) rest(1).toInt else 4
     val writerCounts =
@@ -123,6 +149,8 @@ object DedupIngestProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (curve) { curveArm(spark, docsPerBatch, batches); spark.stop(); return }
 
     for (w <- writerCounts) {
       val root = java.nio.file.Files.createTempDirectory("graft_dedup_ing_")
