@@ -122,9 +122,11 @@ final class DedupLog(spark: SparkSession, root: String,
         .distinct().collect().map(_.getString(0)).toIndexedSeq
       log.commit(() => {
         // published state of every conflicting predecessor (commit has
-        // awaited them); disjoint concurrent commits may or may not
-        // appear — they commute with this one (scaladoc above)
-        val rec = log.records()
+        // awaited them), through the tombstone-aware fold — a retired
+        // doc must neither block a new near-dup nor count as a corpus
+        // member; disjoint concurrent commits may or may not appear —
+        // they commute with this one (scaladoc above)
+        val rec = folded()
         val corpus = rec.filter(col("band") === CorpusBand)
           .select("doc_id", "text")
         val idx = rec.filter(col("band") >= 0).select("doc_id", "band", "bkey")
@@ -148,14 +150,59 @@ final class DedupLog(spark: SparkSession, root: String,
     } finally { b.unpersist(); () }
   }
 
-  /** the admitted corpus: one `(doc_id, text, batch)` row per doc */
+  /** Retire admitted docs from the store (corpus curation / removal
+    * requests): ONE tombstone commit shadows every live `(doc_id, band)`
+    * row of the named docs under the per-key fold, so the docs leave the
+    * corpus, their index rows stop producing candidates, and a LATER
+    * near-duplicate of a retired doc is admissible again.
+    *
+    * Serialization: the commit declares the retired rows' own bucket
+    * keys plus the doc identities — an admission probing any of those
+    * buckets intersects and serializes, so its verdict is always
+    * computed with the tombstones visible (admit-after-retire admits).
+    * The retired row set is read (and collected — retire batches are
+    * curation-sized) BEFORE the claim: admitted rows are immutable, so
+    * the tombstones are identical whenever computed, and a doc NOT yet
+    * visible to this session is simply not retired (retire what you
+    * read; re-run for docs that raced in — their `d:` key serializes
+    * this commit against the racing admission either way). */
+  def retire(docIds: Seq[Long], batchId: Long = -1L): Unit = {
+    val ids = docIds.distinct
+    if (ids.isEmpty) return
+    import spark.implicits._
+    val live = folded()
+      .join(ids.toDF("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "band", "bkey").collect()
+    if (live.isEmpty) return
+    val keys = live.flatMap { r =>
+      val d = s"d:${r.getLong(0)}"
+      if (r.getInt(1) >= 0) Seq(d, s"b:${r.getInt(1)}:${r.getString(2)}")
+      else Seq(d)
+    }.distinct.toIndexedSeq
+    val rows = live.map(r => (r.getLong(0), r.getInt(1),
+      Option(r.getString(2)).orNull, null: String, batchId))
+    log.commit(() =>
+      rows.toSeq.toDF("doc_id", "band", "bkey", "text", "batch")
+        .withColumn("__op", lit(OpRemove)),
+      OpRemove, Some(keys))
+  }
+
+  /** latest state per `(doc_id, band)` with tombstoned rows folded out —
+    * the read-side fold (checkpoints apply the same latest-per-key
+    * collapse, so tombstones also physically shadow their originals at
+    * the next checkpoint) */
+  private def folded(): DataFrame =
+    OccLog.latestPerKey(Seq("doc_id", "band"))(log.records())
+      .filter(col("__op") =!= OpRemove)
+
+  /** the admitted corpus: one `(doc_id, text, batch)` row per live doc */
   def corpus(): DataFrame =
-    log.records().filter(col("band") === CorpusBand)
+    folded().filter(col("band") === CorpusBand)
       .select("doc_id", "text", "batch")
 
   /** the persisted signature index: `(doc_id, band, bkey)` per band */
   def index(): DataFrame =
-    log.records().filter(col("band") >= 0).select("doc_id", "band", "bkey")
+    folded().filter(col("band") >= 0).select("doc_id", "band", "bkey")
 
   /** fold the published prefix into one checkpoint dir (read-cost bound;
     * no exclusive window needed — [[OccLog.checkpoint]]) */
@@ -178,6 +225,10 @@ object DedupLog {
   val CorpusBand: Int = -1
 
   val OpAdmit = "admit"
+
+  /** tombstone op: a remove row shadows its `(doc_id, band)` key under
+    * the fold and is filtered from every read ([[DedupLog.retire]]) */
+  val OpRemove = "remove"
 
   /** at-rest shape: corpus rows (`band = -1`, text, null bkey) and index
     * rows (`band ∈ [0, bands)`, bkey, null text) share one log so a

@@ -79,6 +79,13 @@ object StreamingQueries {
     // governance changes who may write, never what is admitted.
     "stream_dedup_occ" -> ((s, d) =>
       IncrementalDedupStream.runOccToBatch(s, s"$d/documents.parquet")),
+    // RETIREMENT through the OCC store (r14): admitted evens %4==0 are
+    // tombstoned between the two batches — retired docs leave the served
+    // corpus AND stop producing candidates, so an odd whose only
+    // near-dup was retired is admitted; fsck (with full index recompute)
+    // runs against the folded store before serving
+    "stream_dedup_occ_retire" -> ((s, d) =>
+      IncrementalDedupStream.runOccRetireToBatch(s, s"$d/documents.parquet")),
     // store LIFECYCLE (r14): compact the partition-per-batch corpus+index
     // into the reserved batch=-1 partition (identity-checked swap), fsck
     // the corpus↔index invariants (any violation throws → red gate), and
@@ -113,8 +120,11 @@ object StreamingQueries {
     * odds (chain policy: matching a rejected earlier doc still rejects).
     * The redelivered batch 1 adds nothing — exactly this. `b0`/`b1` are
     * the emitted batch tags (0/1 live; -1/-1 after compaction folds the
-    * provenance). */
-  private def incrIngestOracle(b0: Int, b1: Int): String =
+    * provenance). `retain` narrows the post-batch-0 corpus (TRUE = keep
+    * all): the retirement gate retires admitted evens failing it, so
+    * batch 1 probes — and the output keeps — only the retained evens. */
+  private def incrIngestOracle(b0: Int, b1: Int,
+      retain: String = "TRUE"): String =
     s"WITH ${PipelineQueries.Sig}, bands AS (SELECT doc_id, s, b.range AS band, " +
       "CAST(g[2*b.range + 1] AS VARCHAR) || ',' || CAST(g[2*b.range + 2] AS VARCHAR) AS bkey " +
       "FROM sig, range(4) b), " +
@@ -124,12 +134,13 @@ object StreamingQueries {
       s"dup0 AS (SELECT DISTINCT doc_a FROM cand0 WHERE ${jacGE("0.5")}), " +
       "c0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0 " +
       "AND doc_id NOT IN (SELECT doc_a FROM dup0)), " +
+      s"r0 AS (SELECT doc_id FROM c0 WHERE $retain), " +
       "cand1 AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS s_a, b.s AS s_b " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
-      "WHERE a.doc_id % 2 = 1 AND (b.doc_id IN (SELECT doc_id FROM c0) " +
+      "WHERE a.doc_id % 2 = 1 AND (b.doc_id IN (SELECT doc_id FROM r0) " +
       "OR (b.doc_id % 2 = 1 AND b.doc_id < a.doc_id))), " +
       s"dup1 AS (SELECT DISTINCT doc_a FROM cand1 WHERE ${jacGE("0.5")}) " +
-      s"SELECT doc_id, CAST($b0 AS BIGINT) AS batch FROM c0 " +
+      s"SELECT doc_id, CAST($b0 AS BIGINT) AS batch FROM r0 " +
       s"UNION ALL SELECT doc_id, CAST($b1 AS BIGINT) FROM documents " +
       "WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_a FROM dup1)"
 
@@ -137,6 +148,9 @@ object StreamingQueries {
     "stream_dedup_incremental" -> incrIngestOracle(0, 1),
     // OCC-governed store: identical admitted set and batch provenance
     "stream_dedup_occ" -> incrIngestOracle(0, 1),
+    // retirement: batch 1 probes (and the output keeps) only the
+    // retained evens — doc_id % 4 != 0 of the admitted batch-0 set
+    "stream_dedup_occ_retire" -> incrIngestOracle(0, 1, "doc_id % 4 != 0"),
     // compacted store: same admitted set, provenance folded to batch=-1
     "stream_dedup_store_maint" -> incrIngestOracle(-1, -1),
 

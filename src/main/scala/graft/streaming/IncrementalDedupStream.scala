@@ -155,6 +155,27 @@ object IncrementalDedupStream {
     dl.corpus().select(col("doc_id"), col("batch"))
   }
 
+  /** Gate runner for RETIREMENT through the OCC store: evens admitted
+    * (batch 0), every admitted even with `doc_id % 4 == 0` retired
+    * (tombstone commit), then odds (batch 1) probe the CURATED store —
+    * an odd whose only near-dup was a retired even must now be admitted,
+    * and retired evens must be gone from the served corpus. fsck runs
+    * post-retire (the recomputed index must match the folded one). */
+  def runOccRetireToBatch(spark: SparkSession, docFile: String): DataFrame = {
+    val docs = spark.read.parquet(docFile).select("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-occ-retire-")
+    graft.TempDirs.register(out)
+    val dl = new graft.metacat.DedupLog(spark, s"$out/store")
+    dl.ingest(docs.filter(col("doc_id") % 2 === 0), 0L)
+    val retireIds = dl.corpus().filter(col("doc_id") % 4 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    dl.retire(retireIds)
+    dl.ingest(docs.filter(col("doc_id") % 2 === 1), 1L)
+    val bad = dl.fsck().filter(!col("ok")).collect()
+    require(bad.isEmpty, s"dedup-log fsck violations: ${bad.mkString("; ")}")
+    dl.corpus().select(col("doc_id"), col("batch"))
+  }
+
   /** Gate runner: evens arrive as batch 0 (bootstrap), odds as batch 1
     * (probing the persisted batch-0 index); then batch 1 is REDELIVERED
     * verbatim through [[ingestBatch]] — the at-least-once case — and the

@@ -118,6 +118,31 @@ class DedupLogSpec extends SparkTestBase {
     assert(dl.fsck().filter(!col("ok")).count() == 0)
   }
 
+  test("retire frees the bucket: a later clone of a retired doc admits") {
+    val root = tmpRoot("retire")
+    val dl = new DedupLog(spark, root)
+    def ids(): Set[Long] =
+      dl.corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+    dl.ingest(toDf(Seq(doc(1, "ret-a"), doc(2, "ret-b"))), 0L)
+    // clone rejected while the original is live
+    dl.ingest(toDf(Seq(doc(11, "ret-a"))), 1L)
+    assert(ids() == Set(1L, 2L))
+    dl.retire(Seq(1L))
+    assert(ids() == Set(2L))
+    // the same clone arriving again is now admissible (bucket freed)
+    dl.ingest(toDf(Seq(doc(12, "ret-a"))), 2L)
+    assert(ids() == Set(2L, 12L))
+    // double retire + unknown id: both no-ops
+    dl.retire(Seq(1L, 777L))
+    assert(ids() == Set(2L, 12L))
+    assert(dl.fsck().filter(!col("ok")).count() == 0)
+    // checkpoint physically shadows tombstoned rows; reads unchanged
+    assert(dl.checkpoint() > 0L)
+    dl.vacuum()
+    assert(ids() == Set(2L, 12L))
+    assert(dl.fsck().filter(!col("ok")).count() == 0)
+  }
+
   test("LSH config pin: a second writer with different banding is refused") {
     val root = tmpRoot("pin")
     new DedupLog(spark, root) // stamps numHashes=8 bands=4
