@@ -187,13 +187,26 @@ final class DedupLog(spark: SparkSession, root: String,
       OpRemove, Some(keys))
   }
 
-  /** latest state per `(doc_id, band)` with tombstoned rows folded out —
-    * the read-side fold (checkpoints apply the same latest-per-key
-    * collapse, so tombstones also physically shadow their originals at
-    * the next checkpoint) */
-  private def folded(): DataFrame =
-    OccLog.latestPerKey(Seq("doc_id", "band"))(log.records())
-      .filter(col("__op") =!= OpRemove)
+  /** Live rows with tombstones folded out. NOT the generic
+    * latest-per-key window — that would shuffle the WHOLE index on every
+    * probe and break the O(batch) ingest shape. Admit rows are
+    * append-once per doc generation and [[retire]] removes whole docs,
+    * so the fold reduces to a seq-aware anti-join: a row is live iff no
+    * tombstone for its doc has a HIGHER seq (a re-admission after retire
+    * writes fresh rows above the tombstone and comes back live). The
+    * tombstone side is curation-sized — AQE broadcasts it, the index
+    * scan stays map-side. Checkpoints still apply the full
+    * latest-per-key collapse, which physically shadows removed rows
+    * under exactly these semantics. */
+  private def folded(): DataFrame = {
+    val rec = log.records()
+    val tomb = rec.filter(col("__op") === OpRemove)
+      .groupBy("doc_id").agg(max("__seq").as("__rseq"))
+    rec.filter(col("__op") =!= OpRemove)
+      .join(tomb, Seq("doc_id"), "left")
+      .filter(col("__rseq").isNull || col("__seq") > col("__rseq"))
+      .drop("__rseq")
+  }
 
   /** the admitted corpus: one `(doc_id, text, batch)` row per live doc */
   def corpus(): DataFrame =
