@@ -21,6 +21,7 @@ import graft.mql.Mql
   *                            show|datasets …
   *   graft.Cli -c <root> named-query create|show|list|search …
   *   graft.Cli -c <root> catalog fsck|compact|checkpoint|vacuum|history|pin|unpin|pins
+  *   graft.Cli dedup-store stats|fsck|checkpoint|vacuum|retire <storeRoot> [ids…]
   * }}}
   */
 object AdminCli {
@@ -28,7 +29,8 @@ object AdminCli {
   /** the admin group tokens; none collides with an MQL leading keyword
     * (`files`/`datasets`/`queries`/`fids`/`union`/`join`/`filter`) */
   val Groups: Set[String] =
-    Set("dataset", "namespace", "file", "named-query", "catalog")
+    Set("dataset", "namespace", "file", "named-query", "catalog",
+      "dedup-store")
 
   /** true iff the FIRST positional token (skipping `-c`/`-n` flag pairs)
     * names an admin group — the query surface is untouched otherwise */
@@ -51,7 +53,12 @@ object AdminCli {
   private def emit(df: org.apache.spark.sql.DataFrame): Unit =
     JsonSeq.stream(df).foreach(print)
 
-  def run(spark: SparkSession, cat: ParquetCatalog, argv: List[String]): Unit = {
+  /** `cat` is BY-NAME: only forced by commands that touch the catalog,
+    * so catalog-free groups (`dedup-store`, whose store has its own
+    * root) run without `-c <catalog-root>` */
+  def run(spark: SparkSession, cat0: => ParquetCatalog,
+      argv: List[String]): Unit = {
+    lazy val cat = cat0
     // tiny flag splitter: `-f v` / `--flag v` pairs out, positionals kept
     val valueFlags = Set("-m", "-d", "-o", "-j", "-q", "--flags", "--size",
       "--parents", "--children", "--by", "--requirements", "--to")
@@ -243,6 +250,25 @@ object AdminCli {
           s""""members_vacuum_horizon":${cat.vacuumMembersLog(force = true)},""" +
           s""""edges_vacuum_horizon":${cat.vacuumEdgesLog(force = true)},""" +
           s""""admin_vacuum_horizon":${cat.vacuumAdminLog(force = true)}}""")
+
+      // ---- OCC dedup store maintenance (graft.metacat.DedupLog) — the
+      // store has its OWN root (it is pipeline state, not catalog
+      // metadata), passed positionally ----
+      case "dedup-store" :: "stats" :: sroot :: Nil =>
+        val dl = new graft.metacat.DedupLog(spark, sroot)
+        println(s"""{"corpus_docs":${dl.corpus().count()},""" +
+          s""""index_rows":${dl.index().count()}}""")
+      case "dedup-store" :: "fsck" :: sroot :: Nil =>
+        emit(new graft.metacat.DedupLog(spark, sroot).fsck().orderBy("check"))
+      case "dedup-store" :: "checkpoint" :: sroot :: Nil =>
+        println(s"""{"checkpoint_seq":${
+          new graft.metacat.DedupLog(spark, sroot).checkpoint()}}""")
+      case "dedup-store" :: "vacuum" :: sroot :: Nil =>
+        println(s"""{"vacuum_horizon":${
+          new graft.metacat.DedupLog(spark, sroot).vacuum()}}""")
+      case "dedup-store" :: "retire" :: sroot :: ids if ids.nonEmpty =>
+        new graft.metacat.DedupLog(spark, sroot).retire(ids.map(_.toLong))
+        println(s"""{"retired":${ids.length}}""")
 
       case other =>
         throw new IllegalArgumentException(

@@ -80,7 +80,9 @@ object Cli {
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     }
     if (AdminCli.isAdmin(args)) {
-      val writable = cat match {
+      // lazily forced (AdminCli takes it by-name): catalog-free groups
+      // like dedup-store run without -c
+      def writable: ParquetCatalog = cat match {
         case p: ParquetCatalog => p
         case _ => throw new IllegalArgumentException(
           "admin commands require -c <catalog-root>")

@@ -88,4 +88,23 @@ class AdminCliSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](adm("dataset", "create", "no-colon"))
     assertThrows[IllegalArgumentException](adm("file", "move", "A00000002"))
   }
+
+  test("dedup-store maintenance group: stats/retire/checkpoint/vacuum/fsck") {
+    assert(AdminCli.isAdmin(Array("dedup-store", "fsck", "/tmp/x")))
+    val sroot = Files.createTempDirectory("graft-admincli-ds-").toString + "/store"
+    val dl = new graft.metacat.DedupLog(spark, sroot)
+    import spark.implicits._
+    dl.ingest(Seq(
+      (1L, (0 until 10).map(i => s"cli-a-$i").mkString(" ")),
+      (2L, (0 until 10).map(i => s"cli-b-$i").mkString(" ")))
+      .toDF("doc_id", "text"), 0L)
+    adm("dedup-store", "stats", sroot)      // prints; must not throw
+    adm("dedup-store", "retire", sroot, "1")
+    assert(dl.corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(2L))
+    adm("dedup-store", "checkpoint", sroot)
+    adm("dedup-store", "vacuum", sroot)
+    adm("dedup-store", "fsck", sroot)       // all-green or fsck rows print
+    assert(dl.fsck().filter(!col("ok")).count() == 0)
+  }
 }
