@@ -122,22 +122,57 @@ private[metacat] final class OccLog(
     * read-cost bound that keeps an always-on multi-writer catalog
     * O(base + recent commits) instead of O(all commits ever). Latest-wins
     * semantics are unchanged because the checkpoint already IS the fold
-    * of its prefix. Falls back to the raw log when no checkpoint exists
-    * or when legacy flat-layout rows reach above it. */
+    * of its prefix. Falls back to the raw log when legacy flat-layout
+    * rows reach above the checkpoint.
+    *
+    * Concurrency: the segment listing must be CONSISTENT with the
+    * checkpoint pointer it was taken against, and any later vacuum must
+    * fail the read LOUDLY. Two measures enforce that:
+    * (1) the pointer is re-read after the listing — if a concurrent
+    *     checkpoint advanced it, segments in (c, c'] may already be
+    *     vacuumed out of the listing, so recompute from the new pointer;
+    * (2) segments are read via PINNED per-seq paths, never a recursive
+    *     directory scan — a directory scan re-lists lazily at action
+    *     time, so a vacuum between plan and action SILENTLY drops the
+    *     folded-away segments (observed: an existence check inside a
+    *     commit read an empty log mid-vacuum and failed a live dataset).
+    *     Pinned paths turn that race into FileNotFoundException, which
+    *     every materializing caller ([[stageRows]], [[checkpoint]],
+    *     retryOnVanish sites) already retries with a fresh plan. */
   def records(): DataFrame = {
-    val c = ckptSeq()
-    if (c <= 0L || legacyFlatSeq() > c) {
-      if (rawNonEmpty()) readRaw()
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
+    var guard = 0
+    while (true) {
+      val c = ckptSeq()
+      if (legacyFlatSeq() > c) {
+        // pre-OCC flat part files live directly under the log dir — only
+        // the recursive listing sees them; flat files are immutable and
+        // only vacuumed once a covering checkpoint exists (c >= flat max)
+        return readRaw()
+      }
       val above = listSeqNames(name).filter(_ > c).sorted
         .map(s => s"${path(name)}/${seqDirName(s)}")
-      val ckpt = spark.read.schema(schema)
-        .parquet(s"${path(ckptT)}/${seqDirName(c)}")
-      if (above.isEmpty) ckpt
-      else ckpt.unionByName(spark.read.schema(schema).parquet(above: _*))
+      if (ckptSeq() == c) {
+        val aboveDf =
+          if (above.isEmpty) None
+          else Some(spark.read.schema(schema).parquet(above: _*))
+        val ckptDf =
+          if (c <= 0L) None
+          else Some(spark.read.schema(schema)
+            .parquet(s"${path(ckptT)}/${seqDirName(c)}"))
+        return (ckptDf, aboveDf) match {
+          case (Some(k), Some(a)) => k.unionByName(a)
+          case (Some(k), None)    => k
+          case (None, Some(a))    => a
+          case (None, None)       => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+      }
+      guard += 1 // a checkpoint published mid-listing — recompute from it
+      if (guard > 50) throw new IllegalStateException(
+        s"records() of $root/$name could not take a stable listing after " +
+        s"$guard attempts (checkpoint pointer kept moving)")
     }
+    sys.error("unreachable")
   }
 
   /** Highest seq of the pre-OCC flat layout (parquet part files directly
