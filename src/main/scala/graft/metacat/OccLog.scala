@@ -80,6 +80,23 @@ private[metacat] final class OccLog(
   private def align(df: DataFrame): DataFrame =
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
 
+  /** Output-partition count for commit/checkpoint writes. Mutation-sized
+    * commits inherit the session's shuffle/scan partitioning (32 local),
+    * so each tiny segment landed as 5-10 near-empty part files — written
+    * by as many tasks, then listed and footer-read by EVERY later
+    * [[records]] fold (guide §6: small files hurt twice). Local default 1
+    * part file per commit; a deployment doing bulk commits (millions of
+    * rows per mutation) raises `spark.graft.commit.partitions` — the
+    * value is a WRITE LAYOUT choice, never a semantics change. */
+  private def commitParts: Int =
+    try spark.conf.get("spark.graft.commit.partitions", "1").toInt
+    catch { case _: Throwable => 1 }
+
+  private def sized(df: DataFrame): DataFrame = {
+    val n = commitParts
+    if (n >= 1) df.coalesce(n) else df
+  }
+
   private val SeqDirName = "s(\\d{20})".r
 
   private def seqDirName(s: Long): String = f"s$s%020d"
@@ -539,9 +556,9 @@ private[metacat] final class OccLog(
     while (!wrote) {
       try {
         val rows = mkRows()
-        align((if (rows.columns.contains("__op")) rows
+        sized(align((if (rows.columns.contains("__op")) rows
             else rows.withColumn("__op", lit(op)))
-            .withColumn("__seq", lit(s)))
+            .withColumn("__seq", lit(s))))
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         wrote = true
       } catch {
@@ -643,7 +660,7 @@ private[metacat] final class OccLog(
       try {
         val merged = fold(records()
           .filter(col("__seq") <= n)) // guard: a commit may publish mid-write
-        align(merged).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        sized(align(merged)).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         wrote = true
       } catch {
         case e: Throwable if OccLog.fileVanished(e) && attempt < 5 =>

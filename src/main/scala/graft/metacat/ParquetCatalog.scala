@@ -1672,6 +1672,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     catCache = null
   }
 
+  /** Output-partition count for table/append writes — same knob and
+    * rationale as [[OccLog]]'s commit sizing (`spark.graft.commit.partitions`,
+    * local default 1): mutation-sized appends and gate-scale rewrites
+    * inherited the session's 32-way partitioning and landed 5-10
+    * near-empty part files per write, each a task at write time and a
+    * listing+footer read on every later scan (guide §6). A deployment
+    * rewriting a large table raises the conf; the layout never changes
+    * row content. */
+  private def sized(df: DataFrame): DataFrame = {
+    val n =
+      try spark.conf.get("spark.graft.commit.partitions", "1").toInt
+      catch { case _: Throwable => 1 }
+    if (n >= 1) df.coalesce(n) else df
+  }
+
   /** Retry a driver-side read action that raced a concurrent vacuum: the
     * plan's file listing saw raw log segments a vacuum then deleted — the
     * checkpoint carries them, so a FRESH snapshot read is correct (the
@@ -1704,7 +1719,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       partitionCols: Seq[String] = Nil): Unit = {
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new org.apache.hadoop.fs.Path(path("_tmp"), s"append-$uuid")
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = sized(df).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
     val fs = fsOf(tmp)
@@ -2587,9 +2602,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val aligned = align(
       withShredCols(updated).filter(col("namespace").isin(touched: _*)),
       storedSchema)
+    val packed = sized(aligned)
     (if (sortCols.nonEmpty)
-       aligned.sortWithinPartitions(("namespace" +: sortCols).map(col): _*)
-     else aligned)
+       packed.sortWithinPartitions(("namespace" +: sortCols).map(col): _*)
+     else packed)
       .write.mode(SaveMode.Overwrite).partitionBy("namespace")
       .parquet(tmp.toString)
     fs.mkdirs(old)
@@ -2692,7 +2708,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def rewrite(df: DataFrame, table: String, schema: StructType,
       partitionCols: Seq[String]): Unit = {
     val tmp = hPath(table + "__tmp")
-    val w = align(df, schema).write.mode(SaveMode.Overwrite)
+    val w = sized(align(df, schema)).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
     val dst = hPath(table)

@@ -183,7 +183,13 @@ private[metacat] final class TxnLog(spark: org.apache.spark.sql.SparkSession,
         boom(s"after-stage:${l.log}")
       }
       for (b <- baseLegs) {
-        val w = b.mkRows().write.mode(
+        // same commit sizing as OccLog.stageRows: a mutation-sized base
+        // leg lands as one part file, not 32-way session partitioning
+        val parts =
+          try spark.conf.get("spark.graft.commit.partitions", "1").toInt
+          catch { case _: Throwable => 1 }
+        val rows = if (parts >= 1) b.mkRows().coalesce(parts) else b.mkRows()
+        val w = rows.write.mode(
           org.apache.spark.sql.SaveMode.Overwrite)
         (if (b.partitionCols.nonEmpty) w.partitionBy(b.partitionCols: _*)
          else w).parquet(legStage(id, s"base-${b.table}").toString)

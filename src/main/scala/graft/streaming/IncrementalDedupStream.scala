@@ -79,11 +79,21 @@ object IncrementalDedupStream {
       // cloned session, so a session-conf set on the outer session never
       // reaches the write (observed: static overwrite truncated the
       // other batches' partitions)
-      admitted.withColumn("batch", lit(bid))
+      // batch-sized store writes land as `spark.graft.commit.partitions`
+      // part files (local default 1) instead of the session's 32-way
+      // partitioning — each batch partition was 32 near-empty files that
+      // every later probe re-listed (guide §6); deployments with large
+      // micro-batches raise the conf
+      val parts =
+        try spark.conf.get("spark.graft.commit.partitions", "1").toInt
+        catch { case _: Throwable => 1 }
+      def sized(df: DataFrame): DataFrame =
+        if (parts >= 1) df.coalesce(parts) else df
+      sized(admitted.withColumn("batch", lit(bid)))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(corpusDir)
-      Dedup.signatureIndex(admitted).withColumn("batch", lit(bid))
+      sized(Dedup.signatureIndex(admitted).withColumn("batch", lit(bid)))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(indexDir)

@@ -203,4 +203,26 @@ class MergeOnReadSpec extends SparkTestBase {
     intercept[IllegalArgumentException](cow.filesAsOf(0L))
     intercept[IllegalArgumentException](cow.logHistory())
   }
+
+  test("mutation-sized commits land as single part files (commit sizing)") {
+    // r14 optimization: commit/append writes coalesce to
+    // spark.graft.commit.partitions (default 1) instead of inheriting the
+    // session's shuffle/scan partitioning — a tiny segment was 5-10
+    // near-empty part files, each listed + footer-read by every later
+    // records() fold. Layout only; the state-equality tests above pin
+    // that semantics are unchanged.
+    val (mor, morRoot) = newCat(mor = true)
+    declare(mor, "alpha", 10, "M")
+    mutate(mor)
+    val logDir = new java.io.File(s"$morRoot/files_log")
+    val segs = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("s"))
+    assert(segs.nonEmpty, "expected published commit segments")
+    for (s <- segs) {
+      val parts = Option(s.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1,
+        s"segment ${s.getName} has ${parts.length} part files, expected 1")
+    }
+  }
 }
