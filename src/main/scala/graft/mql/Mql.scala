@@ -132,11 +132,16 @@ object Mql {
   def provenanceClosure(catalog: MetacatCatalog, seeds: DataFrame,
       ancestors: Boolean = true, maxDepth: Int = 25): DataFrame = {
     val spark = seeds.sparkSession
+    // materialized ONCE per closure: every BFS round joins this frame, and
+    // without the checkpoint each round re-scanned the edge table and
+    // re-computed the projection (depth × full-scan cost; r14 guide §2.4 —
+    // the narrow two-column frame is the right thing to keep hot)
     val edges =
-      if (ancestors)
+      (if (ancestors)
         catalog.parentChild.select(col("child_fid").as("src"), col("parent_fid").as("dst"))
       else
         catalog.parentChild.select(col("parent_fid").as("src"), col("child_fid").as("dst"))
+      ).localCheckpoint(eager = true)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
