@@ -93,7 +93,14 @@ object IncrementalDedupStream {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(corpusDir)
-      sized(Dedup.signatureIndex(admitted).withColumn("batch", lit(bid)))
+      // index rows come from signatureIndex(fresh) FILTERED to admitted
+      // ids, not signatureIndex(admitted): banded keys are per-doc, so
+      // the rows are identical, but the `fresh` plan hits the shingle
+      // cache the probe already populated — signatureIndex(admitted) was
+      // a different plan and re-shingled + re-MinHashed the whole batch
+      sized(Dedup.signatureIndex(fresh)
+          .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+          .withColumn("batch", lit(bid)))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(indexDir)
