@@ -13,12 +13,17 @@ import graft.streaming.IncrementalDedupStream
   * (one winner per clone group no matter how batches interleave),
   * redelivery convergence without partition tricks, and the log's own
   * lifecycle preserving the corpus. */
-class DedupLogSpec extends SparkTestBase {
+class DedupLogSpec extends SparkTestBase with OccFailureCapture {
 
+  // r14: the clone-storm test failed ONCE in a 7-suite group soak (10
+  // runs total: 1 failure, 9 green incl. 4 isolated + 3 full-group
+  // reruns) and the soak had only grep'd the output — no transcript.
+  // Wired into OccFailureCapture so the next occurrence leaves the
+  // store's full claim/keys/segment listing behind.
   private def tmpRoot(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-deduplog-$tag-")
     graft.TempDirs.register(d)
-    s"$d/store"
+    registerRoot(s"$d/store")
   }
 
   /** docs long enough to shingle; distinct seeds share ZERO tokens (so
