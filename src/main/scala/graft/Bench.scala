@@ -280,8 +280,13 @@ object Bench {
       s"""{"at":"${java.time.Instant.now()}",""" + full.drop(1) + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
+    // the stdout line carries the FULL per-query maps: rounds 7-14 the
+    // driver's PERF_*.json had per_query:{} because the maps lived only in
+    // bench_last.json (the short stdout form was a log-tail-clipping
+    // precaution that cost seven rounds of per-query visibility).
+    // load_per_query stays disk-only — it is forensics, not contract.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSecFinal,"calib_io_sec":$calibIoSec,"calib_after":$calibAfter,"calib_io_after":$calibIoAfter,$contamJson,"nqueries":${results.size},"queries_file":"bench_last.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","catalog_init":$catalogInit,"catalog_ingest":$catalogIngest,"runs":$n,"warmup":$warmup,"failed_runs":$failedRuns,"load_before":$loadBefore,"load_after":$loadAfter,"calib_sec":$calibSecFinal,"calib_io_sec":$calibIoSec,"calib_after":$calibAfter,"calib_io_after":$calibIoAfter,$contamJson,"nqueries":${results.size},"queries":$qs,"queries_min":$qsMin,"queries_file":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,25 +77,27 @@ private[metacat] final class OccLog(
   private[metacat] var stuckClaimRecovery: (String, Long) => Boolean =
     (_, _) => false
 
+  /** Test seam: fires in [[records]] between the pinned segment listing
+    * (already re-validated against the checkpoint pointer) and the EAGER
+    * `spark.read` file-index resolution — the exact window where a
+    * concurrent checkpoint+vacuum deletes just-listed segments and the
+    * read throws PATH_NOT_FOUND out of plan CONSTRUCTION. */
+  private[metacat] var onRecordsPinned: () => Unit = () => ()
+
   private def align(df: DataFrame): DataFrame =
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
 
-  /** Output-partition count for commit/checkpoint writes. Mutation-sized
-    * commits inherit the session's shuffle/scan partitioning (32 local),
-    * so each tiny segment landed as 5-10 near-empty part files — written
-    * by as many tasks, then listed and footer-read by EVERY later
-    * [[records]] fold (guide §6: small files hurt twice). Local default 1
-    * part file per commit; a deployment doing bulk commits (millions of
-    * rows per mutation) raises `spark.graft.commit.partitions` — the
-    * value is a WRITE LAYOUT choice, never a semantics change. */
-  private def commitParts: Int =
-    try spark.conf.get("spark.graft.commit.partitions", "1").toInt
-    catch { case _: Throwable => 1 }
-
-  private def sized(df: DataFrame): DataFrame = {
-    val n = commitParts
-    if (n >= 1) df.coalesce(n) else df
-  }
+  /** Output-partition count for COMMIT writes. Mutation-sized commits
+    * inherit the session's shuffle/scan partitioning (32 local), so each
+    * tiny segment landed as 5-10 near-empty part files — written by as
+    * many tasks, then listed and footer-read by EVERY later [[records]]
+    * fold (guide §6: small files hurt twice). Local default 1 part file
+    * per commit; a deployment doing bulk commits (millions of rows per
+    * mutation) raises `spark.graft.commit.partitions` — the value is a
+    * WRITE LAYOUT choice, never a semantics change. Checkpoint folds are
+    * O(log state), not mutation-sized — they size by estimated bytes
+    * ([[OccLog.foldSized]]), never by this conf. */
+  private def sized(df: DataFrame): DataFrame = OccLog.commitSized(spark, df)
 
   private val SeqDirName = "s(\\d{20})".r
 
@@ -169,22 +171,36 @@ private[metacat] final class OccLog(
       val above = listSeqNames(name).filter(_ > c).sorted
         .map(s => s"${path(name)}/${seqDirName(s)}")
       if (ckptSeq() == c) {
-        val aboveDf =
-          if (above.isEmpty) None
-          else Some(spark.read.schema(schema).parquet(above: _*))
-        val ckptDf =
-          if (c <= 0L) None
-          else Some(spark.read.schema(schema)
-            .parquet(s"${path(ckptT)}/${seqDirName(c)}"))
-        return (ckptDf, aboveDf) match {
-          case (Some(k), Some(a)) => k.unionByName(a)
-          case (Some(k), None)    => k
-          case (None, Some(a))    => a
-          case (None, None)       => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        onRecordsPinned()
+        // spark.read.parquet resolves its file index EAGERLY, so a vacuum
+        // deleting a just-listed segment (or a superseded checkpoint)
+        // between the listing and here throws PATH_NOT_FOUND out of plan
+        // CONSTRUCTION — before any caller's materialization retry can
+        // see it (observed: an ingest stream's very first mkBatch() in
+        // declareFiles, built outside the pin-retry loop, died against an
+        // admin loop's vacuum cadence). A fresh listing is always correct
+        // (the covering checkpoint carries the vacuumed segments), so the
+        // race is absorbed here, inside the existing guard loop.
+        try {
+          val aboveDf =
+            if (above.isEmpty) None
+            else Some(spark.read.schema(schema).parquet(above: _*))
+          val ckptDf =
+            if (c <= 0L) None
+            else Some(spark.read.schema(schema)
+              .parquet(s"${path(ckptT)}/${seqDirName(c)}"))
+          return (ckptDf, aboveDf) match {
+            case (Some(k), Some(a)) => k.unionByName(a)
+            case (Some(k), None)    => k
+            case (None, Some(a))    => a
+            case (None, None)       => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          }
+        } catch {
+          case e: Throwable if OccLog.fileVanished(e) => () // recompute
         }
       }
-      guard += 1 // a checkpoint published mid-listing — recompute from it
+      guard += 1 // a checkpoint/vacuum moved mid-listing — recompute
       if (guard > 50) throw new IllegalStateException(
         s"records() of $root/$name could not take a stable listing after " +
         s"$guard attempts (checkpoint pointer kept moving)")
@@ -660,7 +676,11 @@ private[metacat] final class OccLog(
       try {
         val merged = fold(records()
           .filter(col("__seq") <= n)) // guard: a commit may publish mid-write
-        sized(align(merged)).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // the fold covers the ENTIRE published log state — size its write
+        // by estimated bytes, not the mutation-commit conf (a fixed
+        // coalesce(1) here is a single-task write of the whole log at scale)
+        OccLog.foldSized(spark, align(merged))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         wrote = true
       } catch {
         case e: Throwable if OccLog.fileVanished(e) && attempt < 5 =>
@@ -770,6 +790,51 @@ private[graft] object OccLog {
   /** process-wide directory-listing counter (every [[listSeqNames]]) —
     * probes read it to report listings-per-commit on the claim path */
   private[graft] val listings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Output-partition count for MUTATION-SIZED commit/append writes
+    * (`spark.graft.commit.partitions`, default 1; < 1 disables the
+    * coalesce). One shared parse replaces four copy-pasted try/catch
+    * blocks that caught Throwable — swallowing fatal errors and silently
+    * coercing a typo'd conf value to 1; an unparseable value now fails
+    * loudly (NumberFormatException names the bad setting). */
+  private[graft] def commitParts(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.commit.partitions", "1").toInt
+
+  /** [[commitParts]]-sized view of a mutation-sized frame — a WRITE
+    * LAYOUT choice (guide §6 small files), never a semantics change.
+    * O(log)/O(table) writes (checkpoint folds, rewrites) must NOT use
+    * this: they size by estimated output bytes instead ([[foldSized]]). */
+  private[graft] def commitSized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val n = commitParts(spark)
+    if (n >= 1) df.coalesce(n) else df
+  }
+
+  /** Size-DERIVED output partitioning for O(log)/O(table) writes —
+    * checkpoint folds, full-table rewrites, COW partition rewrites. The
+    * r14 commit sizing (fixed coalesce(1)) leaked onto these paths, and
+    * coalesce has no shuffle barrier: at scale the ENTIRE fold/sort/write
+    * stage collapsed to one task. Parts here = ceil(optimized-plan size
+    * estimate / `spark.graft.write.targetFileBytes`, default 128 MiB,
+    * guide §6's output-file floor), floor 1 — a mutation-sized fold still
+    * lands as one file while a 100 GB fold keeps hundreds of write tasks.
+    * coalesce never RAISES partition counts, so the result is naturally
+    * capped by the plan's own parallelism. `spark.graft.checkpoint.partitions`
+    * (>= 1) overrides outright; < 1 disables the coalesce. */
+  private[graft] def foldSized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val conf = spark.conf.get("spark.graft.checkpoint.partitions", "")
+    if (conf.nonEmpty) {
+      val n = conf.toInt
+      return if (n >= 1) df.coalesce(n) else df
+    }
+    val target = spark.conf
+      .get("spark.graft.write.targetFileBytes", (128L * 1024 * 1024).toString)
+      .toLong
+    // upper-bound estimate (filters keep their child's size without CBO);
+    // only the order of magnitude matters for a file-count choice
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (bytes / BigInt(math.max(target, 1L))).toLong + 1L
+    df.coalesce(math.max(1L, math.min(parts, 1L << 20)).toInt)
+  }
   /** true when any cause in the chain is a missing-file read failure —
     * the signature of a snapshot listing racing [[OccLog.vacuum]] */
   def fileVanished(e: Throwable): Boolean = {

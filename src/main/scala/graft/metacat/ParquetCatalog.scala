@@ -1672,20 +1672,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     catCache = null
   }
 
-  /** Output-partition count for table/append writes — same knob and
-    * rationale as [[OccLog]]'s commit sizing (`spark.graft.commit.partitions`,
-    * local default 1): mutation-sized appends and gate-scale rewrites
-    * inherited the session's 32-way partitioning and landed 5-10
+  /** Output-partition count for MUTATION-SIZED append writes — same knob
+    * and rationale as [[OccLog]]'s commit sizing
+    * (`spark.graft.commit.partitions`, local default 1): mutation-sized
+    * appends inherited the session's 32-way partitioning and landed 5-10
     * near-empty part files per write, each a task at write time and a
-    * listing+footer read on every later scan (guide §6). A deployment
-    * rewriting a large table raises the conf; the layout never changes
-    * row content. */
-  private def sized(df: DataFrame): DataFrame = {
-    val n =
-      try spark.conf.get("spark.graft.commit.partitions", "1").toInt
-      catch { case _: Throwable => 1 }
-    if (n >= 1) df.coalesce(n) else df
-  }
+    * listing+footer read on every later scan (guide §6). Table REWRITES
+    * (COW partition swap, full-table rewrite) are O(table), not
+    * mutation-sized — they size by estimated output bytes
+    * ([[OccLog.foldSized]]), never by this conf. */
+  private def sized(df: DataFrame): DataFrame = OccLog.commitSized(spark, df)
 
   /** Retry a driver-side read action that raced a concurrent vacuum: the
     * plan's file listing saw raw log segments a vacuum then deleted — the
@@ -2602,7 +2598,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val aligned = align(
       withShredCols(updated).filter(col("namespace").isin(touched: _*)),
       storedSchema)
-    val packed = sized(aligned)
+    // O(touched partitions), not mutation-sized: size the write by
+    // estimated bytes so the shred sort below runs across tasks instead
+    // of collapsing the whole rewrite (coalesce has no shuffle barrier)
+    // into ONE sort+write task at scale
+    val packed = OccLog.foldSized(spark, aligned)
     (if (sortCols.nonEmpty)
        packed.sortWithinPartitions(("namespace" +: sortCols).map(col): _*)
      else packed)
@@ -2708,7 +2708,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def rewrite(df: DataFrame, table: String, schema: StructType,
       partitionCols: Seq[String]): Unit = {
     val tmp = hPath(table + "__tmp")
-    val w = sized(align(df, schema)).write.mode(SaveMode.Overwrite)
+    // O(table) write: size by estimated bytes, not the mutation-commit conf
+    val w = OccLog.foldSized(spark, align(df, schema)).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
     val dst = hPath(table)

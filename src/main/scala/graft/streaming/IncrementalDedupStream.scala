@@ -84,11 +84,8 @@ object IncrementalDedupStream {
       // partitioning — each batch partition was 32 near-empty files that
       // every later probe re-listed (guide §6); deployments with large
       // micro-batches raise the conf
-      val parts =
-        try spark.conf.get("spark.graft.commit.partitions", "1").toInt
-        catch { case _: Throwable => 1 }
       def sized(df: DataFrame): DataFrame =
-        if (parts >= 1) df.coalesce(parts) else df
+        graft.metacat.OccLog.commitSized(spark, df)
       sized(admitted.withColumn("batch", lit(bid)))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
